@@ -1,0 +1,180 @@
+"""Two-phase point-in-polygon join (SURVEY.md J1/J2 -- the heart of the
+graft).
+
+The reference does PIP by burning the polygon onto the pixel grid and
+masking (raster_tools/zonal.py:80-87, groups.py:115-135) with an
+envelope prejoin pushed into PostGIS/OGR (rasterize2.py:151-158,
+datasources.py:28-33).  Spark-first re-expression:
+
+- phase H (hot/broadcast): polygons whose envelope covers more than
+  ``hot_cover`` cells at the join resolution are few but huge (the skew
+  drivers).  They are broadcast and bbox-prejoined with a JVM-side
+  predicate; exact refine in an Arrow-batched pandas UDF.
+- phase N (normal/shuffle): remaining polygons explode their covering
+  cells at ``join_res`` and equi-join images on the cell key -- the
+  canonical shuffle join on grid keys.  Optional explicit salting splits
+  hot *cells* across ``salt`` buckets (AQE skew join is the backstop,
+  explicit salt is the deterministic fix).
+- exact refinement: vectorized even-odd ray cast (geom.points_in_wkb),
+  batch-grouped by polygon so each polygon's rings are parsed once per
+  Arrow batch.
+
+Output: one row per (image, polygon) containment pair.  No dedup pass is
+needed: the two phases partition the polygon set, and at one resolution
+an image center lies in exactly one cell, so each pair appears at most
+once -- at 10^12 rows a distinct() here would be the bottleneck.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import geom
+from ..grid import covering_cells, n_covering, JOIN_RES
+
+
+_COVER_SCHEMA = T.ArrayType(T.LongType())
+
+
+def _covering_udf(res: int):
+    @F.pandas_udf(_COVER_SCHEMA)
+    def cover(wkb_s: pd.Series) -> pd.Series:
+        return wkb_s.map(
+            lambda b: covering_cells(geom.envelope(bytes(b)), res)
+        )
+
+    return cover
+
+
+def _ncover_udf(res: int):
+    @F.pandas_udf(T.IntegerType())
+    def ncov(wkb_s: pd.Series) -> pd.Series:
+        return wkb_s.map(lambda b: n_covering(geom.envelope(bytes(b)), res))
+
+    return ncov
+
+
+@F.pandas_udf(T.ArrayType(T.DoubleType()))
+def _envelope_udf(wkb_s: pd.Series) -> pd.Series:
+    return wkb_s.map(lambda b: list(geom.envelope(bytes(b))))
+
+
+def _refine(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Exact PIP refine of candidate pairs; one ring-parse per polygon
+    per batch (polygons repeat heavily within a cell's batch)."""
+    if len(pdf) == 0:
+        return pdf
+    keep = pd.Series(False, index=pdf.index)
+    for _, idx in pdf.groupby("feat_id").groups.items():
+        sub = pdf.loc[idx]
+        wkb_b = bytes(sub["geom_wkb"].iloc[0])
+        inside = geom.points_in_wkb(
+            sub["cx"].to_numpy(), sub["cy"].to_numpy(), wkb_b
+        )
+        keep.loc[idx] = inside
+    return pdf[keep.to_numpy()]
+
+
+def _refine_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = _refine(pdf)
+        if len(out):
+            yield out
+
+
+def pip_join(
+    images: DataFrame,
+    polygons: DataFrame,
+    join_res: int = JOIN_RES,
+    hot_cover: int = 64,
+    salt: Optional[int] = None,
+    keep_cols=("image_id", "cx", "cy"),
+    poly_cols=("feat_id", "category", "value"),
+) -> DataFrame:
+    """images (assign_cells output) x polygons(feat_id, geom_wkb, ...)
+    -> containment pairs.
+
+    ``salt``: explicit salt bucket count for the shuffle phase (None =
+    rely on AQE skew join only).
+    """
+    cell_key = f"qk_r{join_res}"
+    pts = images.select(*keep_cols, cell_key)
+
+    polys = polygons.withColumn("n_cover", _ncover_udf(join_res)(F.col("geom_wkb")))
+    hot = polys.filter(F.col("n_cover") > hot_cover)
+    normal = polys.filter(F.col("n_cover") <= hot_cover)
+
+    refine_schema = ", ".join(
+        [
+            "image_id string",
+            "cx double",
+            "cy double",
+            "feat_id long",
+            "geom_wkb binary",
+        ]
+        + [f"{c} {_sql_type(polygons, c)}" for c in poly_cols if c != "feat_id"]
+    )
+    out_cols = [*(c for c in keep_cols), *poly_cols]
+
+    # ---- phase N: shuffle equi-join on covering cells -------------------
+    ncells = normal.withColumn(
+        "cover_cell", F.explode(_covering_udf(join_res)(F.col("geom_wkb")))
+    ).select("feat_id", "geom_wkb", "cover_cell",
+             *[c for c in poly_cols if c != "feat_id"])
+
+    if salt:
+        pts_s = pts.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("image_id")), F.lit(salt))
+        )
+        ncells_s = ncells.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).cast("long")
+        )
+        cand_n = pts_s.join(
+            ncells_s,
+            (pts_s[cell_key] == ncells_s["cover_cell"])
+            & (pts_s["_salt"] == ncells_s["_salt"]),
+        ).drop("_salt")
+    else:
+        cand_n = pts.join(ncells, pts[cell_key] == ncells["cover_cell"])
+
+    matched_n = (
+        cand_n.select("image_id", "cx", "cy", "feat_id", "geom_wkb",
+                      *[c for c in poly_cols if c != "feat_id"])
+        .mapInPandas(_refine_iter, schema=refine_schema)
+        .select(*out_cols)
+    )
+
+    # ---- phase H: broadcast bbox prejoin + exact refine -----------------
+    hot_env = hot.withColumn("env", _envelope_udf(F.col("geom_wkb")))
+    hot_b = F.broadcast(
+        hot_env.select(
+            "feat_id", "geom_wkb", "env",
+            *[c for c in poly_cols if c != "feat_id"],
+        )
+    )
+    bbox_pred = (
+        (F.col("cx") >= F.col("env")[0])
+        & (F.col("cx") < F.col("env")[1])
+        & (F.col("cy") >= F.col("env")[2])
+        & (F.col("cy") <= F.col("env")[3])
+    )
+    cand_h = pts.join(hot_b, bbox_pred)
+    matched_h = (
+        cand_h.select("image_id", "cx", "cy", "feat_id", "geom_wkb",
+                      *[c for c in poly_cols if c != "feat_id"])
+        .mapInPandas(_refine_iter, schema=refine_schema)
+        .select(*out_cols)
+    )
+
+    return matched_n.unionByName(matched_h)
+
+
+def _sql_type(df: DataFrame, col: str) -> str:
+    return dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)[
+        col
+    ]

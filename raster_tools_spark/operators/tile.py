@@ -1,0 +1,166 @@
+"""Tile assignment: anchor every image on the grid and key it with
+quadtree cells at resolutions 7..11 plus a Hilbert order key.
+
+The retile-semantics core (SURVEY.md section 3.1): the reference
+re-anchors its geo transform per index feature
+(raster_tools/retile.py:47 -> utils.py:82-92) and window-reads by
+inverse-affine grid math (utils.py:114-144).  Here the anchor is a
+deterministic function of ``phash`` (FIXTURES.md section 1) computed in
+ONE vectorized pandas UDF (uint64 wraparound math that ANSI-mode Spark
+SQL would reject), and everything downstream -- cell keys at every
+resolution, parent rollups -- is JVM-side floor arithmetic that stays
+inside whole-stage codegen.
+
+Scale notes: no shuffle here at all; this is a narrow map over the scan.
+``hilbert`` is the range-partitioning key that keeps spatially adjacent
+tiles in the same partition (SURVEY.md section 4, skew row).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..grid import WORLD_TOP, cell_edge, RES_TILE
+from ..synth import anchor_of_phash_windowed
+from ..grid import anchor_of_phash as _anchor_full
+
+
+def _anchor_udf(tiles_axis: int):
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("x0", T.DoubleType()),
+                T.StructField("y_top", T.DoubleType()),
+            ]
+        )
+    )
+    def anchor(phash: pd.Series) -> pd.DataFrame:
+        if tiles_axis >= 4096:
+            x0, y_top = _anchor_full(phash.to_numpy())
+        else:
+            x0, y_top = anchor_of_phash_windowed(phash.to_numpy(), tiles_axis)
+        return pd.DataFrame({"x0": x0, "y_top": y_top})
+
+    return anchor
+
+
+def cell_col(x: Column, y: Column, res: int) -> Column:
+    """Packed quadtree cell id as a JVM-side expression (codegen'd).
+
+    Mirrors grid.cell_of_xy bit-for-bit: floor into the res grid, pack
+    (res << 56) | (ix << 28) | iy.
+    """
+    edge = float(cell_edge(res))
+    ix = F.floor(x / F.lit(edge)).cast("long")
+    iy = F.floor((F.lit(WORLD_TOP) - y) / F.lit(edge)).cast("long")
+    return (
+        F.shiftleft(F.lit(res).cast("long"), 56)
+        .bitwiseOR(F.shiftleft(ix, 28))
+        .bitwiseOR(iy)
+    )
+
+
+def parent_cell_col(cell: Column) -> Column:
+    """JVM-side quadtree rollup res r -> r-1 (utils.py:38-51 quad fold)."""
+    res = F.shiftright(cell, 56)
+    ix = F.shiftright(cell, 28).bitwiseAND(F.lit((1 << 28) - 1))
+    iy = cell.bitwiseAND(F.lit((1 << 28) - 1))
+    return (
+        F.shiftleft(res - 1, 56)
+        .bitwiseOR(F.shiftleft(F.shiftright(ix, 1), 28))
+        .bitwiseOR(F.shiftright(iy, 1))
+    )
+
+
+def assign_cells(
+    images: DataFrame,
+    tiles_axis: int = 4096,
+    res_levels=(7, 8, 9, 10, 11),
+) -> DataFrame:
+    """images(+phash, w, h) -> + x0, y_top, cx, cy, qk_r7..qk_r11, hilbert.
+
+    ``cx, cy`` is the tile center (the PIP-join point); ``qk_r{n}`` keys
+    the center's cell at each resolution.  Assignment is a pure function
+    of the row -> bit-identical at any parallelism (north rule).
+    """
+    df = images.withColumn("_anchor", _anchor_udf(tiles_axis)(F.col("phash")))
+    df = (
+        df.withColumn("x0", F.col("_anchor.x0"))
+        .withColumn("y_top", F.col("_anchor.y_top"))
+        .drop("_anchor")
+        .withColumn("cx", F.col("x0") + F.col("w").cast("double") * 0.25)
+        .withColumn("cy", F.col("y_top") - F.col("h").cast("double") * 0.25)
+    )
+    for res in res_levels:
+        df = df.withColumn(f"qk_r{res}", cell_col(F.col("cx"), F.col("cy"), res))
+    # Hilbert distance of the canonical-tile cell: locality-preserving
+    # long key for repartitionByRange.  Computed in a vectorized pandas
+    # UDF -- an unrolled Catalyst expression for the 10-level bit
+    # twiddle grows exponentially in tree size, so the Arrow batch path
+    # is both the simpler and the faster plan here.
+    df = df.withColumn(
+        "hilbert", _hilbert_udf(F.col("cx"), F.col("cy"))
+    )
+    return df
+
+
+@F.pandas_udf(T.LongType())
+def _hilbert_udf(cx: pd.Series, cy: pd.Series) -> pd.Series:
+    from ..grid import hilbert_xy2d
+
+    edge = float(cell_edge(RES_TILE))
+    ix = np.floor(cx.to_numpy() / edge).astype(np.int64)
+    iy = np.floor((WORLD_TOP - cy.to_numpy()) / edge).astype(np.int64)
+    return pd.Series(hilbert_xy2d(RES_TILE, ix, iy))
+
+
+def quad_rollup(
+    df: DataFrame,
+    cell_col_name: str,
+    value_col: str,
+    levels: int = 1,
+    agg: str = "mean",
+) -> DataFrame:
+    """Iterated parent-cell aggregation -- the reference's quad-tree
+    downsample (utils.py:38-51, driver aggregate.py:91,107-112) as a
+    hierarchy of partial-aggregating groupBys.
+
+    ``agg`` in {mean, min, max, sum}; mean-of-means matches the
+    reference's masked 2x2 mean when weights are carried, so we carry
+    (sum, count) through the levels and finalize mean = sum/count.
+    """
+    out = df.select(
+        F.col(cell_col_name).alias("cell"),
+        F.col(value_col).cast("double").alias("v"),
+    ).groupBy("cell").agg(
+        F.sum("v").alias("s"),
+        F.count("v").alias("n"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    )
+    for _ in range(levels):
+        out = (
+            out.withColumn("cell", parent_cell_col(F.col("cell")))
+            .groupBy("cell")
+            .agg(
+                F.sum("s").alias("s"),
+                F.sum("n").alias("n"),
+                F.min("mn").alias("mn"),
+                F.max("mx").alias("mx"),
+            )
+        )
+    if agg == "mean":
+        val = F.col("s") / F.col("n")
+    elif agg == "sum":
+        val = F.col("s")
+    elif agg == "min":
+        val = F.col("mn")
+    elif agg == "max":
+        val = F.col("mx")
+    else:
+        raise ValueError(agg)
+    return out.select("cell", val.alias("value"), F.col("n").alias("n_px"))

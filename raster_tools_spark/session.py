@@ -1,0 +1,56 @@
+"""SparkSession factory with the engine's canonical config.
+
+Scale-minded defaults: AQE on (runtime re-plan + skew join), Arrow on
+(every UDF in this engine is vectorized), UTC session timezone (oracle
+comparison), shuffle partitions sized to cores for local mode (a real
+cluster overrides via spark-submit --conf).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "raster-tools-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    n_threads = cpus if master == "local[*]" else _threads_of(master, cpus)
+    shuffle_partitions = shuffle_partitions or max(n_threads, 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def _threads_of(master: str, default: int) -> int:
+    if master.startswith("local[") and master.endswith("]"):
+        inner = master[6:-1]
+        if inner != "*":
+            try:
+                return int(inner)
+            except ValueError:
+                pass
+    return default
