@@ -107,8 +107,16 @@ def ring_area(ring: np.ndarray) -> float:
 
 
 def area(wkb_bytes: bytes) -> float:
-    """Even-odd area of polygon/multipolygon (holes subtract)."""
-    return abs(sum(ring_area(r) for r in _rings_of(wkb_bytes)))
+    """Even-odd area of polygon/multipolygon: interior rings subtract
+    regardless of their winding orientation."""
+    gtype, payload = _wkb.parse(wkb_bytes)
+    polys = [payload] if gtype == _wkb.POLYGON else payload
+    total = 0.0
+    for rings in polys:
+        total += abs(ring_area(rings[0]))
+        for hole in rings[1:]:
+            total -= abs(ring_area(hole))
+    return total
 
 
 def envelope(wkb_bytes: bytes):

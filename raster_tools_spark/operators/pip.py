@@ -132,8 +132,8 @@ def pip_join(
             "_salt", F.pmod(F.xxhash64(F.col("image_id")), F.lit(salt))
         )
         ncells_s = ncells.withColumn(
-            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).cast("long")
-        )
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        ).withColumn("_salt", F.col("_salt").cast("long"))
         cand_n = pts_s.join(
             ncells_s,
             (pts_s[cell_key] == ncells_s["cover_cell"])
