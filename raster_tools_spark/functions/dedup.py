@@ -1,0 +1,185 @@
+"""Deduplication operators for training-data pipelines.
+
+- exact dedup: hash-groupBy on md5(text) (O7 checksum-dedup analog,
+  srtm/organize.py:17-43 in the reference uses an md5 set);
+- n-gram Jaccard near-dup: word-shingle explode -> self-equi-join on
+  shingle -> per-pair intersection counts -> Jaccard threshold;
+- MinHash + LSH: k md5-minhashes over shingles, banded; candidate
+  pairs share >= 1 band.  md5-based so the DuckDB oracle computes the
+  identical signature;
+- SimHash: 64-bit token-majority fingerprint via xxhash64 bit votes
+  (JVM-side bit arithmetic; rows-only check -- xxhash64 has no DuckDB
+  twin).
+
+Scale notes: every join here is an equi-join on a hash/shingle key
+(shuffle-friendly, AQE-skew-safe); nothing is quadratic except within a
+shared shingle bucket, which is the standard LSH cost model.  The
+Jaccard path prunes shingles occurring in > ``max_df`` docs (stopword
+shingles otherwise create O(n^2) candidate blowup at corpus scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+N_SHINGLE = 3
+MINHASH_K = 8
+LSH_BAND_ROWS = 2
+
+
+def shingles_col(text: Column, n: int = N_SHINGLE) -> Column:
+    """Distinct word n-gram shingles of a single-space separated text."""
+    w = F.split(text, " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
+    )
+    return F.array_distinct(grams)
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups by content hash; representative = min
+    doc_id (deterministic)."""
+    return (
+        docs.select("doc_id", F.md5(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+    )
+
+
+def _doc_shingles(docs: DataFrame, max_df: int | None) -> DataFrame:
+    sh = docs.select(
+        "doc_id", F.explode(shingles_col(F.col("text"))).alias("shingle")
+    )
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    return sh
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.2, max_df: int | None = None
+) -> DataFrame:
+    """Near-duplicate pairs by word-3-gram Jaccard similarity.
+
+    jaccard = |S1 n S2| / (|S1| + |S2| - |S1 n S2|) over DISTINCT
+    shingles.  Returns (doc_a, doc_b, inter, jaccard) for doc_a < doc_b
+    and jaccard >= threshold.
+    """
+    sh = _doc_shingles(docs, max_df)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, k: int = MINHASH_K, max_df: int | None = None
+) -> DataFrame:
+    """k md5-minhash values per doc: for seed s, min(md5(s || shingle)).
+
+    String-min over hex md5 == numeric min over the hash value; using
+    md5 keeps the oracle (DuckDB) bit-identical.
+    """
+    sh = _doc_shingles(docs, max_df)
+    seeded = sh.withColumn(
+        "seed", F.explode(F.array(*[F.lit(i) for i in range(k)]))
+    ).withColumn(
+        "h",
+        F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"),
+                       F.col("shingle"))),
+    )
+    return seeded.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    band_rows: int = LSH_BAND_ROWS,
+    max_df: int | None = None,
+) -> DataFrame:
+    """LSH banding: concat minhashes within a band; docs sharing any
+    band key become candidate pairs (doc_a < doc_b, n_bands shared)."""
+    sig = minhash_signatures(docs, k, max_df)
+    bands = (
+        sig.withColumn("band", F.floor(F.col("seed") / band_rows).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list(F.col("minhash")))
+            ).alias("band_key")
+        )
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band", "band_key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), "band", "band_key"
+    )
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per bit, the majority of
+    token-hash bits.  Pure JVM bit arithmetic (xxhash64 + aggregates);
+    rows-only correctness check (no DuckDB xxhash64)."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks
+    agg_exprs = []
+    for i in range(bits):
+        bit = F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))
+        agg_exprs.append(
+            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"b{i}")
+        )
+    per_doc = votes.groupBy("doc_id").agg(*agg_exprs)
+    sim = F.lit(0).cast("long")
+    for i in range(bits):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            .__mul__(F.lit(1 << i if i < 63 else -(1 << 63)).cast("long"))
+        )
+    # bit 63 via multiplication of min-long avoids ANSI overflow
+    return per_doc.select("doc_id", sim.alias("simhash"))

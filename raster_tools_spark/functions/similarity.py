@@ -1,0 +1,187 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the correctness baseline.  Dot products via
+  JVM-side ``aggregate(zip_with(...))`` higher-order functions -- no
+  Python in the loop; candidates restricted by an equi-join key when
+  provided.
+- LSH-bucketed ANN: deterministic random-hyperplane signs derived from
+  (plane, dim) hashes; vectors sharing a signature bucket are compared
+  exactly.  The scale path: bucket join replaces the cross join.
+
+Norms are precomputed once per side.  At 10^12 scale the brute-force
+path is only for small query sets (it is a broadcast nested-loop of
+|Q| x |C|); the LSH path is the default.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_q: str = "vec_id",
+    id_c: str = "vec_id",
+    vec_q: str = "embedding",
+    vec_c: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (qid, cid, sim, rn) with sim rounded to 6 dp and
+    deterministic tie-break on cid.
+    """
+    q = queries.select(
+        F.col(id_q).alias("qid"), F.col(vec_q).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    c = candidates.select(
+        F.col(id_c).alias("cid"), F.col(vec_c).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv")))
+    pairs = q.crossJoin(c)
+    if exclude_self:
+        pairs = pairs.filter(F.col("qid") != F.col("cid"))
+    scored = pairs.withColumn(
+        "sim",
+        F.round(
+            _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("cid").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", "sim", "rn")
+    )
+
+
+def _plane_matrix(n_planes: int, dim: int) -> np.ndarray:
+    """Deterministic hyperplane directions: Philox keyed by plane id."""
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(0xA11CE)))
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_signature_udf(n_planes: int, dim: int):
+    planes = _plane_matrix(n_planes, dim)
+
+    @F.pandas_udf(T.LongType())
+    def sig(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        proj = m @ planes.T  # (n, planes)
+        bits = (proj > 0).astype(np.int64)
+        out = np.zeros(len(m), dtype=np.int64)
+        for i in range(n_planes):
+            out |= bits[:, i] << i
+        return pd.Series(out)
+
+    return sig
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: exact cosine within each random-hyperplane bucket.
+
+    Recall < 1 by construction; pair with multiple plane sets for
+    higher recall.  The join is an equi-join on the signature -- the
+    shape that scales (shuffle by bucket, no cross join).
+    """
+    sig = lsh_signature_udf(n_planes, dim)
+    v = vectors.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    ).withColumn("sig", sig(F.col("vec"))).withColumn(
+        "n", _norm(F.col("vec"))
+    )
+    a = v.select(
+        F.col("vid").alias("qid"), F.col("vec").alias("qv"),
+        F.col("n").alias("qn"), "sig",
+    )
+    b = v.select(
+        F.col("vid").alias("cid"), F.col("vec").alias("cv"),
+        F.col("n").alias("cn"), "sig",
+    )
+    scored = (
+        a.join(b, "sig")
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn(
+            "sim",
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * F.col("cn")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("cid").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", "sim", "rn")
+    )
+
+
+def embedding_near_dup(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH buckets."""
+    sig = lsh_signature_udf(n_planes, dim)
+    v = vectors.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    ).withColumn("sig", sig(F.col("vec"))).withColumn(
+        "n", _norm(F.col("vec"))
+    )
+    a = v.select(F.col("vid").alias("doc_a"), F.col("vec").alias("va"),
+                 F.col("n").alias("na"), "sig")
+    b = v.select(F.col("vid").alias("doc_b"), F.col("vec").alias("vb"),
+                 F.col("n").alias("nb"), "sig")
+    return (
+        a.join(b, "sig")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "sim",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("doc_a", "doc_b", "sim")
+    )

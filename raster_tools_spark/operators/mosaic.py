@@ -46,7 +46,10 @@ def merge_last_wins(
         df.filter(F.col(value).isNotNull())
         .groupBy(key)
         .agg(
-            F.expr(f"max_by({value}, {layer})").alias("value"),
+            # lexicographic max over (layer, value): deterministic even
+            # when two rows share the top layer
+            F.max(F.struct(F.col(layer).alias("l"),
+                           F.col(value).alias("v")))["v"].alias("value"),
             F.max(layer).alias("top_layer"),
             F.count(F.lit(1)).alias("n_layers"),
         )

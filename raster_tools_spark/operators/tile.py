@@ -133,11 +133,14 @@ def quad_rollup(
     reference's masked 2x2 mean when weights are carried, so we carry
     (sum, count) through the levels and finalize mean = sum/count.
     """
+    # decimal-backed sum: exact and order-independent, so results are
+    # bit-identical regardless of partitioning (north rule) and match
+    # any oracle engine
     out = df.select(
         F.col(cell_col_name).alias("cell"),
         F.col(value_col).cast("double").alias("v"),
     ).groupBy("cell").agg(
-        F.sum("v").alias("s"),
+        F.sum(F.col("v").cast("decimal(30,6)")).alias("s"),
         F.count("v").alias("n"),
         F.min("v").alias("mn"),
         F.max("v").alias("mx"),
@@ -154,9 +157,9 @@ def quad_rollup(
             )
         )
     if agg == "mean":
-        val = F.col("s") / F.col("n")
+        val = F.col("s").cast("double") / F.col("n")
     elif agg == "sum":
-        val = F.col("s")
+        val = F.col("s").cast("double")
     elif agg == "min":
         val = F.col("mn")
     elif agg == "max":
