@@ -28,12 +28,18 @@ MINHASH_K = 8
 LSH_BAND_ROWS = 2
 
 
-def shingles_col(text: Column, n: int = N_SHINGLE) -> Column:
-    """Distinct word n-gram shingles of a single-space separated text."""
-    w = F.split(text, " ")
+def shingles_of_words(words: Column, n: int = N_SHINGLE) -> Column:
+    """Distinct word n-gram shingles from a words-array COLUMN.
+
+    Important: take a materialized array column, not an inline
+    ``split`` -- Catalyst does not common-subexpression-eliminate
+    through higher-order-function lambdas, so an inline split would be
+    re-evaluated for every element_at (measured ~25x slowdown)."""
     grams = F.transform(
-        F.sequence(F.lit(0), F.size(w) - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j + 1) for j in range(n)]
+        ),
     )
     return F.array_distinct(grams)
 
@@ -53,7 +59,9 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 def _doc_shingles(docs: DataFrame, max_df: int | None) -> DataFrame:
     sh = docs.select(
-        "doc_id", F.explode(shingles_col(F.col("text"))).alias("shingle")
+        "doc_id", F.split(F.col("text"), " ").alias("_w")
+    ).select(
+        "doc_id", F.explode(shingles_of_words(F.col("_w"))).alias("shingle")
     )
     if max_df is not None:
         hot = (
@@ -117,14 +125,20 @@ def minhash_signatures(
     md5 keeps the oracle (DuckDB) bit-identical.
     """
     sh = _doc_shingles(docs, max_df)
-    seeded = sh.withColumn(
-        "seed", F.explode(F.array(*[F.lit(i) for i in range(k)]))
-    ).withColumn(
-        "h",
-        F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"),
-                       F.col("shingle"))),
+    # one-pass: k min-aggregates in a single hash agg (partial combine
+    # map-side), then unpivot -- an 8x cheaper plan than exploding a
+    # seed column into k times the rows
+    aggs = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))
+        ).alias(f"m{i}")
+        for i in range(k)
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    stack_expr = "stack({}, {}) as (seed, minhash)".format(
+        k, ", ".join(f"{i}, m{i}" for i in range(k))
     )
-    return seeded.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+    return wide.selectExpr("doc_id", stack_expr)
 
 
 def lsh_candidate_pairs(

@@ -89,15 +89,113 @@ def rasterize_mask(wkb_bytes: bytes, gt: GeoTransform, height: int, width: int):
     ``gdal.RasterizeLayer(..., burn_values=[1])`` default semantics
     (zonal.py:80-87).  ``gt`` anchors pixel (0, 0)'s outer corner.
     """
+    rings = _rings_of(wkb_bytes)
+    return rasterize_mask_rings(rings, gt, height, width)
+
+
+def rasterize_mask_rings(
+    rings, gt: GeoTransform, height: int, width: int
+) -> np.ndarray:
+    """Clipped + short-circuit rasterization (the 100-TB-minded path):
+
+    1. only pixels inside the polygon envelope are candidates -- the
+       rest of the tile is skipped without testing;
+    2. if no ring crosses the candidate window, the whole window is
+       uniformly in or out: one center test decides it (fast path for
+       tiles fully covered by hot polygons);
+    3. otherwise ray-cast only the clipped window.
+    """
     p, a, b, q, c, d = gt
-    jj, ii = np.meshgrid(
-        np.arange(width, dtype=np.float64) + 0.5,
-        np.arange(height, dtype=np.float64) + 0.5,
+    mask = np.zeros((height, width), dtype=bool)
+
+    env = _rings_env(rings)
+    # pixel-center coordinate of col j: p + a*(j+0.5); assume north-up
+    # (b == c == 0), which holds for every grid in this engine
+    j0 = max(int(np.floor((env[0] - p) / a - 0.5)), 0)
+    j1 = min(int(np.ceil((env[1] - p) / a - 0.5)) + 1, width)
+    # rows: y = q + d*(i+0.5), d < 0
+    i0 = max(int(np.floor((env[3] - q) / d - 0.5)), 0)
+    i1 = min(int(np.ceil((env[2] - q) / d - 0.5)) + 1, height)
+    if j0 >= j1 or i0 >= i1:
+        return mask
+
+    wx1 = p + a * j0
+    wx2 = p + a * j1
+    wy2 = q + d * i0
+    wy1 = q + d * i1
+    crossing = any(
+        _bbox_overlap(_ring_env(r), (wx1, wx2, wy1, wy2)) for r in rings
     )
-    xs = p + a * jj + b * ii
-    ys = q + c * jj + d * ii
-    inside = points_in_wkb(xs.ravel(), ys.ravel(), wkb_bytes)
-    return inside.reshape(height, width)
+    sub_w = j1 - j0
+    sub_h = i1 - i0
+    if not crossing:
+        cx = p + a * (j0 + 0.5)
+        cy = q + d * (i0 + 0.5)
+        if bool(points_in_rings([cx], [cy], rings)[0]):
+            mask[i0:i1, j0:j1] = True
+        return mask
+
+    _scanline_fill(mask, rings, p, a, q, d, i0, i1, j0, j1)
+    return mask
+
+
+def _scanline_fill(mask, rings, p, a, q, d, i0, i1, j0, j1):
+    """Even-odd scanline fill over row centers -- O(rows x edges), not
+    O(pixels x edges), with results bit-identical to the per-point ray
+    cast (same strict ``cx < xint`` crossing rule):
+
+    per row, sorted edge intersections t1 <= t2 <= ... bound the inside
+    intervals [t1, t2), [t3, t4), ... (cx == t_odd is inside because a
+    crossing at exactly cx is not counted to the right)."""
+    x1e, y1e, x2e, y2e = _edges_of_rings(rings)
+    ys = q + d * (np.arange(i0, i1, dtype=np.float64) + 0.5)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        straddle = (y1e[None, :] > ys[:, None]) != (
+            y2e[None, :] > ys[:, None]
+        )
+        xint = x1e + (ys[:, None] - y1e) * (x2e - x1e) / (y2e - y1e)
+    M = np.where(straddle, xint, np.inf)
+    M.sort(axis=1)
+    counts = straddle.sum(axis=1)
+    for r in range(i1 - i0):
+        m = counts[r]
+        if m == 0:
+            continue
+        row = M[r]
+        for k in range(0, m - 1, 2):
+            t_lo, t_hi = row[k], row[k + 1]
+            js = max(int(np.ceil((t_lo - p) / a - 0.5)), j0)
+            je = min(int(np.ceil((t_hi - p) / a - 0.5)), j1)
+            if je > js:
+                mask[i0 + r, js:je] = True
+
+
+def _ring_env(ring: np.ndarray):
+    return (
+        ring[:, 0].min(), ring[:, 0].max(),
+        ring[:, 1].min(), ring[:, 1].max(),
+    )
+
+
+def _rings_env(rings):
+    envs = [_ring_env(r) for r in rings]
+    return (
+        min(e[0] for e in envs),
+        max(e[1] for e in envs),
+        min(e[2] for e in envs),
+        max(e[3] for e in envs),
+    )
+
+
+def _bbox_overlap(a, b) -> bool:
+    """(x1, x2, y1, y2) envelope intersection test.
+
+    Interior-overlap semantics on the ring-bbox side: a ring whose bbox
+    merely touches the window edge cannot flip any pixel-center test
+    inside the window, so touching does not count as crossing."""
+    return not (
+        a[1] <= b[0] or a[0] >= b[1] or a[3] <= b[2] or a[2] >= b[3]
+    )
 
 
 def ring_area(ring: np.ndarray) -> float:

@@ -85,24 +85,38 @@ _PARTIAL_SCHEMA = (
 )
 
 
-def _partials_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Decode + mask + partial stats per (image, polygon) pair."""
+def _partials_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Streaming partials over candidate pairs sorted by image_id:
+    decode each image once (rows of an image are adjacent after
+    sortWithinPartitions), parse each polygon's rings once per task."""
+    cur_img = None
+    px = None
+    gt = None
+    n_bytes = 0
+    seen: set = set()
+    ring_cache: dict = {}
     for pdf in batches:
         if len(pdf) == 0:
             continue
         rows: List[tuple] = []
-        # decode each distinct image in the batch once
-        decoded: dict = {}
         for t in pdf.itertuples():
-            key = t.image_id
-            if key not in decoded:
-                decoded[key] = codecs.decode(bytes(t.bytes), t.fmt)
-            px = decoded[key]
-            gt = GeoTransform(
-                (t.x0, CELL_SIZE, 0.0, t.y_top, 0.0, -CELL_SIZE)
-            )
-            mask = geom.rasterize_mask(
-                bytes(t.geom_wkb), gt, px.shape[0], px.shape[1]
+            if t.image_id != cur_img:
+                cur_img = t.image_id
+                px = codecs.decode(bytes(t.bytes), t.fmt)
+                gt = GeoTransform(
+                    (t.x0, CELL_SIZE, 0.0, t.y_top, 0.0, -CELL_SIZE)
+                )
+                n_bytes = len(bytes(t.bytes))
+                seen = set()
+            if t.feat_id in seen:  # pair dup via shared corner cells
+                continue
+            seen.add(t.feat_id)
+            rings = ring_cache.get(t.feat_id)
+            if rings is None:
+                rings = geom._rings_of(bytes(t.geom_wkb))
+                ring_cache[t.feat_id] = rings
+            mask = geom.rasterize_mask_rings(
+                rings, gt, px.shape[0], px.shape[1]
             )
             size = int(mask.sum())
             if size == 0:
@@ -120,7 +134,7 @@ def _partials_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     float(data.min()) if data.size else float("nan"),
                     float(data.max()) if data.size else float("nan"),
                     hist.tolist(),
-                    len(bytes(t.bytes)),
+                    n_bytes,
                 )
             )
         if rows:
@@ -171,11 +185,21 @@ def zonal_stats(
     polygons: DataFrame,
     join_res: int = JOIN_RES,
     nodata: int = NODATA_DEFAULT,
+    broadcast_polygons: bool = True,
 ) -> DataFrame:
     """Per-polygon pixel statistics over all overlapping image tiles.
 
     ``images_cells``: output of tile.assign_cells (needs x0, y_top, w, h,
     bytes, fmt).  Returns one row per feat_id with A1 stats.
+
+    ``broadcast_polygons=True`` (the default; polygon layers are the
+    small side in the reference's workloads) broadcast-hash-joins the
+    exploded polygon cells, so the IMAGE SIDE IS NEVER SHUFFLED OR
+    SORTED: candidate pairs stream out of the scan with all pairs of an
+    image contiguous (the explode+BHJ preserves row adjacency), and the
+    only shuffle in the whole job is the tiny partial-stats groupBy.
+    Set False for huge polygon layers -> shuffle equi-join + explicit
+    repartition by image.
     """
     img = images_cells.withColumn(
         "icell",
@@ -192,19 +216,27 @@ def zonal_stats(
         "pcell", F.explode(_covering_udf(join_res)(F.col("geom_wkb")))
     ).select("feat_id", "geom_wkb", "pcell")
 
-    # candidate pairs; distinct because an image and a polygon can share
-    # up to 4 cells when both straddle cell corners
-    cand = (
-        img.join(pcells, img["icell"] == pcells["pcell"])
-        .select(
-            "image_id", "bytes", "fmt", "x0", "y_top", "w", "h",
-            "feat_id", "geom_wkb",
+    # candidate pairs; pair dedup happens inside the streaming UDF --
+    # an image/polygon pair can arise from up to 4 shared corner cells
+    if broadcast_polygons:
+        cand = img.join(
+            F.broadcast(pcells), img["icell"] == pcells["pcell"]
         )
-        .dropDuplicates(["image_id", "feat_id"])
-        .withColumn("nodata", F.lit(nodata))
-    )
+    else:
+        cand = img.join(pcells, img["icell"] == pcells["pcell"])
+    cand = cand.select(
+        "image_id", "bytes", "fmt", "x0", "y_top", "w", "h",
+        "feat_id", "geom_wkb",
+    ).withColumn("nodata", F.lit(nodata))
 
-    partials = cand.mapInPandas(_partials_iter, schema=_PARTIAL_SCHEMA)
+    if not broadcast_polygons:
+        # shuffle path: co-locate and order pairs per image so the
+        # streaming UDF still decodes each tile exactly once
+        n_parts = images_cells.sparkSession.sparkContext.defaultParallelism
+        cand = cand.repartition(n_parts, "image_id").sortWithinPartitions(
+            "image_id"
+        )
+    partials = cand.mapInPandas(_partials_stream, schema=_PARTIAL_SCHEMA)
     return (
         partials.groupBy("feat_id")
         .applyInPandas(_finalize, schema=_FINAL_SCHEMA)

@@ -19,6 +19,11 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    # one BLAS thread per Python worker: N workers each spawning
+    # ncpu-sized BLAS pools oversubscribes the box quadratically
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+                "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
     n_threads = cpus if master == "local[*]" else _threads_of(master, cpus)
@@ -37,6 +42,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # image tables are CPU-heavy per byte (decode in Python UDFs):
+        # default 128 MB scan splits starve the cores (an 800 MB table
+        # would fan out to only ~7 tasks).  16 MB keeps every core busy
+        # while staying far above the per-file overhead floor.
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

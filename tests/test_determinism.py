@@ -1,0 +1,52 @@
+"""North-rule determinism: the same job at two parallelism levels must
+produce bit-identical tile assignments and PIP join rows
+(SURVEY.md section 5 item 4)."""
+
+import json
+import subprocess
+import sys
+
+CHILD = r"""
+import json, sys
+sys.path.insert(0, "/root/repo")
+cpus = int(sys.argv[1])
+from raster_tools_spark.session import get_spark
+from raster_tools_spark import synth
+from raster_tools_spark.operators import pip, tile
+
+spark = get_spark(master=f"local[{cpus}]", app_name=f"det{cpus}")
+images = synth.images_df(spark, 200, tiles_axis=64, with_pixels=False)
+cells = tile.assign_cells(images, tiles_axis=64)
+polys = synth.polygons_df(spark, 25, tiles_axis=64)
+assign = sorted(
+    (r.image_id, r.qk_r9, r.qk_r11, r.hilbert)
+    for r in cells.select("image_id", "qk_r9", "qk_r11", "hilbert").collect()
+)
+pairs = sorted(
+    (r.image_id, r.feat_id)
+    for r in pip.pip_join(cells, polys)
+    .select("image_id", "feat_id")
+    .collect()
+)
+print(json.dumps({"assign": assign, "pairs": pairs}))
+spark.stop()
+"""
+
+
+def _run(cpus: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", CHILD, str(cpus)],
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_bit_identical_across_parallelism():
+    a = _run(8)
+    b = _run(32)
+    assert a["assign"] == b["assign"]
+    assert a["pairs"] == b["pairs"]
+    assert len(a["pairs"]) > 0

@@ -45,6 +45,9 @@ class TestPIP:
         ring = np.column_stack(
             [cx + rad * np.cos(ang), cy + rad * np.sin(ang)]
         )
+        gaps = np.diff(np.concatenate([ang, [ang[0] + 2 * np.pi]]))
+        if gaps.max() >= np.pi:
+            return  # not star-shaped w.r.t. center: oracle invalid
         b = wkb.polygon_wkb(ring)
         pt = rng.uniform(4, 16, 2)
         got = bool(geom.points_in_wkb([pt[0]], [pt[1]], b)[0])
@@ -54,6 +57,10 @@ class TestPIP:
         r_pt = np.hypot(pt[0] - cx, pt[1] - cy)
         idx = np.searchsorted(ang, theta)
         a0, a1 = ang[idx - 1], ang[idx % n] + (2 * np.pi if idx == n else 0)
+        if idx == 0:
+            a0, a1 = ang[-1] - 2 * np.pi, ang[0]
+        if a1 - a0 >= np.pi:
+            return  # wedge > pi: chord-radius oracle not valid there
         r0, r1 = rad[idx - 1], rad[idx % n]
         t = (theta - a0) / (a1 - a0) if a1 != a0 else 0.0
         # the polygon edge is a chord, not an arc: compute the chord
