@@ -42,17 +42,20 @@ def merge_last_wins(
     partial-aggregating hash aggregate (no window sort, no shuffle
     beyond the groupBy), which is the plan that survives 10^12 rows.
     """
-    return (
-        df.filter(F.col(value).isNotNull())
-        .groupBy(key)
-        .agg(
-            # lexicographic max over (layer, value): deterministic even
-            # when two rows share the top layer
-            F.max(F.struct(F.col(layer).alias("l"),
-                           F.col(value).alias("v")))["v"].alias("value"),
-            F.max(layer).alias("top_layer"),
-            F.count(F.lit(1)).alias("n_layers"),
-        )
+    # two-level HASH aggregation (max over a struct falls back to
+    # SortAggregate, which costs a per-partition sort at scale):
+    # level 1 collapses duplicate layers deterministically (max value
+    # per (key, layer)), level 2 is a plain max_by -- both levels are
+    # hash aggs with map-side partial combine.
+    active = df.filter(F.col(value).isNotNull())
+    per_layer = active.groupBy(key, layer).agg(
+        F.max(value).alias("_v"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return per_layer.groupBy(key).agg(
+        F.expr(f"max_by(_v, {layer})").alias("value"),
+        F.max(layer).alias("top_layer"),
+        F.sum("_n").alias("n_layers"),
     )
 
 

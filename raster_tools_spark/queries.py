@@ -503,6 +503,35 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_features"] = image_features
 
+    def retile_tiles(spark, sf_dir):
+        from .operators import retile as op_retile
+
+        images = synth.images_df(spark, 200, tiles_axis=16)
+        cells = op_tile.assign_cells(images, tiles_axis=16)
+        return op_retile.retile(cells).select(
+            "cell_id", "n_sources", "active_px"
+        )
+
+    q["retile_tiles"] = retile_tiles
+
+    def hillshade_tiles(spark, sf_dir):
+        from .operators import focal, retile as op_retile
+
+        images = synth.images_df(spark, 150, tiles_axis=8)
+        cells = op_tile.assign_cells(images, tiles_axis=8)
+        tiles = op_retile.retile(cells).select("cell_id", "bytes", "fmt")
+        out = focal.halo_stencil(tiles, focal.hillshade_kernel, margin=1)
+        return out.select("cell_id", F.md5(F.col("bytes")).alias("tile_md5"))
+
+    q["hillshade_tiles"] = hillshade_tiles
+
+    def streaming_parity(spark, sf_dir):
+        from .streaming import windows as sw
+
+        return sw.windowed_agg_batch(_t(spark, sf_dir, "events"))
+
+    q["streaming_parity"] = streaming_parity
+
     def image_resize(spark, sf_dir):
         from .functions import multimodal
 

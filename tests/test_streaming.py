@@ -1,0 +1,71 @@
+"""Streaming/batch parity: the windowed stream aggregation drained via
+the memory sink must equal the batch twin on the same rows."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from raster_tools_spark.streaming import windows as sw
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def events_dir(tmp_path):
+    # stream sources need a directory of files
+    d = tmp_path / "events_stream"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def test_stream_equals_batch(spark, events_dir):
+    got = sw.run_stream_to_memory(spark, events_dir, "t_win").collect()
+    batch = sw.windowed_agg_batch(
+        spark.read.parquet(events_dir)
+    ).collect()
+    key = lambda r: (r.win_start, r.event_type)
+    got_m = {key(r): (r.cnt, r.sum_v) for r in got}
+    exp_m = {key(r): (r.cnt, r.sum_v) for r in batch}
+    assert got_m == exp_m
+    assert len(got_m) > 0
+
+
+def test_incremental_files_accumulate(spark, tmp_path):
+    import glob
+    import shutil as sh
+
+    d = tmp_path / "inc"
+    d.mkdir()
+    ev_df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    total = ev_df.count()
+    half = total // 2
+    first = ev_df.orderBy("event_id").limit(half)
+    second = ev_df.orderBy("event_id").subtract(first)
+
+    def write_chunk(df, name):
+        tmp = str(tmp_path / f"chunk_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        sh.copy(part, d / f"{name}.parquet")
+
+    write_chunk(first, "a")
+
+    agg = sw.windowed_agg(sw.read_event_stream(spark, str(d)))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_inc")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n1 = spark.sql("SELECT sum(cnt) c FROM t_inc").collect()[0].c
+        write_chunk(second, "b")
+        q.processAllAvailable()
+        n2 = spark.sql("SELECT sum(cnt) c FROM t_inc").collect()[0].c
+    finally:
+        q.stop()
+    assert n1 == half
+    assert n2 == total

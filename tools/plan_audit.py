@@ -1,0 +1,146 @@
+"""Physical-plan audit: capture .explain('formatted') for the headline
+queries and assert the plan properties that matter at 100 TB --
+predicate pushdown, column pruning, broadcast joins where intended, no
+gratuitous exchanges.  Writes docs/PLANS.md.
+
+Usage: python tools/plan_audit.py
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from raster_tools_spark import queries as Q, synth
+    from raster_tools_spark.operators import tile as op_tile, zonal as op_zonal
+    from raster_tools_spark.session import get_spark
+
+    spark = get_spark(master="local[8]", app_name="plan_audit")
+    qcat = Q.queries()
+    sections = []
+    failures = []
+
+    def audit(name, df, checks):
+        plan = plan_of(df)
+        results = []
+        for desc, pred in checks:
+            ok = pred(plan)
+            results.append((desc, ok))
+            if not ok:
+                failures.append(f"{name}: {desc}")
+        sections.append((name, plan, results))
+
+    # 1. scan pushdown + pruning: filter on a driver table
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    pruned = li.filter(F.col("l_shipdate") < "1996-01-01").select(
+        "l_orderkey", "l_quantity"
+    )
+    audit(
+        "scan_pushdown",
+        pruned,
+        [
+            ("filter pushed to scan", lambda p: "PushedFilters: [IsNotNull(l_shipdate)" in p),
+            ("columns pruned to 3", lambda p: re.search(
+                r"ReadSchema: struct<l_orderkey:bigint,l_quantity:double,l_shipdate:timestamp", p) is not None),
+        ],
+    )
+
+    # 2. reclass LUT join must be broadcast (dimension table)
+    audit(
+        "reclass_lut_broadcast",
+        qcat["reclass_lut"](spark, SF),
+        [("BroadcastHashJoin used", lambda p: "BroadcastHashJoin" in p)],
+    )
+
+    # 3. anti-join resume stays a broadcast/shuffle HASH join (no NL)
+    audit(
+        "antijoin_resume",
+        qcat["antijoin_resume"](spark, SF),
+        [
+            ("hash anti join", lambda p: "LeftAnti" in p),
+            ("no nested loop", lambda p: "NestedLoop" not in p
+             or "BroadcastNestedLoopJoin" not in p.split("LeftAnti")[0]),
+        ],
+    )
+
+    # 4. grid_assign: pure map -- no Exchange anywhere
+    audit(
+        "grid_assign_no_shuffle",
+        qcat["grid_assign"](spark, SF),
+        [("no exchange in plan", lambda p: "Exchange" not in p)],
+    )
+
+    # 5. zonal (broadcast path): image side never shuffled before the
+    # partials UDF -- exactly one Exchange (the final tiny groupBy)
+    images = synth.images_df(spark, 50, tiles_axis=16)
+    cells = op_tile.assign_cells(images, tiles_axis=16)
+    polys = synth.polygons_df(spark, 10, tiles_axis=16)
+    zdf = op_zonal.zonal_stats(cells, polys)
+    audit(
+        "zonal_broadcast_path",
+        zdf,
+        [
+            ("polygon side broadcast", lambda p: "BroadcastHashJoin" in p),
+            (
+                "single shuffle (final agg only)",
+                lambda p: len(re.findall(r"[+:]- Exchange ", p)) == 1,
+            ),
+        ],
+    )
+
+    # 6. mosaic merge: single hash agg pair (partial+final), no window
+    audit(
+        "mosaic_merge_hashagg",
+        qcat["mosaic_merge"](spark, SF),
+        [
+            ("hash aggregate", lambda p: "HashAggregate" in p),
+            ("no window/sort path", lambda p: "Window" not in p),
+        ],
+    )
+
+    with open("docs/PLANS.md", "w") as f:
+        f.write(
+            "# Physical plan audit\n\n"
+            "Captured via `python tools/plan_audit.py` "
+            "(.explain('formatted'); checks below gate the properties "
+            "that matter at 100 TB).\n\n"
+        )
+        for name, plan, results in sections:
+            f.write(f"## {name}\n\n")
+            for desc, ok in results:
+                f.write(f"- {'PASS' if ok else 'FAIL'}: {desc}\n")
+            f.write("\n```\n")
+            f.write(plan[:4000])
+            f.write("\n```\n\n")
+
+    spark.stop()
+    if failures:
+        print("PLAN AUDIT FAILURES:")
+        for x in failures:
+            print(" -", x)
+        sys.exit(1)
+    print("plan audit passed; wrote docs/PLANS.md")
+
+
+if __name__ == "__main__":
+    import os
+
+    os.makedirs("docs", exist_ok=True)
+    main()
