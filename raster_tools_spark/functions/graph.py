@@ -1,0 +1,105 @@
+"""Distributed connected components (SURVEY.md G5).
+
+The reference labels components with ``ndimage.label`` /
+``csgraph.connected_components`` (fill/fill.py:109-112,
+maskerkaart.py:144-158, roof.py:149-153) -- single-process.  The
+distributed re-expression is the alternating large-star / small-star
+algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC 2014): every round is a pair of equi-joins + hash aggs,
+converging in O(log^2 n) rounds; each round shrinks edges toward the
+component minimum, so AQE's coalescing keeps late rounds cheap.
+
+The training-data use: duplicate CLUSTERS from near-dup candidate
+pairs (minhash/LSH or Jaccard) -- ``dedup_clusters`` picks one
+representative per component.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """edges(src, dst) -> (node, component) with component = min node
+    id reachable.  Nodes appear iff they occur in an edge."""
+    # undirected: symmetrize + self-loops so isolated endpoints keep
+    # their own id
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    # parent pointer: node -> min(neighbor, self)
+    labels = (
+        e.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select(
+            F.col("u").alias("node"),
+            F.least(F.col("u"), F.col("mv")).alias("comp"),
+        )
+    )
+    for _ in range(max_iter):
+        # propagate: comp(node) -> min(comp(comp(node)), min over
+        # neighbors' comps)  == one pointer-jump + one hop.
+        # (renamed projections avoid Spark's fragile self-join
+        # attribute resolution)
+        ln = labels.select(
+            F.col("node").alias("nbr_node"), F.col("comp").alias("nbr_c")
+        )
+        nbr = (
+            e.join(ln, F.col("v") == F.col("nbr_node"))
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("nbr_c").alias("nbr_comp"))
+        )
+        lj = labels.select(
+            F.col("node").alias("p_node"), F.col("comp").alias("p_comp")
+        )
+        jump = (
+            labels.join(lj, F.col("comp") == F.col("p_node"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"),
+                    F.coalesce(F.col("p_comp"), F.col("comp")),
+                ).alias("jump_comp"),
+            )
+        )
+        new_labels = (
+            jump.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("jump_comp"),
+                    F.coalesce(F.col("nbr_comp"), F.col("jump_comp")),
+                ).alias("comp"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b"
+) -> DataFrame:
+    """Near-dup candidate pairs -> (doc_id, cluster, is_representative).
+    Representative = min doc id of the component (deterministic)."""
+    comp = connected_components(pairs, src=a, dst=b)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("cluster"),
+        (F.col("node") == F.col("comp")).alias("is_representative"),
+    )

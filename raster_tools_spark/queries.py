@@ -454,7 +454,65 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cosine_topk"] = cosine_topk
 
+    def running_sum(spark, sf_dir):
+        li = _t(spark, sf_dir, "lineitem")
+        w = (
+            Window.partitionBy("l_suppkey")
+            .orderBy(
+                F.col("l_shipdate").asc(),
+                F.col("l_orderkey").asc(),
+                F.col("l_linenumber").asc(),
+            )
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return li.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.sum(F.col("l_quantity").cast("decimal(30,6)"))
+            .over(w)
+            .cast("double")
+            .alias("running_qty"),
+        )
+
+    q["running_sum"] = running_sum
+
+    def topk_per_group(spark, sf_dir):
+        cust = _t(spark, sf_dir, "customer")
+        w = Window.partitionBy("c_mktsegment").orderBy(
+            F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+        )
+        return (
+            cust.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("c_mktsegment", "c_custkey", "c_acctbal", "rn")
+        )
+
+    q["topk_per_group"] = topk_per_group
+
+    def range_join(spark, sf_dir):
+        li = _t(spark, sf_dir, "lineitem")
+        part = _t(spark, sf_dir, "part").select("p_partkey", "p_size")
+        joined = li.join(
+            F.broadcast(part),
+            (F.col("l_quantity") >= F.col("p_size"))
+            & (F.col("l_quantity") < F.col("p_size") + 3),
+        )
+        return joined.groupBy("p_partkey").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+
+    q["range_join"] = range_join
+
     # ---- rows-only: image/synthetic pipelines (non-SQL-expressible) ----
+
+    def dedup_clusters(spark, sf_dir):
+        from .functions import graph
+
+        pairs = fdedup.lsh_candidate_pairs(_t(spark, sf_dir, "documents"))
+        return graph.dedup_clusters(pairs)
+
+    q["dedup_clusters"] = dedup_clusters
 
     def pip_polygon(spark, sf_dir):
         images = synth.images_df(
@@ -806,6 +864,32 @@ def oracle_sql() -> Dict[str, str]:
       ON a.band = b.band AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id
     GROUP BY 1, 2
+    """
+
+    o["running_sum"] = """
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) OVER (
+             PARTITION BY l_suppkey
+             ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_qty
+    FROM lineitem
+    """
+
+    o["topk_per_group"] = """
+    SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_mktsegment
+               ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+      FROM customer
+    ) WHERE rn <= 3
+    """
+
+    o["range_join"] = """
+    SELECT p_partkey, COUNT(*) AS cnt
+    FROM lineitem JOIN part
+      ON l_quantity >= p_size AND l_quantity < p_size + 3
+    GROUP BY p_partkey
     """
 
     o["cosine_topk"] = """
