@@ -64,11 +64,16 @@ def cosine_topk(
     pairs = q.crossJoin(c)
     if exclude_self:
         pairs = pairs.filter(F.col("qid") != F.col("cid"))
+    # floor-scale, not round(): engines disagree on decimal-tie
+    # rounding of doubles, floor of the identical quotient cannot
     scored = pairs.withColumn(
         "sim",
-        F.round(
-            _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
-        ),
+        F.floor(
+            _dot(F.col("qv"), F.col("cv"))
+            / (F.col("qn") * F.col("cn"))
+            * 1000000.0
+        )
+        / 1000000.0,
     )
     w = Window.partitionBy("qid").orderBy(
         F.col("sim").desc(), F.col("cid").asc()

@@ -583,6 +583,61 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hillshade_tiles"] = hillshade_tiles
 
+    def flow_direction(spark, sf_dir):
+        import numpy as np
+
+        from . import flow
+        from .operators import focal, retile as op_retile
+
+        images = synth.images_df(spark, 120, tiles_axis=8)
+        cells = op_tile.assign_cells(images, tiles_axis=8)
+        tiles = op_retile.retile(cells).select("cell_id", "bytes", "fmt")
+
+        def kernel(padded):
+            return flow.calculate_flow_direction(
+                padded.astype(np.float64)
+            ).astype(np.uint8)
+
+        out = focal.halo_stencil(tiles, kernel, margin=4)
+        return out.select("cell_id", F.md5(F.col("bytes")).alias("dir_md5"))
+
+    q["flow_direction"] = flow_direction
+
+    def flow_accumulation(spark, sf_dir):
+        import numpy as np
+        import pandas as pd
+
+        from . import codecs as _codecs, flow
+        from .operators import retile as op_retile
+
+        images = synth.images_df(spark, 120, tiles_axis=8)
+        cells = op_tile.assign_cells(images, tiles_axis=8)
+        tiles = op_retile.retile(cells).select("cell_id", "bytes", "fmt")
+
+        def acc(batches):
+            for pdf in batches:
+                rows = []
+                for t in pdf.itertuples():
+                    dem = _codecs.decode(bytes(t.bytes), t.fmt).astype(
+                        np.float64
+                    )
+                    flow.fill_simple_depressions(dem)
+                    d = flow.calculate_flow_direction(dem)
+                    a = flow.accumulate(d)
+                    rows.append(
+                        (t.cell_id, int(a.max()), float(a.mean()))
+                    )
+                if rows:
+                    yield pd.DataFrame(
+                        rows, columns=["cell_id", "max_acc", "mean_acc"]
+                    )
+
+        return tiles.mapInPandas(
+            acc, schema="cell_id long, max_acc long, mean_acc double"
+        )
+
+    q["flow_accumulation"] = flow_accumulation
+
     def streaming_parity(spark, sf_dir):
         from .streaming import windows as sw
 
@@ -898,13 +953,14 @@ def oracle_sql() -> Dict[str, str]:
     c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
     scored AS (
       SELECT qid, cid,
-        ROUND(
+        floor(
           list_sum(list_transform(range(1, len(qv)+1),
             i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
           / (sqrt(list_sum(list_transform(qv,
                x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
              * sqrt(list_sum(list_transform(cv,
-               x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) AS sim
+               x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+          * 1000000.0) / 1000000.0 AS sim
       FROM q CROSS JOIN c WHERE qid != cid
     )
     SELECT qid, cid, sim, rn FROM (
