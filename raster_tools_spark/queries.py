@@ -638,6 +638,23 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["flow_accumulation"] = flow_accumulation
 
+    def shadow_march(spark, sf_dir):
+        from . import shadow as shadow_mod
+        from .operators import focal, retile as op_retile
+
+        images = synth.images_df(spark, 120, tiles_axis=8)
+        cells = op_tile.assign_cells(images, tiles_axis=8)
+        tiles = op_retile.retile(cells).select("cell_id", "bytes", "fmt")
+        kern = shadow_mod.shadow_kernel_factory(
+            elevation=45.0, m_per_px=1.0, mz=100.0, margin=8
+        )
+        out = focal.halo_stencil(tiles, kern, margin=8)
+        return out.select(
+            "cell_id", F.md5(F.col("bytes")).alias("shadow_md5")
+        )
+
+    q["shadow_march"] = shadow_march
+
     def streaming_parity(spark, sf_dir):
         from .streaming import windows as sw
 
