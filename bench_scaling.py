@@ -96,10 +96,13 @@ def host_ceiling(lo: int, hi: int) -> float:
 
     rates = {}
     for procs in (lo, hi):
-        with mp.Pool(procs) as p:
-            t0 = time.time()
-            res = p.map(_burn, range(procs))
-            rates[procs] = sum(res) / (time.time() - t0)
+        best = 0.0
+        for _ in range(3):  # best-of-3: host shows sporadic CPU steal
+            with mp.Pool(procs) as p:
+                t0 = time.time()
+                res = p.map(_burn, range(procs))
+                best = max(best, sum(res) / (time.time() - t0))
+        rates[procs] = best
     return rates[hi] / rates[lo] / (hi / lo)
 
 
