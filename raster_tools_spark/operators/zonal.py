@@ -85,10 +85,14 @@ _PARTIAL_SCHEMA = (
 )
 
 
-def _partials_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _partials_stream(batches, expr: str | None = None):
     """Streaming partials over candidate pairs sorted by image_id:
     decode each image once (rows of an image are adjacent after
-    sortWithinPartitions), parse each polygon's rings once per task."""
+    sortWithinPartitions), parse each polygon's rings once per task.
+
+    ``expr``: optional whitelisted band expression applied to the
+    masked data vector before stats (A8 semantics, rgb_zonal.py:95-98);
+    histogram/percentiles are raw-value only (u8 domain)."""
     cur_img = None
     px = None
     gt = None
@@ -124,15 +128,19 @@ def _partials_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             vals = px[mask]
             data = vals[vals != t.nodata]
             hist = np.bincount(data, minlength=256).astype(np.int64)
+            if expr is not None and data.size:
+                stat_data = eval_band_expr(expr, data)
+            else:
+                stat_data = data.astype(np.float64)
             rows.append(
                 (
                     t.feat_id,
                     size,
                     int(data.size),
-                    float(data.sum(dtype=np.float64)),
-                    float((data.astype(np.float64) ** 2).sum()),
-                    float(data.min()) if data.size else float("nan"),
-                    float(data.max()) if data.size else float("nan"),
+                    float(stat_data.sum(dtype=np.float64)),
+                    float((stat_data.astype(np.float64) ** 2).sum()),
+                    float(stat_data.min()) if data.size else float("nan"),
+                    float(stat_data.max()) if data.size else float("nan"),
                     hist.tolist(),
                     n_bytes,
                 )
@@ -147,17 +155,52 @@ def _partials_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             )
 
 
+_EXPR_WHITELIST = {"v", "np", "clip", "sqrt", "log1p", "abs", "minimum",
+                   "maximum", "where"}
+
+
+def eval_band_expr(expr: str, values: np.ndarray) -> np.ndarray:
+    """Whitelisted band expression over the masked pixel vector ``v``
+    -- the safe re-expression of rgb_zonal's literal eval
+    (rgb_zonal.py:95-98).  Only numpy ufuncs from the whitelist and the
+    variable ``v`` are visible."""
+    import ast
+
+    tree = ast.parse(expr, mode="eval")
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Name) and node.id not in _EXPR_WHITELIST:
+            raise ValueError(f"name {node.id!r} not allowed in band expr")
+        if isinstance(node, (ast.Attribute, ast.Call)):
+            fn = node
+            if isinstance(node, ast.Call):
+                fn = node.func
+            if isinstance(fn, ast.Attribute):
+                if not (
+                    isinstance(fn.value, ast.Name)
+                    and fn.value.id == "np"
+                    and fn.attr in _EXPR_WHITELIST
+                ):
+                    raise ValueError("only np.<whitelisted> calls allowed")
+    ns = {"v": values.astype(np.float64), "np": np,
+          "clip": np.clip, "sqrt": np.sqrt, "log1p": np.log1p,
+          "abs": np.abs, "minimum": np.minimum, "maximum": np.maximum,
+          "where": np.where}
+    return np.asarray(eval(compile(tree, "<band_expr>", "eval"), {"__builtins__": {}}, ns))
+
+
 _FINAL_SCHEMA = (
     "feat_id long, size long, cnt long, mean double, std double, "
-    "mn double, mx double, median double, p75 double"
+    "mn double, mx double, median double, p75 double, "
+    "frac_in_range double"
 )
 
 
-def _finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+def _finalize(pdf: pd.DataFrame, range_frac=None) -> pd.DataFrame:
     feat_id = pdf["feat_id"].iloc[0]
     size = int(pdf["size"].sum())
     cnt = int(pdf["cnt"].sum())
     hist = np.sum(np.stack(pdf["hist"].map(np.asarray)), axis=0)
+    frac = float("nan")
     if cnt:
         s = float(pdf["s"].sum())
         ss = float(pdf["ss"].sum())
@@ -169,13 +212,18 @@ def _finalize(pdf: pd.DataFrame) -> pd.DataFrame:
         mx = float(pdf["mx"].max())
         med = percentile_from_hist(hist, 50.0)
         p75 = percentile_from_hist(hist, 75.0)
+        if range_frac is not None:
+            lo, hi = range_frac
+            # green-factor style in-range fraction, exact from the u8
+            # histogram (green_factor.py:176-193 semantics)
+            frac = float(hist[lo : hi + 1].sum()) / cnt
     else:
         mean = std = mn = mx = med = p75 = float("nan")
     return pd.DataFrame(
-        [(feat_id, size, cnt, mean, std, mn, mx, med, p75)],
+        [(feat_id, size, cnt, mean, std, mn, mx, med, p75, frac)],
         columns=[
             "feat_id", "size", "cnt", "mean", "std", "mn", "mx",
-            "median", "p75",
+            "median", "p75", "frac_in_range",
         ],
     )
 
@@ -186,6 +234,8 @@ def zonal_stats(
     join_res: int = JOIN_RES,
     nodata: int = NODATA_DEFAULT,
     broadcast_polygons: bool = True,
+    expr: str | None = None,
+    range_frac=None,
 ) -> DataFrame:
     """Per-polygon pixel statistics over all overlapping image tiles.
 
@@ -236,8 +286,13 @@ def zonal_stats(
         cand = cand.repartition(n_parts, "image_id").sortWithinPartitions(
             "image_id"
         )
-    partials = cand.mapInPandas(_partials_stream, schema=_PARTIAL_SCHEMA)
+    partials = cand.mapInPandas(
+        lambda it: _partials_stream(it, expr=expr), schema=_PARTIAL_SCHEMA
+    )
     return (
         partials.groupBy("feat_id")
-        .applyInPandas(_finalize, schema=_FINAL_SCHEMA)
+        .applyInPandas(
+            lambda pdf: _finalize(pdf, range_frac=range_frac),
+            schema=_FINAL_SCHEMA,
+        )
     )

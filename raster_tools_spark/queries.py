@@ -655,6 +655,17 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["shadow_march"] = shadow_march
 
+    def zonal_expr(spark, sf_dir):
+        images = synth.images_df(spark, 200, tiles_axis=16)
+        cells = op_tile.assign_cells(images, tiles_axis=16)
+        polys = synth.polygons_df(spark, 20, tiles_axis=16)
+        return op_zonal.zonal_stats(
+            cells, polys, expr="clip(v * 2.0, 0, 400)",
+            range_frac=(100, 160),
+        )
+
+    q["zonal_expr"] = zonal_expr
+
     def streaming_parity(spark, sf_dir):
         from .streaming import windows as sw
 

@@ -277,3 +277,33 @@ class TestManifestResume:
         assert spark.read.parquet(out_dir).count() == 100
         sk = mf.skew_metrics(mf.read_manifest(spark, man_dir)).collect()[0]
         assert sk.units == 10 and sk.rows == 100
+
+
+class TestZonalExpr:
+    def test_expr_and_range_frac(self, spark, cells, polys):
+        got = {
+            r.feat_id: r
+            for r in zonal.zonal_stats(
+                cells, polys, expr="clip(v * 2.0, 0, 400)",
+                range_frac=(100, 160),
+            ).collect()
+        }
+        base = {
+            r.feat_id: r for r in zonal.zonal_stats(cells, polys).collect()
+        }
+        for fid, r in got.items():
+            b = base[fid]
+            if b.cnt == 0:
+                continue
+            # mean of clip(2v) vs raw mean: equal when no clipping binds
+            if b.mx * 2.0 <= 400.0:
+                np.testing.assert_allclose(r.mean, 2.0 * b.mean, rtol=1e-12)
+            assert 0.0 <= r.frac_in_range <= 1.0
+
+    def test_expr_whitelist_rejects(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            zonal.eval_band_expr("__import__('os')", np.arange(3))
+        with _pytest.raises(ValueError):
+            zonal.eval_band_expr("v.__class__", np.arange(3))
