@@ -1,0 +1,152 @@
+"""Line profile sampling ("drape"): sample raster values along
+linestrings (SURVEY.md S8/W6 raster side; reference semantics from
+raster_tools/line_up.py:191-247 -- pixel-spaced samples along the
+parameterized line -- and vectors.py parameterization).
+
+Distributed shape:
+
+1. a vectorized UDF walks each linestring emitting samples every
+   ``step`` meters (seq-numbered -> deterministic ordering);
+2. samples get canonical-tile cell keys (JVM floor math) and equi-join
+   the tile table on the cell -- the same bbox-prejoin pattern as PIP;
+3. per-tile batch lookup: decode once, index all its samples via the
+   inverse-affine pixel math;
+4. per-line reductions (min/max/argmax-position) are plain Window
+   functions over (line_id, seq) -- the reference's rank-along-line
+   (line_up.py:169-188) maps 1:1 to Window.partitionBy(line).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import codecs, wkb as _wkb
+from ..grid import CELL_SIZE, RES_TILE
+from .tile import cell_col
+
+SAMPLES_SCHEMA = "line_id long, seq int, sx double, sy double"
+
+
+def sample_line_points(lines: DataFrame, step: float = CELL_SIZE
+                       ) -> DataFrame:
+    """lines(line_id, geom_wkb) -> point samples every ``step`` meters
+    along the line (vertices included at parameter breaks)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples():
+                gtype, coords = _wkb.parse(bytes(t.geom_wkb))
+                if gtype != _wkb.LINESTRING or len(coords) < 2:
+                    continue
+                seg = np.diff(coords, axis=0)
+                seg_len = np.hypot(seg[:, 0], seg[:, 1])
+                total = float(seg_len.sum())
+                if total <= 0:
+                    continue
+                n = max(int(np.floor(total / step)), 1)
+                params = np.arange(n + 1) * step
+                params[-1] = min(params[-1], total)
+                cum = np.concatenate([[0.0], np.cumsum(seg_len)])
+                idx = np.clip(
+                    np.searchsorted(cum, params, side="right") - 1,
+                    0,
+                    len(seg) - 1,
+                )
+                frac = (params - cum[idx]) / np.where(
+                    seg_len[idx] > 0, seg_len[idx], 1.0
+                )
+                pts = coords[idx] + seg[idx] * frac[:, None]
+                for k, (x, y) in enumerate(pts):
+                    rows.append((t.line_id, k, float(x), float(y)))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["line_id", "seq", "sx", "sy"]
+                )
+
+    return lines.select("line_id", "geom_wkb").mapInPandas(
+        gen, schema=SAMPLES_SCHEMA
+    )
+
+
+_PROFILE_SCHEMA = "line_id long, seq int, sx double, sy double, value int"
+
+
+def line_profile(
+    lines: DataFrame,
+    tiles: DataFrame,
+    step: float = CELL_SIZE,
+    res: int = RES_TILE,
+) -> DataFrame:
+    """Drape lines over the tile table: (line_id, seq, value).
+
+    ``tiles``: retile output (cell_id, bytes, fmt, x0, y_top).  Samples
+    falling on cells with no tile are dropped (outside coverage).
+    """
+    samples = sample_line_points(lines, step).withColumn(
+        "cell_id", cell_col(F.col("sx"), F.col("sy"), res)
+    )
+    t = tiles.select("cell_id", "bytes", "fmt", "x0", "y_top")
+    cand = samples.join(t, "cell_id").select(
+        "line_id", "seq", "sx", "sy", "bytes", "fmt", "x0", "y_top",
+        "cell_id",
+    )
+
+    def lookup(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decoded: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for t_ in pdf.itertuples():
+                px = decoded.get(t_.cell_id)
+                if px is None:
+                    px = codecs.decode(bytes(t_.bytes), t_.fmt)
+                    if len(decoded) > 64:
+                        decoded.clear()
+                    decoded[t_.cell_id] = px
+                j = int(np.floor((t_.sx - t_.x0) / CELL_SIZE))
+                i = int(np.floor((t_.y_top - t_.sy) / CELL_SIZE))
+                if 0 <= i < px.shape[0] and 0 <= j < px.shape[1]:
+                    out.append(
+                        (t_.line_id, t_.seq, t_.sx, t_.sy, int(px[i, j]))
+                    )
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["line_id", "seq", "sx", "sy", "value"]
+                )
+
+    # co-locate samples of a tile so each tile decodes once per task
+    n_parts = lines.sparkSession.sparkContext.defaultParallelism
+    return (
+        cand.repartition(n_parts, "cell_id")
+        .sortWithinPartitions("cell_id")
+        .mapInPandas(lookup, schema=_PROFILE_SCHEMA)
+    )
+
+
+def line_extremum(profile: DataFrame, find_max: bool = True) -> DataFrame:
+    """Per-line extremum sample with its position -- the reference's
+    rank-along-line (line_up.py:169-188) as a Window row_number."""
+    order = (
+        [F.col("value").desc(), F.col("seq").asc()]
+        if find_max
+        else [F.col("value").asc(), F.col("seq").asc()]
+    )
+    w = Window.partitionBy("line_id").orderBy(*order)
+    return (
+        profile.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "line_id",
+            F.col("seq").alias("extremum_seq"),
+            F.col("sx").alias("extremum_x"),
+            F.col("sy").alias("extremum_y"),
+            F.col("value").alias("extremum_value"),
+        )
+    )

@@ -666,6 +666,21 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["zonal_expr"] = zonal_expr
 
+    def line_drape(spark, sf_dir):
+        from .operators import lines as op_lines, retile as op_retile
+
+        images = synth.images_df(spark, 150, tiles_axis=8)
+        cells = op_tile.assign_cells(images, tiles_axis=8)
+        tiles = op_retile.retile(cells)
+        lines_pdf = synth.lines_pdf(30, tiles_axis=8)
+        lines_df = spark.createDataFrame(
+            lines_pdf, schema="line_id long, geom_wkb binary"
+        )
+        prof = op_lines.line_profile(lines_df, tiles, step=2.0)
+        return op_lines.line_extremum(prof)
+
+    q["line_drape"] = line_drape
+
     def streaming_parity(spark, sf_dir):
         from .streaming import windows as sw
 
