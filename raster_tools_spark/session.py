@@ -24,6 +24,16 @@ def get_spark(
     for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
                 "MKL_NUM_THREADS"):
         os.environ.setdefault(var, "1")
+
+    # make this package importable in executor Python workers even when
+    # the driver was launched from another CWD (workers inherit env,
+    # not the driver's sys.path; on a cluster use --py-files instead)
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + existing if existing else "")
+        )
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
     n_threads = cpus if master == "local[*]" else _threads_of(master, cpus)
