@@ -27,6 +27,19 @@ N_SHINGLE = 3
 MINHASH_K = 8
 LSH_BAND_ROWS = 2
 
+# Document-frequency guard (default ON): shingles occurring in more
+# than max(MAX_DF_MIN, MAX_DF_FRACTION * n_docs) documents are pruned
+# before any self-join.  A corpus-wide stopword shingle ("of the and")
+# otherwise pairs every doc with every doc -- O(n^2) candidates at
+# 100 TB.  Fraction 0.5 only ever prunes shingles that appear in the
+# majority of the corpus, which carry no near-dup signal anyway.
+MAX_DF_FRACTION = 0.5
+MAX_DF_MIN = 16
+
+
+def default_max_df(n_docs: int) -> int:
+    return max(MAX_DF_MIN, int(n_docs * MAX_DF_FRACTION))
+
 
 def shingles_of_words(words: Column, n: int = N_SHINGLE) -> Column:
     """Distinct word n-gram shingles from a words-array COLUMN.
@@ -57,12 +70,14 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def _doc_shingles(docs: DataFrame, max_df: int | None) -> DataFrame:
+def _doc_shingles(docs: DataFrame, max_df) -> DataFrame:
     sh = docs.select(
         "doc_id", F.split(F.col("text"), " ").alias("_w")
     ).select(
         "doc_id", F.explode(shingles_of_words(F.col("_w"))).alias("shingle")
     )
+    if max_df == "auto":
+        max_df = default_max_df(docs.count())
     if max_df is not None:
         hot = (
             sh.groupBy("shingle")
@@ -75,7 +90,7 @@ def _doc_shingles(docs: DataFrame, max_df: int | None) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.2, max_df: int | None = None
+    docs: DataFrame, threshold: float = 0.2, max_df="auto"
 ) -> DataFrame:
     """Near-duplicate pairs by word-3-gram Jaccard similarity.
 
@@ -100,24 +115,22 @@ def ngram_jaccard_pairs(
     sb = sizes.select(
         F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")
     )
+    # filter on the UNROUNDED ratio (matching the oracle's filter) and
+    # round only the reported column -- round-then-filter would pass a
+    # pair at e.g. 0.0999996 that the oracle rejects
+    raw = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter")
-                / (F.col("na") + F.col("nb") - F.col("inter")),
-                6,
-            ),
+        .filter(raw >= threshold)
+        .select(
+            "doc_a", "doc_b", "inter", F.round(raw, 6).alias("jaccard")
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "inter", "jaccard")
     )
 
 
 def minhash_signatures(
-    docs: DataFrame, k: int = MINHASH_K, max_df: int | None = None
+    docs: DataFrame, k: int = MINHASH_K, max_df="auto"
 ) -> DataFrame:
     """k md5-minhash values per doc: for seed s, min(md5(s || shingle)).
 
@@ -145,7 +158,7 @@ def lsh_candidate_pairs(
     docs: DataFrame,
     k: int = MINHASH_K,
     band_rows: int = LSH_BAND_ROWS,
-    max_df: int | None = None,
+    max_df="auto",
 ) -> DataFrame:
     """LSH banding: concat minhashes within a band; docs sharing any
     band key become candidate pairs (doc_a < doc_b, n_bands shared)."""

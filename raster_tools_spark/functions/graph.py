@@ -3,11 +3,14 @@
 The reference labels components with ``ndimage.label`` /
 ``csgraph.connected_components`` (fill/fill.py:109-112,
 maskerkaart.py:144-158, roof.py:149-153) -- single-process.  The
-distributed re-expression is the alternating large-star / small-star
-algorithm (Kiveris et al., "Connected Components in MapReduce and
-Beyond", SoCC 2014): every round is a pair of equi-joins + hash aggs,
-converging in O(log^2 n) rounds; each round shrinks edges toward the
-component minimum, so AQE's coalescing keeps late rounds cheap.
+distributed re-expression here is MIN-LABEL PROPAGATION fused with
+POINTER JUMPING (each round takes the min over one neighbor hop AND one
+parent-pointer jump; the jump halves chain depth like the star
+operations of Kiveris et al., SoCC 2014, but the update rule is label
+propagation, not star contraction).  Every round is a pair of
+equi-joins + hash aggs, converging in O(log n) rounds on typical
+near-dup graphs; each round shrinks labels toward the component
+minimum, so AQE's coalescing keeps late rounds cheap.
 
 The training-data use: duplicate CLUSTERS from near-dup candidate
 pairs (minhash/LSH or Jaccard) -- ``dedup_clusters`` picks one

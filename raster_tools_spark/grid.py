@@ -203,7 +203,7 @@ def cell_bounds(cell_id):
     return x1, x1 + edge, y2 - edge, y2
 
 
-def covering_cells(envelope, res, pad=0.0):
+def covering_cells(envelope, res, pad=0.0, closed_bottom=True):
     """All cell ids at ``res`` whose square intersects ``envelope``.
 
     The bbox-prejoin key generator: the Spark-side analog of the
@@ -211,6 +211,14 @@ def covering_cells(envelope, res, pad=0.0):
     datasources.py:28-33).  Half-open convention: a cell covers
     ``[x1, x2) x (y1, y2]`` so an envelope touching only a shared edge
     does not pull in the neighbor (pad to widen).
+
+    ``closed_bottom=True`` (the default, for POLYGON join keys) keeps
+    the cell row containing an exactly grid-aligned bottom edge: the
+    PIP convention (geom.py) counts ``y == ymin`` as inside, so a point
+    on that edge lives in the row BELOW the half-open cover and must
+    still find the polygon in the cell-key equi-join.  Pass False for
+    raster-pixel covers (pixel centers are strictly interior, the extra
+    row would only add empty candidate pairs).
     """
     x1, x2, y1, y2 = envelope
     x1, x2, y1, y2 = x1 - pad, x2 + pad, y1 - pad, y2 + pad
@@ -218,7 +226,10 @@ def covering_cells(envelope, res, pad=0.0):
     jx1 = int(math.floor(x1 / edge))
     jx2 = int(math.ceil(x2 / edge))
     jy1 = int(math.floor((WORLD_TOP - y2) / edge))
-    jy2 = int(math.ceil((WORLD_TOP - y1) / edge))
+    if closed_bottom:
+        jy2 = int(math.floor((WORLD_TOP - y1) / edge)) + 1
+    else:
+        jy2 = int(math.ceil((WORLD_TOP - y1) / edge))
     jx2 = max(jx2, jx1 + 1)
     jy2 = max(jy2, jy1 + 1)
     out = []

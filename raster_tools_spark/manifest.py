@@ -96,23 +96,24 @@ def run_with_manifest(
     secs = time.time() - t0
 
     # metrics per unit from the written output (cheap scan of the
-    # committed files -- what was durably written is what is recorded)
+    # committed files -- what was durably written is what is recorded).
+    # Every PENDING unit gets a manifest row -- a unit whose process()
+    # output is empty (e.g. all tiles skip-empty) records rows=0, so
+    # resume converges instead of re-processing empties forever.
     written = spark.read.parquet(out_dir)
     bytes_col = (
         F.sum(F.octet_length("bytes")) if "bytes" in written.columns
         else F.lit(0)
     )
+    stats = written.groupBy(F.col("_unit").alias("unit")).agg(
+        F.count(F.lit(1)).alias("rows"),
+        bytes_col.alias("bytes"),
+    )
     inc = (
-        written.groupBy(F.col("_unit").alias("unit"))
-        .agg(
-            F.count(F.lit(1)).alias("rows"),
-            bytes_col.alias("bytes"),
-        )
-        .join(
-            pending.select(F.col(unit_col).alias("unit")).distinct(),
-            "unit",
-            "left_semi",
-        )
+        pending.select(F.col(unit_col).alias("unit")).distinct()
+        .join(stats, "unit", "left")
+        .withColumn("rows", F.coalesce(F.col("rows"), F.lit(0)))
+        .withColumn("bytes", F.coalesce(F.col("bytes"), F.lit(0)))
         .withColumn("job_id", F.lit(job_id))
         .withColumn("secs", F.lit(float(secs)))
         .withColumn("committed_at", F.lit(time.time()))

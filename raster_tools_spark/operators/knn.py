@@ -9,9 +9,21 @@ searched).
 
 Implementation: iterative driver loop over radii; each pass is one
 equi-join of unresolved queries x candidate cells + per-query top-k.
-Rounds grow the Chebyshev radius geometrically, so a query in a sparse
-region costs O(log R) joins, and each join shuffles only the unresolved
-queries (shrinking every round).
+Two scale properties:
+
+- INCREMENTAL rings: round r probes only the cells at Chebyshev
+  distance (r_prev, r] -- the disk searched by earlier rounds is never
+  re-joined; the carried top-k pool (k rows per unresolved query)
+  replaces it.  Total probed cells across all rounds == one disk at
+  the final radius.
+- rounds grow the radius geometrically, so a query in a sparse region
+  costs O(log R) joins, and each join shuffles only the unresolved
+  queries (shrinking every round).
+
+Finality is STRICT: kth < radius * edge.  At exactly radius * edge an
+unsearched cell at Chebyshev distance radius+1 could still contain a
+candidate at the same distance whose (dist, cid) tie-break order beats
+the accepted kth, so ties force one more ring expansion.
 """
 
 from __future__ import annotations
@@ -24,15 +36,23 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..grid import cell_edge, disk_cells, pack_cell, unpack_cell
+from ..grid import cell_edge, pack_cell, ring_cells, unpack_cell
 
 
-def _disk_udf(radius: int):
+def _ring_range_udf(lo: int, hi: int):
+    """Cells at Chebyshev distance in [lo, hi] of each input cell."""
+
     @F.pandas_udf(T.ArrayType(T.LongType()))
-    def disk(cell: pd.Series) -> pd.Series:
-        return cell.map(lambda c: disk_cells(int(c), radius))
+    def rings(cell: pd.Series) -> pd.Series:
+        def expand(c: int) -> List[int]:
+            out: List[int] = []
+            for r in range(lo, hi + 1):
+                out.extend(ring_cells(int(c), r))
+            return out
 
-    return disk
+        return cell.map(expand)
+
+    return rings
 
 
 def knn_join(
@@ -51,8 +71,10 @@ def knn_join(
     Euclidean; self-matches (qid == cid) are NOT excluded -- filter
     upstream if undesired.
 
-    Correctness rule: a result set is final once the kth distance is <=
-    ``radius * edge`` -- every unsearched cell lies farther than that.
+    Correctness rule: a result set is final once the kth distance is
+    STRICTLY LESS than ``radius * edge`` -- every unsearched cell lies
+    at least that far away, and the strict inequality protects the
+    (dist, cid) tie-break against an unseen equidistant candidate.
     """
     edge = cell_edge(res)
     q = queries.select(
@@ -69,12 +91,22 @@ def knn_join(
     )
 
     unresolved = q
+    # carried candidate pool: the current top-k rows of each unresolved
+    # query (at most k rows/query -- the only state between rounds)
+    pool: DataFrame | None = None
     results = None
+    prev_radius = -1  # nothing searched yet
     radius = 1
+    w = Window.partitionBy("qid").orderBy(
+        F.col("dist").asc(), F.col("cid").asc()
+    )
     while radius <= max_radius:
-        cand = (
+        fresh = (
             unresolved.withColumn(
-                "probe", F.explode(_disk_udf(radius)(F.col("qcell")))
+                "probe",
+                F.explode(
+                    _ring_range_udf(prev_radius + 1, radius)(F.col("qcell"))
+                ),
             )
             .join(c, F.col("probe") == F.col("ccell"))
             .withColumn(
@@ -84,35 +116,37 @@ def knn_join(
                     + (F.col("qy") - F.col("ny")) ** 2
                 ),
             )
+            .select("qid", "qx", "qy", "qcell", "cid", "dist")
         )
-        w = Window.partitionBy("qid").orderBy(
-            F.col("dist").asc(), F.col("cid").asc()
-        )
+        cand = fresh if pool is None else fresh.unionByName(pool)
         topk = (
             cand.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
             .select("qid", "qx", "qy", "qcell", "cid", "dist", "rn")
         )
-        # final iff k found AND kth distance within the guaranteed ring
+        # final iff k found AND kth distance strictly inside the ring
         per_q = topk.groupBy("qid").agg(
             F.count(F.lit(1)).alias("found"),
             F.max("dist").alias("kth"),
         )
         guarantee = float(radius) * edge
         done_q = per_q.filter(
-            (F.col("found") == k) & (F.col("kth") <= guarantee)
+            (F.col("found") == k) & (F.col("kth") < guarantee)
         ).select("qid")
         if radius >= max_radius:
             # last round: accept whatever was found (bounded search)
             done_q = per_q.select("qid")
+        topk = topk.localCheckpoint(eager=True)
         batch = topk.join(done_q, "qid", "left_semi").select(
             "qid", "cid", "dist", "rn"
         )
         results = batch if results is None else results.unionByName(batch)
         unresolved = unresolved.join(done_q, "qid", "left_anti")
         unresolved = unresolved.localCheckpoint(eager=True)
+        pool = topk.join(done_q, "qid", "left_anti").drop("rn")
         if unresolved.isEmpty():
             break
+        prev_radius = radius
         radius *= 2
     return results
 

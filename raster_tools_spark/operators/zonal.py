@@ -71,7 +71,8 @@ def _image_cover_udf(res: int):
         for a, b, ww, hh in zip(x0, y_top, w, h):
             out.append(
                 covering_cells(
-                    (a, a + ww * CELL_SIZE, b - hh * CELL_SIZE, b), res
+                    (a, a + ww * CELL_SIZE, b - hh * CELL_SIZE, b), res,
+                    closed_bottom=False,  # pixel centers strictly interior
                 )
             )
         return pd.Series(out)
@@ -241,6 +242,14 @@ def zonal_stats(
 
     ``images_cells``: output of tile.assign_cells (needs x0, y_top, w, h,
     bytes, fmt).  Returns one row per feat_id with A1 stats.
+
+    VALUE DOMAINS when ``expr`` is set: mean/std/mn/mx are computed over
+    the EXPR-TRANSFORMED pixel values, while median/p75/frac_in_range
+    always come from the RAW u8-value histogram (exact u8 percentiles
+    are only possible in the raw domain).  One output row therefore
+    mixes two domains under a band expression -- consumers needing
+    expr-space percentiles must apply the expression upstream of the
+    tile encode instead.
 
     ``broadcast_polygons=True`` (the default; polygon layers are the
     small side in the reference's workloads) broadcast-hash-joins the

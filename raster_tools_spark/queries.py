@@ -917,12 +917,24 @@ def oracle_sql() -> Dict[str, str]:
     FROM documents GROUP BY 1
     """
 
+    # mirrors functions/dedup.py's default-ON document-frequency guard
+    # (max_df = max(16, 0.5 * n_docs)) so the prune itself is
+    # oracle-checked, not just the happy path
     _shingles = """
-    sh AS (
+    sh0 AS (
       SELECT DISTINCT doc_id,
         lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2] AS shingle
       FROM (SELECT doc_id, string_split(text, ' ') AS lst FROM documents),
            LATERAL (SELECT unnest(generate_series(1, len(lst) - 2)) AS i)
+    ),
+    shkeep AS (
+      SELECT shingle FROM sh0 GROUP BY shingle
+      HAVING COUNT(*) <= GREATEST(16, CAST(floor(
+        0.5 * (SELECT COUNT(*) FROM documents)) AS BIGINT))
+    ),
+    sh AS (
+      SELECT sh0.doc_id, sh0.shingle FROM sh0
+      JOIN shkeep USING (shingle)
     )
     """
 
