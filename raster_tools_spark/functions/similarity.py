@@ -86,9 +86,16 @@ def cosine_topk(
 
 
 def _plane_matrix(n_planes: int, dim: int) -> np.ndarray:
-    """Deterministic hyperplane directions: Philox keyed by plane id."""
-    rng = np.random.Generator(np.random.Philox(key=np.uint64(0xA11CE)))
-    return rng.standard_normal((n_planes, dim))
+    """Deterministic hyperplane directions from closed-form integer
+    arithmetic: w[p,d] = (((p*8191 + d) * 2654435761) mod 2^31) / 2^30
+    - 1.0, an exact dyadic rational in [-1, 1).  Crucially this is
+    SQL-expressible, so the DuckDB oracle reconstructs the identical
+    planes and the bucket assignment is a HARD cross-engine check (the
+    previous Philox-keyed planes could only ever be rows-only)."""
+    p = np.arange(n_planes, dtype=np.int64)[:, None]
+    d = np.arange(dim, dtype=np.int64)[None, :]
+    h = ((p * 8191 + d) * 2654435761) % (1 << 31)
+    return h.astype(np.float64) / float(1 << 30) - 1.0
 
 
 def lsh_signature_udf(n_planes: int, dim: int):
@@ -96,12 +103,18 @@ def lsh_signature_udf(n_planes: int, dim: int):
 
     @F.pandas_udf(T.LongType())
     def sig(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy())
-        proj = m @ planes.T  # (n, planes)
-        bits = (proj > 0).astype(np.int64)
-        out = np.zeros(len(m), dtype=np.int64)
-        for i in range(n_planes):
-            out |= bits[:, i] << i
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        # accumulate in EXPLICIT dimension order (d = 0..dim-1), not
+        # BLAS matmul: identical op order -> bit-identical doubles in
+        # any engine that sums the same way (the oracle's list_sum is
+        # left-to-right), so the sign/bucket never flips cross-engine
+        n = len(m)
+        out = np.zeros(n, dtype=np.int64)
+        for p in range(n_planes):
+            acc = np.zeros(n, dtype=np.float64)
+            for d in range(planes.shape[1]):
+                acc += m[:, d] * planes[p, d]
+            out |= (acc > 0).astype(np.int64) << p
         return pd.Series(out)
 
     return sig
@@ -140,11 +153,12 @@ def lsh_topk(
         .filter(F.col("qid") != F.col("cid"))
         .withColumn(
             "sim",
-            F.round(
+            F.floor(
                 _dot(F.col("qv"), F.col("cv"))
-                / (F.col("qn") * F.col("cn")),
-                6,
-            ),
+                / (F.col("qn") * F.col("cn"))
+                * 1000000.0
+            )
+            / 1000000.0,
         )
     )
     w = Window.partitionBy("qid").orderBy(
@@ -181,11 +195,12 @@ def embedding_near_dup(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn(
             "sim",
-            F.round(
+            F.floor(
                 _dot(F.col("va"), F.col("vb"))
-                / (F.col("na") * F.col("nb")),
-                6,
-            ),
+                / (F.col("na") * F.col("nb"))
+                * 1000000.0
+            )
+            / 1000000.0,
         )
         .filter(F.col("sim") >= threshold)
         .select("doc_a", "doc_b", "sim")

@@ -111,9 +111,14 @@ def knn_join(
             .join(c, F.col("probe") == F.col("ccell"))
             .withColumn(
                 "dist",
+                # explicit products, not pow(x, 2): the DuckDB oracle
+                # writes (qx-nx)*(qx-nx), and IEEE multiply+add+sqrt of
+                # identical expressions is bit-identical cross-engine
                 F.sqrt(
-                    (F.col("qx") - F.col("nx")) ** 2
-                    + (F.col("qy") - F.col("ny")) ** 2
+                    (F.col("qx") - F.col("nx"))
+                    * (F.col("qx") - F.col("nx"))
+                    + (F.col("qy") - F.col("ny"))
+                    * (F.col("qy") - F.col("ny"))
                 ),
             )
             .select("qid", "qx", "qy", "qcell", "cid", "dist")

@@ -102,6 +102,185 @@ _RECT_SQL_CASES_X1 = (
 )
 
 
+# ---------------------------------------------------------------------------
+# diamond polygon layer (generic-ring PIP refine, oracle-checkable):
+# dense points + L1-ball polygons.  The Spark side goes through the
+# full WKB ray-cast machinery; the oracle re-derives containment as
+# |x-cx| + |y-cy| < r.  Point coords are ==4 (mod 8) offsets from
+# diamond centers (==0 mod 8) and radii are ==4 (mod 8), so no point
+# ever lies ON a diamond edge and the convention never decides a row.
+# nation 3's oversized diamond drives the broadcast (hot) phase.
+# ---------------------------------------------------------------------------
+
+_DPX = "((event_id * 48271) % 2048) * 8.0 + 4.0"
+_DPY = f"{WORLD_TOP:.1f} - (((event_id * 69621) % 2048) * 8.0 + 4.0)"
+
+
+def _dense_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events").selectExpr(
+        "event_id", "value", f"{_DPX} as cx", f"{_DPY} as cy"
+    )
+
+
+def _diamond_params(n: int):
+    cx = ((n * 7919) % 14) * 1024.0 + 512.0
+    cy = WORLD_TOP - ((n * 104729) % 14) * 1024.0 - 512.0
+    r = 8196.0 if n == 3 else (1 + n % 4) * 192.0 + 12.0
+    return cx, cy, r
+
+
+def _diamond_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nk = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    rows = []
+    for n in sorted(nk):
+        cx, cy, r = _diamond_params(int(n))
+        ring = [(cx, cy - r), (cx + r, cy), (cx, cy + r), (cx - r, cy)]
+        rows.append((int(n), wkb.polygon_wkb(ring)))
+    pdf = pd.DataFrame(rows, columns=["feat_id", "geom_wkb"])
+    return spark.createDataFrame(pdf, schema="feat_id long, geom_wkb binary")
+
+
+def _diamonds_sql() -> str:
+    return f"""
+    diamonds AS (
+      SELECT n_nationkey AS feat_id,
+             ((n_nationkey*7919)%14)*1024.0 + 512.0 AS dcx,
+             {WORLD_TOP:.1f} - ((n_nationkey*104729)%14)*1024.0 - 512.0
+               AS dcy,
+             CASE WHEN n_nationkey = 3 THEN 8196.0
+                  ELSE (1 + n_nationkey%4)*192.0 + 12.0 END AS r
+      FROM nation
+    ),
+    dpts AS (
+      SELECT event_id, value, {_DPX} AS cx, {_DPY} AS cy FROM events
+    )
+    """
+
+
+# ---------------------------------------------------------------------------
+# zonal rectangles over the linear-pixel image window (2048 m at
+# tiles_axis=16).  Integer bounds; pixel centers are ==0.25 (mod 0.5)
+# so no center ever sits on a rectangle edge.
+# ---------------------------------------------------------------------------
+
+
+def _zrect_params(n: int):
+    x1 = ((n * 13) % 15) * 128.0 + 17.0
+    y2 = WORLD_TOP - ((n * 29) % 15) * 128.0 - 23.0
+    w = (1 + n % 5) * 160.0 + 31.0
+    h = (1 + n % 4) * 128.0 + 53.0
+    return x1, x1 + w, y2 - h, y2
+
+
+def _zrect_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nk = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    rows = []
+    for n in sorted(nk):
+        x1, x2, y1, y2 = _zrect_params(int(n))
+        rows.append((int(n), wkb.box_wkb(x1, y1, x2, y2)))
+    pdf = pd.DataFrame(rows, columns=["feat_id", "geom_wkb"])
+    return spark.createDataFrame(pdf, schema="feat_id long, geom_wkb binary")
+
+
+def _zrects_sql() -> str:
+    return f"""
+    zrects AS (
+      SELECT n_nationkey AS feat_id,
+             ((n_nationkey*13)%15)*128.0 + 17.0 AS x1,
+             ((n_nationkey*13)%15)*128.0 + 17.0
+               + (1 + n_nationkey%5)*160.0 + 31.0 AS x2,
+             ({WORLD_TOP:.1f} - ((n_nationkey*29)%15)*128.0 - 23.0)
+               - ((1 + n_nationkey%4)*128.0 + 53.0) AS y1,
+             {WORLD_TOP:.1f} - ((n_nationkey*29)%15)*128.0 - 23.0 AS y2
+      FROM nation
+    )
+    """
+
+
+def _zonal_stats_sql(
+    pix_filter: str, expr_val: str, range_lo=None, range_hi=None
+) -> str:
+    """Shared zonal-stats SQL over the joined (feat_id, v) pixel set:
+    mirrors operators/zonal._finalize exactly, including the u8-
+    histogram percentile interpolation (np.percentile linear rule) and
+    the raw-vs-expr value domains.  ``expr_val`` transforms v for
+    mean/std/mn/mx; percentiles are always raw-domain."""
+    frac_sel = (
+        f""",
+           CAST(
+             (SELECT COUNT(*) FROM data d
+              WHERE d.feat_id = a.feat_id
+                AND d.v BETWEEN {range_lo} AND {range_hi}) AS DOUBLE
+           ) / a.cnt AS frac_in_range"""
+        if range_lo is not None
+        else ""
+    )
+    return f"""
+    joined AS (
+      SELECT r.feat_id, p.v
+      FROM lpix p JOIN zrects r
+        ON p.px >= r.x1 AND p.px < r.x2
+       AND p.py >= r.y1 AND p.py < r.y2
+      {pix_filter}
+    ),
+    data AS (SELECT feat_id, v, {expr_val} AS ve FROM joined
+             WHERE v != 255),
+    sz AS (SELECT feat_id, COUNT(*) AS size FROM joined GROUP BY 1),
+    agg AS (
+      SELECT feat_id, COUNT(*) AS cnt,
+             CAST(SUM(ve) AS DOUBLE) AS s,
+             CAST(SUM(ve*ve) AS DOUBLE) AS ss,
+             CAST(MIN(ve) AS DOUBLE) AS mn,
+             CAST(MAX(ve) AS DOUBLE) AS mx
+      FROM data GROUP BY 1
+    ),
+    cum AS (
+      SELECT feat_id, v, SUM(COUNT(*)) OVER (
+        PARTITION BY feat_id ORDER BY v) AS cum
+      FROM data GROUP BY feat_id, v
+    ),
+    qp AS (
+      SELECT feat_id, cnt,
+             0.50*(cnt-1) AS mpos, floor(0.50*(cnt-1)) AS mlo,
+             ceil(0.50*(cnt-1)) AS mhi,
+             0.75*(cnt-1) AS ppos, floor(0.75*(cnt-1)) AS plo,
+             ceil(0.75*(cnt-1)) AS phi
+      FROM agg
+    ),
+    pctl AS (
+      SELECT q.feat_id,
+        (SELECT MIN(c.v) FROM cum c WHERE c.feat_id = q.feat_id
+          AND c.cum >= q.mlo + 1) AS med_lo,
+        (SELECT MIN(c.v) FROM cum c WHERE c.feat_id = q.feat_id
+          AND c.cum >= q.mhi + 1) AS med_hi,
+        (SELECT MIN(c.v) FROM cum c WHERE c.feat_id = q.feat_id
+          AND c.cum >= q.plo + 1) AS p75_lo,
+        (SELECT MIN(c.v) FROM cum c WHERE c.feat_id = q.feat_id
+          AND c.cum >= q.phi + 1) AS p75_hi,
+        q.mpos - q.mlo AS mfrac, q.ppos - q.plo AS pfrac
+      FROM qp q
+    )
+    SELECT a.feat_id, sz.size, a.cnt,
+           a.s / a.cnt AS mean,
+           sqrt(GREATEST(a.ss / a.cnt - (a.s / a.cnt)*(a.s / a.cnt),
+                         0.0)) AS std,
+           a.mn, a.mx,
+           CAST(p.med_lo AS DOUBLE)
+             + (p.med_hi - p.med_lo) * p.mfrac AS median,
+           CAST(p.p75_lo AS DOUBLE)
+             + (p.p75_hi - p.p75_lo) * p.pfrac AS p75{frac_sel}
+    FROM agg a
+    JOIN sz ON sz.feat_id = a.feat_id
+    JOIN pctl p ON p.feat_id = a.feat_id
+    """
+
+
 def _rects_sql() -> str:
     """DuckDB CTE producing the identical rectangles."""
     return f"""
@@ -515,29 +694,55 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_clusters"] = dedup_clusters
 
     def pip_polygon(spark, sf_dir):
-        images = synth.images_df(
-            spark, 400, tiles_axis=64, with_pixels=False
+        """Generic (non-rectangle) polygon PIP through the full WKB
+        ray-cast refine: diamond polygons, one oversized hot diamond
+        (nation 3) driving the broadcast phase."""
+        pts = _dense_points(spark, sf_dir).withColumn(
+            "qk_r9", op_tile.cell_col(F.col("cx"), F.col("cy"), 9)
+        ).withColumn("image_id", F.col("event_id").cast("string"))
+        polys = _diamond_polygons(spark, sf_dir)
+        pairs = op_pip.pip_join(
+            pts, polys, join_res=9, hot_cover=64,
+            keep_cols=("image_id", "cx", "cy"), poly_cols=("feat_id",),
         )
-        cells = op_tile.assign_cells(images, tiles_axis=64)
-        polys = synth.polygons_df(spark, 40, tiles_axis=64)
-        return op_pip.pip_join(cells, polys).select("image_id", "feat_id")
+        return pairs.select(
+            F.col("image_id").cast("long").alias("event_id"), "feat_id"
+        )
 
     q["pip_polygon"] = pip_polygon
 
     def zonal_image(spark, sf_dir):
-        images = synth.images_df(spark, 250, tiles_axis=32)
-        cells = op_tile.assign_cells(images, tiles_axis=32)
-        polys = synth.polygons_df(spark, 25, tiles_axis=32)
-        return op_zonal.zonal_stats(cells, polys)
+        """Real pixel-level zonal statistics over encoded image tiles,
+        oracle-checked value-for-value: SQL-expressible linear-pixel
+        images (synth.linear_images_df) x rectangle polygons; the
+        DuckDB twin reconstructs the pixel table and re-derives every
+        stat including the u8-histogram percentile interpolation."""
+        images = synth.linear_images_df(spark, 150, tiles_axis=16)
+        polys = _zrect_polygons(spark, sf_dir)
+        out = op_zonal.zonal_stats(images, polys)
+        return out.select(
+            "feat_id", "size", "cnt", "mean", "std", "mn", "mx",
+            "median", "p75",
+        )
 
     q["zonal_image"] = zonal_image
 
     def knn_grid(spark, sf_dir):
-        pts = _points(spark, sf_dir).withColumn(
+        """Ring-expansion kNN on a dense deterministic grid; oracle =
+        brute-force cross join + row_number in SQL."""
+        pts = _t(spark, sf_dir, "events").filter(
+            F.col("event_id") < 2000
+        ).selectExpr(
+            "event_id as id",
+            "((event_id * 48271) % 4096) + 0.5 as cx",
+            f"{WORLD_TOP:.1f} - (((event_id * 69621) % 4096) + 0.5) as cy",
+        ).withColumn(
             "cell", op_tile.cell_col(F.col("cx"), F.col("cy"), 9)
-        ).limit(2000)
-        qdf = pts.selectExpr("event_id as qid", "cx", "cy", "cell").limit(100)
-        cdf = pts.selectExpr("event_id as cid", "cx", "cy", "cell")
+        )
+        qdf = pts.filter(F.col("id") < 100).selectExpr(
+            "id as qid", "cx", "cy", "cell"
+        )
+        cdf = pts.selectExpr("id as cid", "cx", "cy", "cell")
         return op_knn.knn_join(qdf, cdf, k=4, res=9)
 
     q["knn_grid"] = knn_grid
@@ -554,19 +759,29 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lsh_ann"] = lsh_ann
 
     def image_features(spark, sf_dir):
+        """Decode + feature extraction, oracle-checked: floor-scaled
+        at 4dp on both sides (np.std / entropy accumulate in different
+        orders than SQL, agreeing to ~1e-11)."""
         from .functions import multimodal
 
-        images = synth.images_df(spark, 200, tiles_axis=32)
-        return multimodal.image_features(images)
+        images = synth.linear_images_df(spark, 150, tiles_axis=16)
+        feats = multimodal.image_features(images)
+        f4 = lambda c: (F.floor(F.col(c) * 10000.0) / 10000.0).alias(c)
+        return feats.select(
+            "image_id", f4("mean"), f4("std"), f4("p10"), f4("p90"),
+            f4("edge_energy"), f4("entropy"),
+        )
 
     q["image_features"] = image_features
 
     def retile_tiles(spark, sf_dir):
+        """Retile assembly geometry oracle-checked: last-wins merge,
+        n_sources, active-pixel counts re-derived by the SQL twin from
+        the reconstructed pixel table."""
         from .operators import retile as op_retile
 
-        images = synth.images_df(spark, 200, tiles_axis=16)
-        cells = op_tile.assign_cells(images, tiles_axis=16)
-        return op_retile.retile(cells).select(
+        images = synth.linear_images_df(spark, 150, tiles_axis=16)
+        return op_retile.retile(images).select(
             "cell_id", "n_sources", "active_px"
         )
 
@@ -656,11 +871,13 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["shadow_march"] = shadow_march
 
     def zonal_expr(spark, sf_dir):
-        images = synth.images_df(spark, 200, tiles_axis=16)
-        cells = op_tile.assign_cells(images, tiles_axis=16)
-        polys = synth.polygons_df(spark, 20, tiles_axis=16)
+        """Band-expression zonal (A8) + in-range fraction (A9), now
+        oracle-checked: expr-domain mean/std/mn/mx and raw-domain
+        percentiles both re-derived in SQL."""
+        images = synth.linear_images_df(spark, 150, tiles_axis=16)
+        polys = _zrect_polygons(spark, sf_dir)
         return op_zonal.zonal_stats(
-            cells, polys, expr="clip(v * 2.0, 0, 400)",
+            images, polys, expr="clip(v * 2.0, 0, 400)",
             range_frac=(100, 160),
         )
 
@@ -682,16 +899,25 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["line_drape"] = line_drape
 
     def streaming_parity(spark, sf_dir):
+        """Batch twin of the streaming windowed agg, oracle-checked
+        (window start formatted for engine-TZ independence); the
+        stream==batch equality itself is pytest-checked in
+        test_streaming.py."""
         from .streaming import windows as sw
 
-        return sw.windowed_agg_batch(_t(spark, sf_dir, "events"))
+        out = sw.windowed_agg_batch(_t(spark, sf_dir, "events"))
+        return out.select(
+            F.date_format("win_start", "yyyy-MM-dd HH:mm:ss")
+            .alias("win_start"),
+            "event_type", "cnt", "sum_v",
+        )
 
     q["streaming_parity"] = streaming_parity
 
     def image_resize(spark, sf_dir):
         from .functions import multimodal
 
-        images = synth.images_df(spark, 100, tiles_axis=32)
+        images = synth.linear_images_df(spark, 100, tiles_axis=16)
         return multimodal.resize(images, factor=2).select(
             "image_id", "w", "h"
         )
@@ -1000,6 +1226,241 @@ def oracle_sql() -> Dict[str, str]:
     FROM lineitem JOIN part
       ON l_quantity >= p_size AND l_quantity < p_size + 3
     GROUP BY p_partkey
+    """
+
+    o["streaming_parity"] = """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS win_start,
+           event_type, COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_v
+    FROM events GROUP BY 1, 2
+    """
+
+    o["pip_polygon"] = f"""
+    WITH {_diamonds_sql()}
+    SELECT p.event_id, d.feat_id
+    FROM dpts p JOIN diamonds d
+      ON abs(p.cx - d.dcx) + abs(p.cy - d.dcy) < d.r
+    """
+
+    o["knn_grid"] = f"""
+    WITH pts AS (
+      SELECT event_id AS id,
+             ((event_id * 48271) % 4096) + 0.5 AS cx,
+             {top} - (((event_id * 69621) % 4096) + 0.5) AS cy
+      FROM events WHERE event_id < 2000
+    ),
+    q AS (SELECT id AS qid, cx AS qx, cy AS qy FROM pts WHERE id < 100),
+    scored AS (
+      SELECT qid, p.id AS cid,
+             sqrt((qx - p.cx)*(qx - p.cx) + (qy - p.cy)*(qy - p.cy))
+               AS dist
+      FROM q CROSS JOIN pts p
+    )
+    SELECT qid, cid, dist, rn FROM (
+      SELECT qid, cid, dist,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY dist ASC, cid ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 4
+    """
+
+    # connected components as a reachability closure: min reachable
+    # node == the component minimum that graph.dedup_clusters assigns
+    o["dedup_clusters"] = f"""
+    WITH RECURSIVE {_shingles},
+    sig AS (
+      SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle))
+               AS minhash
+      FROM sh, LATERAL (SELECT unnest(generate_series(0, 7)) AS seed)
+      GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, CAST(floor(seed/2.0) AS INT) AS band,
+             string_agg(minhash, ',' ORDER BY minhash) AS band_key
+      FROM sig GROUP BY 1, 2
+    ),
+    prs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM prs
+      UNION SELECT doc_b, doc_a FROM prs
+      UNION SELECT doc_a, doc_a FROM prs
+      UNION SELECT doc_b, doc_b FROM prs
+    ),
+    walk(node, reach) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT w.node, e.v FROM walk w JOIN edges e ON w.reach = e.u
+    )
+    SELECT node AS doc_id, MIN(reach) AS cluster,
+           (node = MIN(reach)) AS is_representative
+    FROM walk GROUP BY node
+    """
+
+    o["lsh_ann"] = """
+    WITH sigs AS (
+      SELECT vec_id, embedding,
+        list_sum(list_transform(range(0, 8), p ->
+          CASE WHEN list_sum(list_transform(range(0, 64), d ->
+                 CAST(embedding[d+1] AS DOUBLE) *
+                 ((((p*8191 + d) * 2654435761) % 2147483648)
+                  / 1073741824.0 - 1.0)
+               )) > 0
+               THEN (CAST(1 AS BIGINT) << p) ELSE 0 END
+        )) AS sig,
+        sqrt(list_sum(list_transform(embedding,
+          x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id AS qid, b.vec_id AS cid,
+        floor(
+          list_sum(list_transform(range(1, 65),
+            i -> CAST(a.embedding[i] AS DOUBLE)
+                 * CAST(b.embedding[i] AS DOUBLE)))
+          / (a.nrm * b.nrm) * 1000000.0) / 1000000.0 AS sim
+      FROM sigs a JOIN sigs b
+        ON a.sig = b.sig AND a.vec_id != b.vec_id
+    )
+    SELECT qid, cid, sim, rn FROM (
+      SELECT qid, cid, sim,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY sim DESC, cid ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """
+
+    lpix150 = synth.linear_pixels_sql(150, 16)
+    o["zonal_image"] = (
+        f"WITH {lpix150}, {_zrects_sql()}, "
+        + _zonal_stats_sql("", "v")
+    )
+    o["zonal_expr"] = (
+        f"WITH {lpix150}, {_zrects_sql()}, "
+        + _zonal_stats_sql(
+            "",
+            "CASE WHEN v*2.0 > 400.0 THEN 400.0 ELSE v*2.0 END",
+            range_lo=100, range_hi=160,
+        )
+    )
+
+    o["retile_tiles"] = f"""
+    WITH {lpix150},
+    tilepix AS (
+      SELECT CAST(floor(px / 128.0) AS BIGINT) AS tx,
+             CAST(floor(({top} - py) / 128.0) AS BIGINT) AS ty,
+             CAST(floor(px * 2.0) AS BIGINT) AS wj,
+             CAST(floor(({top} - py) * 2.0) AS BIGINT) AS wi,
+             image_id, v
+      FROM lpix
+    ),
+    merged AS (
+      SELECT tx, ty, wi, wj FROM tilepix WHERE v != 255
+      GROUP BY 1, 2, 3, 4
+    ),
+    act AS (SELECT tx, ty, COUNT(*) AS active_px FROM merged
+            GROUP BY 1, 2),
+    srcs AS (SELECT tx, ty, COUNT(DISTINCT image_id) AS n_sources
+             FROM tilepix GROUP BY 1, 2)
+    SELECT 10 * 72057594037927936 + s.tx * 268435456 + s.ty AS cell_id,
+           s.n_sources, a.active_px
+    FROM srcs s JOIN act a ON a.tx = s.tx AND a.ty = s.ty
+    """
+
+    o["image_features"] = f"""
+    WITH {lpix150},
+    tot AS (
+      SELECT idx, image_id, COUNT(*) AS n,
+             CAST(SUM(v) AS DOUBLE) AS s,
+             CAST(SUM(v*v) AS DOUBLE) AS ss
+      FROM lpix GROUP BY 1, 2
+    ),
+    gx AS (
+      SELECT a.idx, CAST(SUM(ABS(b.v - a.v)) AS DOUBLE) / COUNT(*) AS g
+      FROM lpix a JOIN lpix b
+        ON b.idx = a.idx AND b.i = a.i AND b.j = a.j + 1
+      GROUP BY 1
+    ),
+    gy AS (
+      SELECT a.idx, CAST(SUM(ABS(b.v - a.v)) AS DOUBLE) / COUNT(*) AS g
+      FROM lpix a JOIN lpix b
+        ON b.idx = a.idx AND b.j = a.j AND b.i = a.i + 1
+      GROUP BY 1
+    ),
+    hist AS (SELECT idx, v, COUNT(*) AS c FROM lpix GROUP BY 1, 2),
+    ent AS (
+      SELECT h.idx,
+             -SUM((CAST(h.c AS DOUBLE) / t.n)
+                  * log2(CAST(h.c AS DOUBLE) / t.n)) AS e
+      FROM hist h JOIN tot t ON t.idx = h.idx GROUP BY 1
+    ),
+    cum AS (
+      SELECT idx, v, SUM(c) OVER (PARTITION BY idx ORDER BY v) AS cum
+      FROM hist
+    ),
+    qp AS (
+      -- CAST the quantile to DOUBLE: DuckDB parses 0.9 as DECIMAL and
+      -- would interpolate exactly, while numpy works in binary doubles
+      SELECT idx, n,
+             CAST(0.1 AS DOUBLE)*(n-1) AS lpos,
+             floor(CAST(0.1 AS DOUBLE)*(n-1)) AS llo,
+             ceil(CAST(0.1 AS DOUBLE)*(n-1)) AS lhi,
+             CAST(0.9 AS DOUBLE)*(n-1) AS hpos,
+             floor(CAST(0.9 AS DOUBLE)*(n-1)) AS hlo,
+             ceil(CAST(0.9 AS DOUBLE)*(n-1)) AS hhi
+      FROM tot
+    ),
+    pctl AS (
+      SELECT q.idx,
+        (SELECT MIN(c.v) FROM cum c WHERE c.idx = q.idx
+          AND c.cum >= q.llo + 1) AS p10_lo,
+        (SELECT MIN(c.v) FROM cum c WHERE c.idx = q.idx
+          AND c.cum >= q.lhi + 1) AS p10_hi,
+        (SELECT MIN(c.v) FROM cum c WHERE c.idx = q.idx
+          AND c.cum >= q.hlo + 1) AS p90_lo,
+        (SELECT MIN(c.v) FROM cum c WHERE c.idx = q.idx
+          AND c.cum >= q.hhi + 1) AS p90_hi,
+        q.lpos - q.llo AS lfrac, q.hpos - q.hlo AS hfrac
+      FROM qp q
+    )
+    SELECT t.image_id,
+      floor((t.s / t.n) * 10000.0) / 10000.0 AS mean,
+      floor(sqrt(GREATEST(t.ss / t.n - (t.s / t.n)*(t.s / t.n), 0.0))
+            * 10000.0) / 10000.0 AS std,
+      -- np.percentile's _lerp switches formula at t >= 0.5
+      -- (b - (b-a)*(1-t)) for monotonicity; mirror it exactly
+      floor((CASE WHEN p.lfrac >= 0.5
+             THEN CAST(p.p10_hi AS DOUBLE)
+                  - (p.p10_hi - p.p10_lo) * (1 - p.lfrac)
+             ELSE CAST(p.p10_lo AS DOUBLE)
+                  + (p.p10_hi - p.p10_lo) * p.lfrac END)
+            * 10000.0) / 10000.0 AS p10,
+      floor((CASE WHEN p.hfrac >= 0.5
+             THEN CAST(p.p90_hi AS DOUBLE)
+                  - (p.p90_hi - p.p90_lo) * (1 - p.hfrac)
+             ELSE CAST(p.p90_lo AS DOUBLE)
+                  + (p.p90_hi - p.p90_lo) * p.hfrac END)
+            * 10000.0) / 10000.0 AS p90,
+      floor((gx.g + gy.g) * 10000.0) / 10000.0 AS edge_energy,
+      floor(ent.e * 10000.0) / 10000.0 AS entropy
+    FROM tot t
+    JOIN gx ON gx.idx = t.idx
+    JOIN gy ON gy.idx = t.idx
+    JOIN ent ON ent.idx = t.idx
+    JOIN pctl p ON p.idx = t.idx
+    """
+
+    o["image_resize"] = f"""
+    SELECT printf('img_%012d', idx) AS image_id,
+           CAST(floor((64 - 2*(idx % 3)) / 2) AS INT) AS w,
+           CAST(floor((64 - 2*(idx % 5)) / 2) AS INT) AS h
+    FROM (SELECT unnest(generate_series(0, 99)) AS idx)
     """
 
     o["cosine_topk"] = """

@@ -173,6 +173,120 @@ def images_df(
 
 
 # ---------------------------------------------------------------------------
+# SQL-expressible image variant (oracle-checkable pixel tables).
+#
+# The Philox-pixel images above are the realistic fixture but cannot be
+# re-derived by a SQL engine.  ``linear_images_df`` generates images
+# whose every pixel is a closed-form integer function of (row index,
+# i, j), so a DuckDB oracle can reconstruct the exact pixel table with
+# generate_series and check retile/zonal/feature operators value-for-
+# value.  Same schema + codec path as the real table -- the engine
+# cannot tell them apart.
+#
+#   seed(idx) = (idx * 37) % 199
+#   v(idx,i,j) = 255                       if (i + j) % 17 == 0 (nodata)
+#                (seed + 7*i + 13*j) % 251 otherwise
+#   anchor tile tx = (idx*7) % tiles_axis, ty = (idx*13) % tiles_axis
+#   w = 64 - 2*(idx % 3), h = 64 - 2*(idx % 5)
+# ---------------------------------------------------------------------------
+
+LINEAR_SIZE = 64
+
+
+def linear_pixels(idx: int, h: int, w: int) -> np.ndarray:
+    seed = (idx * 37) % 199
+    ii, jj = np.meshgrid(
+        np.arange(h, dtype=np.int64),
+        np.arange(w, dtype=np.int64),
+        indexing="ij",
+    )
+    v = (seed + 7 * ii + 13 * jj) % 251
+    v[(ii + jj) % 17 == 0] = 255
+    return v.astype(np.uint8)
+
+
+def linear_anchor(idx: int, tiles_axis: int):
+    tx = (idx * 7) % tiles_axis
+    ty = (idx * 13) % tiles_axis
+    return tx * TILE_SIZE, WORLD_TOP - ty * TILE_SIZE
+
+
+def linear_size(idx: int):
+    return LINEAR_SIZE - 2 * (idx % 3), LINEAR_SIZE - 2 * (idx % 5)
+
+
+def linear_images_df(spark, n: int, tiles_axis: int = 16, partitions=None):
+    """Distributed SQL-expressible images table with x0/y_top attached
+    (ready for zonal/retile without assign_cells)."""
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for idx in pdf["id"].to_numpy():
+                idx = int(idx)
+                w, h = linear_size(idx)
+                px = linear_pixels(idx, h, w)
+                x0, y_top = linear_anchor(idx, tiles_axis)
+                rows.append(
+                    (
+                        f"img_{idx:012d}",
+                        codecs.png_encode(px),
+                        w,
+                        h,
+                        "png",
+                        f"linear caption {idx}",
+                        int(idx),
+                        float(x0),
+                        float(y_top),
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "image_id", "bytes", "w", "h", "fmt", "caption",
+                        "phash", "x0", "y_top",
+                    ],
+                )
+
+    return spark.range(0, n, 1, parts).mapInPandas(
+        gen,
+        schema=IMAGES_SCHEMA + ", x0 double, y_top double",
+    )
+
+
+def linear_pixels_sql(n: int, tiles_axis: int = 16) -> str:
+    """DuckDB CTE ``lpix`` reconstructing the exact pixel table of
+    linear_images_df(n): (idx, image_id, i, j, v, px, py) with pixel
+    CENTER world coordinates."""
+    return f"""
+    limg AS (
+      SELECT g.idx,
+             printf('img_%012d', g.idx) AS image_id,
+             ({LINEAR_SIZE} - 2*(g.idx % 3)) AS w,
+             ({LINEAR_SIZE} - 2*(g.idx % 5)) AS h,
+             ((g.idx*7) % {tiles_axis}) * {TILE_SIZE!r} AS x0,
+             {WORLD_TOP!r} - ((g.idx*13) % {tiles_axis}) * {TILE_SIZE!r}
+               AS y_top,
+             (g.idx*37) % 199 AS seed
+      FROM (SELECT unnest(generate_series(0, {n - 1})) AS idx) g
+    ),
+    lpix AS (
+      SELECT idx, image_id,
+             gi.i, gj.j,
+             CASE WHEN (gi.i + gj.j) % 17 = 0 THEN 255
+                  ELSE (seed + 7*gi.i + 13*gj.j) % 251 END AS v,
+             x0 + (gj.j + 0.5) * {CELL_SIZE!r} AS px,
+             y_top - (gi.i + 0.5) * {CELL_SIZE!r} AS py
+      FROM limg,
+           LATERAL (SELECT unnest(generate_series(0, h - 1)) AS i) gi,
+           LATERAL (SELECT unnest(generate_series(0, w - 1)) AS j) gj
+    )
+    """
+
+
+# ---------------------------------------------------------------------------
 # Vector layers (FIXTURES.md section 2/3).
 # ---------------------------------------------------------------------------
 
