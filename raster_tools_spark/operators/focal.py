@@ -5,11 +5,12 @@ A stencil needs pixels beyond the tile edge; the reference buffers its
 read geometry (flow_fil.py:223-228, shadow.py:63-66).  Distributed
 re-expression -- the reusable ``with_halo`` pattern:
 
-1. every tile emits itself plus thin EDGE STRIPS addressed to its 8
-   grid neighbors (``grid.ring_cells``) -- the shuffle moves only
-   ``margin``-wide strips, not whole neighbor tiles (at margin=8 on a
-   256 px tile that is ~6% extra bytes, vs 800% for whole-tile
-   duplication);
+1. every tile emits itself (as its ORIGINAL ENCODED bytes -- never a
+   raw re-serialization) plus thin raw EDGE STRIPS addressed to its 8
+   grid neighbors (``grid.ring_cells``) -- the shuffle moves the
+   encoded tile once plus ``margin``-wide strips (at margin=8 on a
+   256 px tile the strips are ~6% extra raw bytes, vs 800% for
+   whole-tile duplication, and the center transits compressed);
 2. groupBy(cell) assembles the padded array, edge-replicating wherever
    a neighbor is absent (the reference pads with nodata,
    groups.py:77-94; edge replication here matches the gradient
@@ -39,7 +40,7 @@ from ..grid import RES_TILE, pack_cell, unpack_cell
 
 HALO_PART_SCHEMA = (
     "target long, src_dy int, src_dx int, payload binary, "
-    "ph int, pw int"
+    "ph int, pw int, fmt string"
 )
 
 
@@ -55,6 +56,12 @@ def _strip(px: np.ndarray, dy: int, dx: int, m: int) -> np.ndarray:
 
 def _emit_parts(batches: Iterator[pd.DataFrame], margin: int
                 ) -> Iterator[pd.DataFrame]:
+    """Per tile: the ORIGINAL ENCODED bytes addressed to itself plus
+    raw margin-wide strips addressed to the 8 neighbors.  The center
+    must not be re-serialized raw (a 256px tile is 65,536 B raw vs
+    ~30-50 KiB encoded; at 100x scale a raw center is a full-dataset
+    uncompressed shuffle per stencil) -- it is decoded once here to cut
+    the strips and decoded again by the receiving reducer."""
     for pdf in batches:
         rows = []
         for t in pdf.itertuples():
@@ -65,9 +72,20 @@ def _emit_parts(batches: Iterator[pd.DataFrame], margin: int
                     jx, jy = ix + dx, iy + dy
                     if jx < 0 or jy < 0:
                         continue
-                    part = px if (dy == 0 and dx == 0) else _strip(
-                        px, dy, dx, margin
-                    )
+                    if dy == 0 and dx == 0:
+                        rows.append(
+                            (
+                                int(pack_cell(res, jx, jy)),
+                                0,
+                                0,
+                                bytes(t.bytes),
+                                px.shape[0],
+                                px.shape[1],
+                                t.fmt,
+                            )
+                        )
+                        continue
+                    part = _strip(px, dy, dx, margin)
                     rows.append(
                         (
                             int(pack_cell(res, jx, jy)),
@@ -76,13 +94,14 @@ def _emit_parts(batches: Iterator[pd.DataFrame], margin: int
                             np.ascontiguousarray(part).tobytes(),
                             part.shape[0],
                             part.shape[1],
+                            "raw",
                         )
                     )
         if rows:
             yield pd.DataFrame(
                 rows,
                 columns=["target", "src_dy", "src_dx", "payload", "ph",
-                         "pw"],
+                         "pw", "fmt"],
             )
 
 
@@ -97,9 +116,7 @@ def _assemble_padded(pdf: pd.DataFrame, tile_px: int, margin: int):
         return None
     c = center.iloc[0]
     canvas = np.empty((size, size), dtype=np.uint8)
-    core = np.frombuffer(bytes(c["payload"]), dtype=np.uint8).reshape(
-        c["ph"], c["pw"]
-    )
+    core = codecs.decode(bytes(c["payload"]), str(c["fmt"]))
     canvas[m : m + tile_px, m : m + tile_px] = core
     have = set()
     for t in pdf.itertuples():

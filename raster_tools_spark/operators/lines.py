@@ -98,28 +98,45 @@ def line_profile(
     )
 
     def lookup(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        decoded: dict = {}
+        """Vectorized batch lookup: decode each tile ONCE per batch
+        group, then one fancy-index gather for ALL of its samples --
+        no per-sample Python (the work per row is one array index, so
+        a row loop here would be the banned row-at-a-time pattern)."""
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            out = []
-            for t_ in pdf.itertuples():
-                px = decoded.get(t_.cell_id)
-                if px is None:
-                    px = codecs.decode(bytes(t_.bytes), t_.fmt)
-                    if len(decoded) > 64:
-                        decoded.clear()
-                    decoded[t_.cell_id] = px
-                j = int(np.floor((t_.sx - t_.x0) / CELL_SIZE))
-                i = int(np.floor((t_.y_top - t_.sy) / CELL_SIZE))
-                if 0 <= i < px.shape[0] and 0 <= j < px.shape[1]:
-                    out.append(
-                        (t_.line_id, t_.seq, t_.sx, t_.sy, int(px[i, j]))
-                    )
-            if out:
-                yield pd.DataFrame(
-                    out, columns=["line_id", "seq", "sx", "sy", "value"]
+            outs = []
+            for cid, sub in pdf.groupby("cell_id", sort=False):
+                px = codecs.decode(
+                    bytes(sub["bytes"].iloc[0]), sub["fmt"].iloc[0]
                 )
+                j = np.floor(
+                    (sub["sx"].to_numpy() - sub["x0"].to_numpy())
+                    / CELL_SIZE
+                ).astype(np.int64)
+                i = np.floor(
+                    (sub["y_top"].to_numpy() - sub["sy"].to_numpy())
+                    / CELL_SIZE
+                ).astype(np.int64)
+                ok = (
+                    (i >= 0) & (i < px.shape[0])
+                    & (j >= 0) & (j < px.shape[1])
+                )
+                if not ok.any():
+                    continue
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "line_id": sub["line_id"].to_numpy()[ok],
+                            "seq": sub["seq"].to_numpy()[ok],
+                            "sx": sub["sx"].to_numpy()[ok],
+                            "sy": sub["sy"].to_numpy()[ok],
+                            "value": px[i[ok], j[ok]].astype(np.int32),
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
 
     # co-locate samples of a tile so each tile decodes once per task
     n_parts = lines.sparkSession.sparkContext.defaultParallelism
