@@ -26,31 +26,78 @@ from __future__ import annotations
 
 import numpy as np
 
-COURSES = np.array(
-    [(64, 128, 1), (32, 0, 2), (16, 8, 4)], "u1"
+# ---------------------------------------------------------------------------
+# D8 encoding.  One bit per neighbor of the 3x3 window, enumerated in
+# row-major scan order of the window -- this enumeration order is also
+# the deterministic tie-break order everywhere below (matching the
+# reference's semantics; parity proven by the goldens in test_flow.py).
+# ---------------------------------------------------------------------------
+
+_D8 = (
+    # (bit, di, dj)
+    (64, -1, -1), (128, -1, 0), (1, -1, 1),
+    (32, 0, -1), (2, 0, 1),
+    (16, 1, -1), (8, 1, 0), (4, 1, 1),
 )
+
+# derived tables in the shapes calculate_flow_direction consumes
+COURSES = np.zeros((3, 3), "u1")
+for _bit, _di, _dj in _D8:
+    COURSES[_di + 1, _dj + 1] = _bit
 INDICES = COURSES.nonzero()
-NUMBERS = COURSES[INDICES][np.newaxis, ...]
-OFFSETS = np.array(INDICES).transpose()[np.newaxis] - 1
+NUMBERS = np.array([b for b, _, _ in _D8], "u1")[np.newaxis, :]
+OFFSETS = np.array([(di, dj) for _, di, dj in _D8])[np.newaxis]
 WEIGHTS = 1 / np.sqrt(np.square(OFFSETS).sum(2))
 VECTORS = OFFSETS * WEIGHTS[..., np.newaxis]
-INVERSE = COURSES[tuple(-np.array(OFFSETS[0].T) + 1)][np.newaxis]
+# bit of the opposite direction, aligned with the _D8 enumeration
+INVERSE = np.array(
+    [COURSES[1 - di, 1 - dj] for _, di, dj in _D8], "u1"
+)[np.newaxis]
+
+# first-set-bit decode tables: direction byte -> neighbor offset of its
+# first set bit in _D8 order (0 for byte 0); used by the accumulator
+_FIRST_DI = np.zeros(256, np.int64)
+_FIRST_DJ = np.zeros(256, np.int64)
+for _byte in range(255, 0, -1):
+    for _bit, _di, _dj in _D8:
+        if _byte & _bit:
+            _FIRST_DI[_byte] = _di
+            _FIRST_DJ[_byte] = _dj
+            break
 
 
 def get_look_up_table() -> np.ndarray:
-    """flow_dir.py:40-56 verbatim (numpy-only already)."""
-    encode = np.arange(256, dtype="u1")[:, np.newaxis]
-    select = (encode & NUMBERS).astype(bool)[..., np.newaxis]
-    result = (select * VECTORS).sum(1)[:, np.newaxis, :]
-    common = (result * VECTORS).sum(2)
-    fitted = np.where(
-        common.any(1),
-        (common * select[..., 0]).argmax(1),
-        select[..., 0].argmax(1),
-    )
-    mapped = NUMBERS[0, fitted]
-    mapped[0] = 0
-    return mapped
+    """Tie-resolution table: byte of equally-steep direction bits ->
+    the single direction most aligned with their resultant vector.
+
+    Semantics of the reference's LUT (flow_dir.py:40-56), re-derived
+    scalar-wise: for each of the 256 bit masks, sum the unit vectors of
+    the set directions; score every direction by its dot product with
+    that resultant (unset directions score 0); pick the first maximum
+    in _D8 order.  A zero resultant falls back to the first set bit.
+    Runs once at import -- 256 iterations of plain Python.
+    """
+    unit = [(di * w, dj * w) for (_, di, dj), w in zip(_D8, WEIGHTS[0])]
+    lut = np.zeros(256, "u1")
+    for mask in range(1, 256):
+        ry = rx = 0.0
+        for (bit, _, _), (uy, ux) in zip(_D8, unit):
+            if mask & bit:
+                ry += uy
+                rx += ux
+        dots = [uy * ry + ux * rx for uy, ux in unit]
+        if any(d != 0.0 for d in dots):
+            scores = [
+                d if (mask & bit) else 0.0
+                for d, (bit, _, _) in zip(dots, _D8)
+            ]
+            best = max(range(8), key=lambda k: (scores[k], -k))
+        else:
+            best = next(
+                k for k, (bit, _, _) in enumerate(_D8) if mask & bit
+            )
+        lut[mask] = _D8[best][0]
+    return lut
 
 
 def _correlate_two_point(values: np.ndarray, i: int, j: int, f: float):
@@ -164,52 +211,47 @@ def fill_simple_depressions(values: np.ndarray) -> np.ndarray:
     return values
 
 
-def _get_traveled_all(courses: np.ndarray):
-    """flow_acc.py:29-43."""
-    height, width = courses.shape
-    indices = (
-        np.arange(height).repeat(width),
-        np.tile(np.arange(width), height),
-    )
-    points = np.array(indices).transpose()
-    encode = courses[indices][:, np.newaxis]
-    select = (encode & NUMBERS).astype(bool)
-    target = points + OFFSETS[0][select.argmax(1)]
-    return tuple(target.transpose())
+def flow_targets(direction: np.ndarray) -> np.ndarray:
+    """Per-pixel downstream pointer as a flat index; ``n`` (== size)
+    marks a sink.  Semantics of the reference's pointer construction
+    (flow_acc.py:29-43): decode each direction byte to its FIRST set
+    bit in _D8 order, step one neighbor; bytes of 0 and steps leaving
+    the array are sinks."""
+    h, w = direction.shape
+    n = direction.size
+    d = direction.ravel()
+    ti = np.arange(n) // w + _FIRST_DI[d]
+    tj = np.arange(n) % w + _FIRST_DJ[d]
+    off_grid = (ti < 0) | (ti >= h) | (tj < 0) | (tj >= w)
+    return np.where((d == 0) | off_grid, n, ti * w + tj)
 
 
 def accumulate(direction: np.ndarray) -> np.ndarray:
-    """flow_acc.py:45-89 verbatim semantics."""
-    size = direction.size
-    height, width = direction.shape
-    traveled = _get_traveled_all(direction)
+    """Upstream-cell count per pixel (flow accumulation).
 
-    flow = np.empty(size + 1, dtype="i8")
-    flow[-1] = size
-    flow[:size] = np.where(
-        np.logical_or.reduce(
-            [
-                direction.ravel() == 0,
-                traveled[0] < 0,
-                traveled[0] >= height,
-                traveled[1] < 0,
-                traveled[1] >= width,
-            ]
-        ),
-        size,
-        traveled[0] * width + traveled[1],
-    )
+    Semantics of the reference's accumulator (flow_acc.py:45-89),
+    re-derived as pointer-chase rounds: every pixel holds a pointer to
+    its downstream neighbor (``flow_targets``); mutual 2-cycles (A->B
+    and B->A, opposing directions) are broken by sinking BOTH ends;
+    then each round advances every live walker one hop and adds one
+    count to the cell it lands on -- after k rounds a cell has been hit
+    once by every cell exactly k steps upstream, so the converged total
+    is the full upstream count.  Walkers that reach a sink drop out via
+    a boolean filter (the reference sorts + truncates; a filter selects
+    the identical multiset, so the bincounts are equal).
+    """
+    h, w = direction.shape
+    n = direction.size
+    ptr = np.append(flow_targets(direction), n)  # ptr[n] = n: absorb
+    walkers = np.arange(n)
+    mutual = ptr[ptr[walkers]] == walkers
+    ptr[:n][mutual] = n
 
-    state = np.arange(size)
-    flow[:-1][flow[flow[state]] == state] = size  # opposing dirs
-    accumulation = np.zeros(size, "u8")
-
+    acc = np.zeros(n, "u8")
     while True:
-        state = flow[state]
-        state.sort()
-        state = state[: np.searchsorted(state, size)]
-        if not state.size:
+        walkers = ptr[walkers]
+        walkers = walkers[walkers < n]
+        if not walkers.size:
             break
-        accumulation += np.bincount(state, minlength=size).astype("u8")
-
-    return accumulation.reshape(height, width)
+        acc += np.bincount(walkers, minlength=n).astype("u8")
+    return acc.reshape(h, w)

@@ -257,38 +257,46 @@ def maximum_filter3(padded: np.ndarray) -> np.ndarray:
     return out
 
 
+def _zt_gradients(dem: np.ndarray, xres: float, yres: float):
+    """Zevenbergen-Thorne style gradient pair.
+
+    ``np.gradient`` already computes the central difference
+    (a[k+1]-a[k-1])/2 in the interior and the one-sided difference at
+    the borders; the convention this engine matches (reference
+    hillshade.py:23-48 -- central difference over the full 2-cell span,
+    border differences DOUBLED) is exactly 2x np.gradient in both
+    cases, so one dyadic-exact scaling reproduces it bit-for-bit
+    (xres/yres are powers of two; parity proven by the hillshade
+    goldens in test_focal.py)."""
+    gy, gx = np.gradient(dem)
+    return gx * (-2.0 / xres), gy * (2.0 / yres)
+
+
 def zevenbergen_thorne(
     array: np.ndarray,
     resolution=(0.5, 0.5),
     altitude: float = 45.0,
     azimuth: float = 315.0,
+    z_scale: float = 0.5,
 ) -> np.ndarray:
-    """Hillshade a la gdaldem, bit-exact port of
-    hillshade.py:23-48 (incl. the doubled-difference edge rows)."""
-    array = array.astype(np.float64)
+    """Hillshade a la gdaldem's Zevenbergen-Thorne mode: shaded value
+    from the angle between the light vector and the slope/aspect
+    normal, scaled into 1..255 (0 reserved; published gdaldem
+    formulation)."""
+    dem = array.astype(np.float64)
     xres, yres = resolution
     alt = math.radians(altitude)
     az = math.radians(azimuth)
-    zsf = 1 / 2
-    square_zsf = zsf * zsf
 
-    y = np.empty_like(array)
-    y[1:-1] = (array[:-2] - array[2:]) / -yres
-    y[-1] = (array[-2] - array[-1]) * 2 / -yres
-    y[0] = (array[0] - array[1]) * 2 / -yres
-
-    x = np.empty_like(array)
-    x[:, 1:-1] = (array[:, :-2] - array[:, 2:]) / xres
-    x[:, -1] = (array[:, -2] - array[:, -1]) * 2 / xres
-    x[:, 0] = (array[:, 0] - array[:, 1]) * 2 / xres
-
-    xx_plus_yy = x * x + y * y
+    x, y = _zt_gradients(dem, xres, yres)
+    slope_sq = x * x + y * y
     aspect = np.arctan2(y, x)
 
     cang = (
         math.sin(alt)
-        - math.cos(alt) * zsf * np.sqrt(xx_plus_yy) * np.sin(aspect - az)
-    ) / np.sqrt(1 + square_zsf * xx_plus_yy)
+        - math.cos(alt) * z_scale * np.sqrt(slope_sq)
+        * np.sin(aspect - az)
+    ) / np.sqrt(1 + z_scale * z_scale * slope_sq)
 
     return np.where(cang <= 0, 1, 1 + 254 * cang).astype("u1")
 
