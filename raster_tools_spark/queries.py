@@ -819,39 +819,117 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["flow_direction"] = flow_direction
 
     def flow_accumulation(spark, sf_dir):
+        """GLOBAL flow accumulation: catchments cross tile seams via
+        the boundary-flow fixpoint (flow_op.accumulate_tiles; equality
+        with the single-array kernel proven in test_flow_op.py)."""
         import numpy as np
         import pandas as pd
 
-        from . import codecs as _codecs, flow
-        from .operators import retile as op_retile
+        from . import flow
+        from .operators import flow_op, focal, retile as op_retile
 
         images = synth.images_df(spark, 120, tiles_axis=8)
         cells = op_tile.assign_cells(images, tiles_axis=8)
         tiles = op_retile.retile(cells).select("cell_id", "bytes", "fmt")
 
-        def acc(batches):
+        def kernel(padded):
+            dem = padded.astype(np.float64)
+            flow.fill_simple_depressions(dem)
+            return flow.calculate_flow_direction(dem)
+
+        dirs = focal.halo_stencil(tiles, kernel, margin=4)
+        acc = flow_op.accumulate_tiles(dirs)
+
+        def summarize(batches):
+            import zlib
+
             for pdf in batches:
                 rows = []
                 for t in pdf.itertuples():
-                    dem = _codecs.decode(bytes(t.bytes), t.fmt).astype(
-                        np.float64
+                    a = np.frombuffer(
+                        zlib.decompress(bytes(t.acc)), dtype=np.int64
                     )
-                    flow.fill_simple_depressions(dem)
-                    d = flow.calculate_flow_direction(dem)
-                    a = flow.accumulate(d)
                     rows.append(
-                        (t.cell_id, int(a.max()), float(a.mean()))
+                        (t.cell_id, int(a.max()), int(a.sum()))
                     )
                 if rows:
                     yield pd.DataFrame(
-                        rows, columns=["cell_id", "max_acc", "mean_acc"]
+                        rows, columns=["cell_id", "max_acc", "sum_acc"]
                     )
 
-        return tiles.mapInPandas(
-            acc, schema="cell_id long, max_acc long, mean_acc double"
+        return acc.mapInPandas(
+            summarize, schema="cell_id long, max_acc long, sum_acc long"
         )
 
     q["flow_accumulation"] = flow_accumulation
+
+    def flow_pipeline(spark, sf_dir):
+        """The reference's product pipeline fil -> dir -> acc -> vec
+        end-to-end over a deterministic multi-tile DEM mosaic: staged
+        complex depression fill (G4), halo flow direction, GLOBAL
+        accumulation (G2 fixpoint), streamline vectorization (G7)."""
+        import numpy as np
+        import pandas as pd
+
+        from . import codecs as _codecs, flow
+        from .grid import pack_cell
+        from .operators import flow_op, focal
+
+        nt = 3
+
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for t in pdf.itertuples():
+                    k = int(t.id)
+                    ty, tx = divmod(k, nt)
+                    gi = ty * 256 + np.arange(256)[:, None]
+                    gj = tx * 256 + np.arange(256)[None, :]
+                    dem = np.clip(
+                        np.round(
+                            np.abs(gi - 0.55 * nt * 256) * 0.3
+                            + (nt * 256 - gj) * 0.05
+                            + 12.0 * np.sin(gi / 41.0)
+                            * np.cos(gj / 37.0)
+                        ),
+                        0, 254,
+                    ).astype(np.uint8)
+                    rows.append(
+                        (
+                            int(pack_cell(10, 32 + tx, 16 + ty)),
+                            _codecs.png_encode(dem),
+                            "png",
+                        )
+                    )
+                if rows:
+                    yield pd.DataFrame(
+                        rows, columns=["cell_id", "bytes", "fmt"]
+                    )
+
+        tiles = spark.range(nt * nt).mapInPandas(
+            gen, schema="cell_id long, bytes binary, fmt string"
+        )
+        filled = flow_op.fill_depressions_tiles(tiles)
+
+        def kernel(padded):
+            dem = padded.astype(np.float64)
+            flow.fill_simple_depressions(dem)
+            return flow.calculate_flow_direction(dem)
+
+        dirs = focal.halo_stencil(filled, kernel, margin=4)
+        acc = flow_op.accumulate_tiles(dirs)
+        lines = flow_op.vectorize_streams_tiles(
+            dirs, acc,
+            classes=((32.0, 256.0), (256.0, 4096.0), (4096.0, 1e12)),
+        )
+        return lines.groupBy("cls").agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                (F.octet_length("geom_wkb") - 9) / 16
+            ).cast("long").alias("n_vertices"),
+        )
+
+    q["flow_pipeline"] = flow_pipeline
 
     def shadow_march(spark, sf_dir):
         from . import shadow as shadow_mod

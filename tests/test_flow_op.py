@@ -1,0 +1,206 @@
+"""Distributed flow pipeline == single-array reference kernels on the
+stitched mosaic: staged fill, global accumulation, vectorization."""
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from raster_tools_spark import codecs, fill as fmod, flow, flow_vec
+from raster_tools_spark.grid import pack_cell, unpack_cell
+from raster_tools_spark.operators import flow_op
+
+TILE = 256
+
+
+def _dem_global(nt=2, seed=3):
+    rng = np.random.default_rng(seed)
+    size = nt * TILE
+    ii, jj = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
+    base = (
+        120.0
+        + 40.0 * np.sin(ii / 37.0)
+        + 30.0 * np.cos(jj / 53.0)
+        + rng.normal(0, 4, (size, size))
+    )
+    # carve some depressions, one spanning a tile seam
+    base[40:60, 40:60] -= 60
+    base[250:270, 250:270] -= 80  # straddles the 256 seam
+    base[300:420, 60:200] -= 35   # wide (multi-block)
+    return np.clip(np.round(base), 0, 254).astype(np.uint8)
+
+
+def _tiles_df(spark, arr, ix0=4, iy0=7):
+    nt = arr.shape[0] // TILE
+    rows = []
+    for ty in range(nt):
+        for tx in range(nt):
+            sub = arr[ty * TILE:(ty + 1) * TILE, tx * TILE:(tx + 1) * TILE]
+            rows.append(
+                (
+                    int(pack_cell(10, ix0 + tx, iy0 + ty)),
+                    codecs.png_encode(sub),
+                    "png",
+                )
+            )
+    pdf = pd.DataFrame(rows, columns=["cell_id", "bytes", "fmt"])
+    return spark.createDataFrame(
+        pdf, schema="cell_id long, bytes binary, fmt string"
+    ), nt
+
+
+def _stitch(rows, nt, ix0=4, iy0=7, decode=True):
+    out = {}
+    for r in rows:
+        res, ix, iy = (int(v) for v in unpack_cell(int(r.cell_id)))
+        out[(iy - iy0, ix - ix0)] = r
+    canvas = np.zeros((nt * TILE, nt * TILE), dtype=np.float64)
+    for (ty, tx), r in out.items():
+        if decode:
+            px = codecs.decode(bytes(r.bytes), r.fmt)
+        else:
+            px = np.frombuffer(
+                zlib.decompress(bytes(r.acc)), dtype=np.int64
+            ).reshape(TILE, TILE)
+        canvas[ty * TILE:(ty + 1) * TILE, tx * TILE:(tx + 1) * TILE] = px
+    return canvas
+
+
+class TestStagedFill:
+    def test_equals_global_staged_kernel(self, spark):
+        arr = _dem_global(nt=2)
+        tiles, nt = _tiles_df(spark, arr)
+        out = flow_op.fill_depressions_tiles(tiles).collect()
+        got = _stitch(out, nt)
+        expected = fmod.fill_depressions_staged(
+            arr.astype(np.float64).copy()
+        )
+        assert np.array_equal(got, expected)
+
+
+class TestGlobalAccumulation:
+    def _dir_tiles(self, spark, arr):
+        # global direction field, split into tiles
+        dem = arr.astype(np.float64).copy()
+        flow.fill_simple_depressions(dem)
+        d = flow.calculate_flow_direction(dem)
+        rows = []
+        nt = arr.shape[0] // TILE
+        for ty in range(nt):
+            for tx in range(nt):
+                sub = d[ty * TILE:(ty + 1) * TILE,
+                        tx * TILE:(tx + 1) * TILE]
+                rows.append(
+                    (
+                        int(pack_cell(10, 4 + tx, 7 + ty)),
+                        codecs.png_encode(sub),
+                        "png",
+                    )
+                )
+        pdf = pd.DataFrame(rows, columns=["cell_id", "bytes", "fmt"])
+        return spark.createDataFrame(
+            pdf, schema="cell_id long, bytes binary, fmt string"
+        ), d, nt
+
+    def test_equals_global_accumulate(self, spark):
+        # v-shaped valley tilted east: long streams crossing both the
+        # vertical and horizontal tile seams
+        size = 2 * TILE
+        ii, jj = np.meshgrid(
+            np.arange(size), np.arange(size), indexing="ij"
+        )
+        arr = np.clip(
+            np.round(np.abs(ii - 281) * 0.5 + (size - jj) * 0.05),
+            0, 254,
+        ).astype(np.uint8)
+        dir_tiles, d_global, nt = self._dir_tiles(spark, arr)
+        out = flow_op.accumulate_tiles(dir_tiles).collect()
+        got = _stitch(out, nt, decode=False).astype(np.int64)
+        expected = flow.accumulate(d_global).astype(np.int64)
+        # catchments MUST cross tile seams for this to mean anything
+        assert expected.max() > TILE
+        assert np.array_equal(got, expected)
+
+    def test_single_tile_matches_local(self, spark):
+        arr = _dem_global(nt=1, seed=5)
+        dir_tiles, d_global, nt = self._dir_tiles(spark, arr)
+        out = flow_op.accumulate_tiles(dir_tiles).collect()
+        got = _stitch(out, nt, decode=False).astype(np.int64)
+        expected = flow.accumulate(d_global).astype(np.int64)
+        assert np.array_equal(got, expected)
+
+
+class TestVectorizeTiles:
+    def test_chains_cross_reference_kernel(self, spark):
+        arr = _dem_global(nt=2, seed=23)
+        dem = arr.astype(np.float64).copy()
+        flow.fill_simple_depressions(dem)
+        d_global = flow.calculate_flow_direction(dem)
+        acc_global = flow.accumulate(d_global).astype(np.float64)
+        # log-like classing so several classes are populated
+        a_cls = np.log10(1 + acc_global) * 3
+        d_rows = []
+        a_rows = []
+        nt = 2
+        for ty in range(nt):
+            for tx in range(nt):
+                win = np.s_[ty * TILE:(ty + 1) * TILE,
+                            tx * TILE:(tx + 1) * TILE]
+                cid = int(pack_cell(10, 4 + tx, 7 + ty))
+                d_rows.append(
+                    (cid, codecs.png_encode(d_global[win]), "png")
+                )
+                a_rows.append(
+                    (
+                        cid,
+                        zlib.compress(
+                            a_cls[win].astype(np.int64).tobytes(), 1
+                        ),
+                    )
+                )
+        dir_tiles = spark.createDataFrame(
+            pd.DataFrame(d_rows, columns=["cell_id", "bytes", "fmt"]),
+            schema="cell_id long, bytes binary, fmt string",
+        )
+        acc_tiles = spark.createDataFrame(
+            pd.DataFrame(a_rows, columns=["cell_id", "acc"]),
+            schema="cell_id long, acc binary",
+        )
+        out = flow_op.vectorize_streams_tiles(dir_tiles, acc_tiles)
+        rows = out.collect()
+        assert len(rows) > 0
+        # per-tile output equals the kernel run on the same 1-px
+        # margined window (reference Vectorizer semantics)
+        by_cell = {}
+        for r in rows:
+            by_cell.setdefault(int(r.cell_id), []).append(r)
+        acc_int = a_cls.astype(np.int64)
+        size = nt * TILE
+        for cid, tile_rows in by_cell.items():
+            res, ix, iy = (int(v) for v in unpack_cell(cid))
+            ty, tx = iy - 7, ix - 4
+            dpad = np.zeros((TILE + 2, TILE + 2), dtype=np.uint8)
+            apad = np.zeros((TILE + 2, TILE + 2), dtype=np.int64)
+            gy, gx = ty * TILE, tx * TILE
+            sy0, sy1 = max(gy - 1, 0), min(gy + TILE + 1, size)
+            sx0, sx1 = max(gx - 1, 0), min(gx + TILE + 1, size)
+            dpad[sy0 - gy + 1:sy1 - gy + 1, sx0 - gx + 1:sx1 - gx + 1] = (
+                d_global[sy0:sy1, sx0:sx1]
+            )
+            apad[sy0 - gy + 1:sy1 - gy + 1, sx0 - gx + 1:sx1 - gx + 1] = (
+                acc_int[sy0:sy1, sx0:sx1]
+            )
+            expected = list(
+                flow_vec.vectorize_streams(dpad, apad.astype(np.float64))
+            )
+            assert len(expected) == len(tile_rows)
+            got_sorted = sorted(tile_rows, key=lambda r: r.seq)
+            for (lo, line), r in zip(expected, got_sorted):
+                assert float(lo) == r.cls
+                import raster_tools_spark.wkb as wkbm
+
+                gtype, coords = wkbm.parse(bytes(r.geom_wkb))
+                assert gtype == wkbm.LINESTRING
+                assert len(coords) == len(line)
