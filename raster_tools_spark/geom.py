@@ -198,6 +198,65 @@ def _bbox_overlap(a, b) -> bool:
     )
 
 
+def sq_distance_to_rings(px, py, rings, chunk=262144) -> np.ndarray:
+    """SQUARED Euclidean distance from each point to the polygon
+    BOUNDARY (the ring edges), vectorized points x edges.
+
+    Squared form on purpose: every input here is dyadic (pixel centers,
+    integer-ish vertices), so dx*dx + dy*dy stays exactly reproducible
+    by an oracle engine, while sqrt would be fine too -- the square
+    simply skips it.  Distance to the SOLID polygon is 0 for inside
+    points -- combine with points_in_rings.
+    """
+    px = np.asarray(px, dtype=np.float64).ravel()
+    py = np.asarray(py, dtype=np.float64).ravel()
+    x1, y1, x2, y2 = _edges_of_rings(rings)
+    ex = x2 - x1
+    ey = y2 - y1
+    ee = ex * ex + ey * ey
+    out = np.full(px.size, np.inf)
+    step = max(chunk // max(x1.size, 1), 1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for s in range(0, px.size, step):
+            e = min(s + step, px.size)
+            dx = px[s:e, None] - x1[None, :]
+            dy = py[s:e, None] - y1[None, :]
+            t = np.where(ee > 0, (dx * ex + dy * ey) / ee, 0.0)
+            t = np.clip(t, 0.0, 1.0)
+            qx = dx - t * ex
+            qy = dy - t * ey
+            out[s:e] = (qx * qx + qy * qy).min(axis=1)
+    return out
+
+
+def buffer_ring_mask(
+    rings, gt: GeoTransform, height: int, width: int, dist: float
+) -> np.ndarray:
+    """Pixel-center mask of the BUFFER RING: centers within ``dist`` of
+    the polygon but not inside it -- the exact-Euclidean re-expression
+    of the reference's ``geometry.Buffer(1).Difference(geometry)`` +
+    RasterizeLayer (bag2tif.py:92-120; GEOS approximates the buffer
+    arcs with segments, this mask is the exact disc sweep)."""
+    p, a, b, q, c, d = gt
+    env = _rings_env(rings)
+    j0 = max(int(np.floor((env[0] - dist - p) / a - 0.5)), 0)
+    j1 = min(int(np.ceil((env[1] + dist - p) / a - 0.5)) + 1, width)
+    i0 = max(int(np.floor((env[3] + dist - q) / d - 0.5)), 0)
+    i1 = min(int(np.ceil((env[2] - dist - q) / d - 0.5)) + 1, height)
+    mask = np.zeros((height, width), dtype=bool)
+    if j0 >= j1 or i0 >= i1:
+        return mask
+    jj, ii = np.meshgrid(
+        np.arange(j0, j1), np.arange(i0, i1), indexing="xy"
+    )
+    cx = p + a * (jj.ravel() + 0.5)
+    cy = q + d * (ii.ravel() + 0.5)
+    near = sq_distance_to_rings(cx, cy, rings) <= dist * dist
+    inside = points_in_rings(cx, cy, rings)
+    mask[ii.ravel()[near & ~inside], jj.ravel()[near & ~inside]] = True
+    return mask
+
+
 def ring_area(ring: np.ndarray) -> float:
     """Signed shoelace area of one ring."""
     x, y = ring[:, 0], ring[:, 1]

@@ -229,6 +229,118 @@ def _finalize(pdf: pd.DataFrame, range_frac=None) -> pd.DataFrame:
     )
 
 
+_FLOOR_PARTIAL_SCHEMA = "feat_id long, hist array<long>"
+_FLOOR_SCHEMA = "feat_id long, ring_px long, floor_75 double"
+
+
+def floor_level(
+    images_cells: DataFrame,
+    polygons: DataFrame,
+    dist: float = 1.0,
+    join_res: int = JOIN_RES,
+    nodata: int = NODATA_DEFAULT,
+    max_extent: float = 1000.0,
+) -> DataFrame:
+    """Buffer-ring floor level (SURVEY.md A6, bag2tif.py:83-127): per
+    polygon, the 75th percentile of data pixels whose centers fall in
+    the ``dist``-meter buffer RING around the geometry.  Geometries
+    wider than ``max_extent`` are skipped (bag2tif.py:95-97), as are
+    polygons with no data pixel in the ring (reference returns None).
+
+    Same decode-once streaming-partials plan as zonal_stats; the only
+    shuffle carries 256-bin histograms.
+    """
+    from .. import geom as _geom
+    from ..grid import covering_cells as _cover
+
+    def cover_udf(res, pad):
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def cover(wkb_s: pd.Series) -> pd.Series:
+            out = []
+            for b in wkb_s:
+                env = _geom.envelope(bytes(b))
+                if max(env[1] - env[0], env[3] - env[2]) > max_extent:
+                    out.append([])  # reference skips huge geometries
+                else:
+                    out.append(_cover(env, res, pad=pad))
+            return pd.Series(out)
+
+        return cover
+
+    img = images_cells.withColumn(
+        "icell",
+        F.explode(
+            _image_cover_udf(join_res)(
+                F.col("x0"), F.col("y_top"), F.col("w"), F.col("h")
+            )
+        ),
+    ).select("image_id", "bytes", "fmt", "x0", "y_top", "icell")
+    pcells = polygons.withColumn(
+        "pcell", F.explode(cover_udf(join_res, dist)(F.col("geom_wkb")))
+    ).select("feat_id", "geom_wkb", "pcell")
+    cand = img.join(
+        F.broadcast(pcells), img["icell"] == pcells["pcell"]
+    ).select(
+        "image_id", "bytes", "fmt", "x0", "y_top", "feat_id", "geom_wkb"
+    )
+
+    def partials(batches):
+        cur_img = None
+        px = None
+        gt = None
+        seen: set = set()
+        ring_cache: dict = {}
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples():
+                if t.image_id != cur_img:
+                    cur_img = t.image_id
+                    px = codecs.decode(bytes(t.bytes), t.fmt)
+                    gt = GeoTransform(
+                        (t.x0, CELL_SIZE, 0.0, t.y_top, 0.0, -CELL_SIZE)
+                    )
+                    seen = set()
+                if t.feat_id in seen:
+                    continue
+                seen.add(t.feat_id)
+                rings = ring_cache.get(t.feat_id)
+                if rings is None:
+                    rings = geom._rings_of(bytes(t.geom_wkb))
+                    ring_cache[t.feat_id] = rings
+                mask = _geom.buffer_ring_mask(
+                    rings, gt, px.shape[0], px.shape[1], dist
+                )
+                vals = px[mask]
+                data = vals[vals != nodata]
+                if data.size == 0:
+                    continue
+                rows.append(
+                    (
+                        t.feat_id,
+                        np.bincount(data, minlength=256)
+                        .astype(np.int64).tolist(),
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(rows, columns=["feat_id", "hist"])
+
+    def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        hist = np.sum(np.stack(pdf["hist"].map(np.asarray)), axis=0)
+        cnt = int(hist.sum())
+        return pd.DataFrame(
+            {
+                "feat_id": [int(pdf["feat_id"].iloc[0])],
+                "ring_px": [cnt],
+                "floor_75": [percentile_from_hist(hist, 75.0)],
+            }
+        )
+
+    parts = cand.mapInPandas(partials, schema=_FLOOR_PARTIAL_SCHEMA)
+    return parts.groupBy("feat_id").applyInPandas(
+        finalize, schema=_FLOOR_SCHEMA
+    )
+
+
 def zonal_stats(
     images_cells: DataFrame,
     polygons: DataFrame,

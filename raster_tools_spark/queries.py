@@ -188,6 +188,43 @@ def _zrect_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pdf, schema="feat_id long, geom_wkb binary")
 
 
+def _drect_params(n: int):
+    """Second rectangle layer (overlay layer 2), off the zrect grid."""
+    x1 = ((n * 41) % 13) * 128.0 + 33.0
+    y2 = WORLD_TOP - ((n * 59) % 13) * 128.0 - 57.0
+    w = (1 + n % 4) * 144.0 + 27.0
+    h = (1 + n % 3) * 96.0 + 21.0
+    return x1, x1 + w, y2 - h, y2
+
+
+def _drect_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nk = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    rows = []
+    for n in sorted(nk):
+        x1, x2, y1, y2 = _drect_params(int(n))
+        rows.append((int(n), wkb.box_wkb(x1, y1, x2, y2)))
+    pdf = pd.DataFrame(rows, columns=["feat_id", "geom_wkb"])
+    return spark.createDataFrame(pdf, schema="feat_id long, geom_wkb binary")
+
+
+def _drects_sql() -> str:
+    return f"""
+    drects AS (
+      SELECT n_nationkey AS feat_id,
+             ((n_nationkey*41)%13)*128.0 + 33.0 AS x1,
+             ((n_nationkey*41)%13)*128.0 + 33.0
+               + (1 + n_nationkey%4)*144.0 + 27.0 AS x2,
+             ({WORLD_TOP:.1f} - ((n_nationkey*59)%13)*128.0 - 57.0)
+               - ((1 + n_nationkey%3)*96.0 + 21.0) AS y1,
+             {WORLD_TOP:.1f} - ((n_nationkey*59)%13)*128.0 - 57.0 AS y2
+      FROM nation
+    )
+    """
+
+
 def _zrects_sql() -> str:
     return f"""
     zrects AS (
@@ -931,6 +968,107 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["flow_pipeline"] = flow_pipeline
 
+    # ---- buffer-ring floor level (A6) + mask overlay (O5/J8) ------------
+
+    def floor_level(spark, sf_dir):
+        """bag2tif floor level: p75 of data pixels in the 1 m buffer
+        ring around each polygon; oracle re-derives the exact-Euclidean
+        ring mask in SQL."""
+        images = synth.linear_images_df(spark, 150, tiles_axis=16)
+        polys = _zrect_polygons(spark, sf_dir)
+        return op_zonal.floor_level(images, polys, dist=1.0)
+
+    q["floor_level"] = floor_level
+
+    def mask_difference(spark, sf_dir):
+        """difference.py semantics on a 4 m pixel grid: per layer-1
+        feature, pixels kept after subtracting the layer-2 union."""
+        from .operators import overlay
+
+        l1 = _zrect_polygons(spark, sf_dir)
+        l2 = _drect_polygons(spark, sf_dir)
+        return overlay.mask_difference_area(l1, l2, pixel=4.0)
+
+    q["mask_difference"] = mask_difference
+
+    def union_area(spark, sf_dir):
+        """UnionCascaded-as-rasterized-OR: area covered by the layer
+        with overlaps counted once."""
+        from .operators import overlay
+
+        l2 = _drect_polygons(spark, sf_dir)
+        return overlay.mask_union_area(l2, pixel=4.0)
+
+    q["union_area"] = union_area
+
+    def xyz_bin(spark, sf_dir):
+        """S8 point-cloud source: 'x y z' TEXT lines parsed with JVM
+        splits/casts, grid-binned with per-bin min/max dedup
+        (txt2tif.py semantics).  Lines are synthesized from events so
+        the oracle can rebuild the identical text."""
+        from .sources import xyz as src_xyz
+
+        lines = _t(spark, sf_dir, "events").selectExpr(
+            f"concat(cast({_PX} as string), ' ', "
+            f"cast({_PY} as string), ' ', cast(value as string)) as value"
+        )
+        pts = src_xyz.parse_xyz(lines)
+        return src_xyz.bin_stats(pts, width=4096.0, height=4096.0)
+
+    q["xyz_bin"] = xyz_bin
+
+    def nodata_audit(spark, sf_dir):
+        """K4 audit sink: tiles containing nodata emit a count + mask
+        tile (rasterize.py:190-214); count oracle-checked."""
+        from .operators import retile as op_retile
+
+        images = synth.linear_images_df(spark, 150, tiles_axis=16)
+        tiles = op_retile.retile(images)
+        return op_retile.nodata_audit(tiles).select(
+            "cell_id", "nodata_px"
+        )
+
+    q["nodata_audit"] = nodata_audit
+
+    def fill_voids(spark, sf_dir):
+        """G6 Spark face: per-tile multi-resolution void fill (the
+        reference's own distribution unit); rows-only -- the recursive
+        kernel has reference goldens in test_fillnodata.py."""
+        from .operators import fill_op, retile as op_retile
+
+        images = synth.linear_images_df(spark, 150, tiles_axis=16)
+        tiles = op_retile.retile(images)
+        out = fill_op.fill_voids_tiles(tiles)
+        return out.select(
+            "cell_id", "filled_px", F.md5(F.col("bytes")).alias("md5")
+        )
+
+    q["fill_voids"] = fill_voids
+
+    def area_guard(spark, sf_dir):
+        """P6 size/area guard: shoelace areas of the polygon layers,
+        filtered by a minimum-area guard."""
+        import numpy as np
+
+        from . import geom as geom_mod
+
+        @F.pandas_udf("double")
+        def area_udf(wkb_s: pd.Series) -> pd.Series:
+            return wkb_s.map(lambda b: geom_mod.area(bytes(b)))
+
+        polys = _zrect_polygons(spark, sf_dir).unionByName(
+            _diamond_polygons(spark, sf_dir).withColumn(
+                "feat_id", F.col("feat_id") + 1000
+            )
+        )
+        return (
+            polys.withColumn("area", area_udf(F.col("geom_wkb")))
+            .filter(F.col("area") >= 100000.0)
+            .select("feat_id", "area")
+        )
+
+    q["area_guard"] = area_guard
+
     def shadow_march(spark, sf_dir):
         from . import shadow as shadow_mod
         from .operators import focal, retile as op_retile
@@ -1532,6 +1670,157 @@ def oracle_sql() -> Dict[str, str]:
     JOIN gy ON gy.idx = t.idx
     JOIN ent ON ent.idx = t.idx
     JOIN pctl p ON p.idx = t.idx
+    """
+
+    o["floor_level"] = f"""
+    WITH {lpix150}, {_zrects_sql()},
+    ring AS (
+      SELECT feat_id, v FROM (
+        SELECT r.feat_id, p.v,
+               GREATEST(r.x1 - p.px, p.px - r.x2, 0.0) AS dx,
+               GREATEST(r.y1 - p.py, p.py - r.y2, 0.0) AS dy,
+               (p.px >= r.x1 AND p.px < r.x2
+                AND p.py >= r.y1 AND p.py < r.y2) AS inside
+        FROM lpix p JOIN zrects r
+          ON p.px >= r.x1 - 1.0 AND p.px <= r.x2 + 1.0
+         AND p.py >= r.y1 - 1.0 AND p.py <= r.y2 + 1.0
+      ) WHERE dx*dx + dy*dy <= 1.0 AND NOT inside AND v != 255
+    ),
+    agg AS (SELECT feat_id, COUNT(*) AS cnt FROM ring GROUP BY 1),
+    cum AS (
+      SELECT feat_id, v, SUM(COUNT(*)) OVER (
+        PARTITION BY feat_id ORDER BY v) AS cum
+      FROM ring GROUP BY feat_id, v
+    ),
+    qp AS (
+      SELECT feat_id, cnt,
+             CAST(0.75 AS DOUBLE)*(cnt-1) AS pos,
+             floor(CAST(0.75 AS DOUBLE)*(cnt-1)) AS lo,
+             ceil(CAST(0.75 AS DOUBLE)*(cnt-1)) AS hi
+      FROM agg
+    ),
+    pct AS (
+      SELECT q.feat_id,
+        (SELECT MIN(c.v) FROM cum c WHERE c.feat_id = q.feat_id
+          AND c.cum >= q.lo + 1) AS vlo,
+        (SELECT MIN(c.v) FROM cum c WHERE c.feat_id = q.feat_id
+          AND c.cum >= q.hi + 1) AS vhi,
+        q.pos - q.lo AS frac
+      FROM qp q
+    )
+    SELECT a.feat_id, a.cnt AS ring_px,
+           CAST(p.vlo AS DOUBLE) + (p.vhi - p.vlo) * p.frac AS floor_75
+    FROM agg a JOIN pct p ON p.feat_id = a.feat_id
+    """
+
+    o["mask_difference"] = f"""
+    WITH {_zrects_sql()}, {_drects_sql()},
+    pix AS (
+      SELECT z.feat_id,
+             4.0*gj.j + 2.0 AS px,
+             {top} - (4.0*gi.i + 2.0) AS py,
+             z.x1, z.x2, z.y1, z.y2
+      FROM zrects z,
+           LATERAL (SELECT unnest(generate_series(
+             CAST(floor(z.x1/4.0) AS BIGINT) - 1,
+             CAST(ceil(z.x2/4.0) AS BIGINT) + 1)) AS j) gj,
+           LATERAL (SELECT unnest(generate_series(
+             CAST(floor(({top} - z.y2)/4.0) AS BIGINT) - 1,
+             CAST(ceil(({top} - z.y1)/4.0) AS BIGINT) + 1)) AS i) gi
+    ),
+    inpix AS (
+      SELECT feat_id, px, py FROM pix
+      WHERE px >= x1 AND px < x2 AND py >= y1 AND py < y2
+    )
+    SELECT feat_id,
+           COUNT(*) AS total_px,
+           CAST(SUM(CASE WHEN NOT EXISTS (
+             SELECT 1 FROM drects d
+             WHERE inpix.px >= d.x1 AND inpix.px < d.x2
+               AND inpix.py >= d.y1 AND inpix.py < d.y2
+           ) THEN 1 ELSE 0 END) AS BIGINT) AS kept_px,
+           CAST(SUM(CASE WHEN NOT EXISTS (
+             SELECT 1 FROM drects d
+             WHERE inpix.px >= d.x1 AND inpix.px < d.x2
+               AND inpix.py >= d.y1 AND inpix.py < d.y2
+           ) THEN 1 ELSE 0 END) AS BIGINT) * 16.0 AS kept_area
+    FROM inpix GROUP BY feat_id
+    """
+
+    o["union_area"] = f"""
+    WITH {_drects_sql()},
+    grid AS (
+      SELECT 4.0*gj.j + 2.0 AS px, {top} - (4.0*gi.i + 2.0) AS py
+      FROM (SELECT unnest(generate_series(0, 700)) AS j) gj,
+           (SELECT unnest(generate_series(0, 700)) AS i) gi
+    )
+    SELECT COUNT(*) AS union_px, COUNT(*) * 16.0 AS union_area
+    FROM grid g
+    WHERE EXISTS (
+      SELECT 1 FROM drects d
+      WHERE g.px >= d.x1 AND g.px < d.x2
+        AND g.py >= d.y1 AND g.py < d.y2
+    )
+    """
+
+    o["xyz_bin"] = f"""
+    WITH lines AS (
+      SELECT CAST({_PX} AS VARCHAR) || ' ' || CAST({_PY} AS VARCHAR)
+             || ' ' || CAST(value AS VARCHAR) AS line
+      FROM events
+    ),
+    pts AS (
+      SELECT CAST(string_split(trim(line), ' ')[1] AS DOUBLE) AS x,
+             CAST(string_split(trim(line), ' ')[2] AS DOUBLE) AS y,
+             CAST(string_split(trim(line), ' ')[3] AS DOUBLE) AS z
+      FROM lines
+    ),
+    env AS (
+      SELECT floor(MIN(x)/4096.0)*4096.0 AS p,
+             ceil(MAX(y)/4096.0)*4096.0 AS q
+      FROM pts
+    )
+    SELECT CAST(floor((q - y)/4096.0) AS BIGINT) AS "row",
+           CAST(floor((x - p)/4096.0) AS BIGINT) AS col,
+           MIN(z) AS z_min, MAX(z) AS z_max, COUNT(*) AS n
+    FROM pts, env GROUP BY 1, 2
+    """
+
+    o["nodata_audit"] = f"""
+    WITH {lpix150},
+    tilepix AS (
+      SELECT CAST(floor(px / 128.0) AS BIGINT) AS tx,
+             CAST(floor(({top} - py) / 128.0) AS BIGINT) AS ty,
+             CAST(floor(px * 2.0) AS BIGINT) AS wj,
+             CAST(floor(({top} - py) * 2.0) AS BIGINT) AS wi,
+             image_id, v
+      FROM lpix
+    ),
+    merged AS (
+      SELECT tx, ty, wi, wj FROM tilepix WHERE v != 255
+      GROUP BY 1, 2, 3, 4
+    ),
+    act AS (SELECT tx, ty, COUNT(*) AS active_px FROM merged
+            GROUP BY 1, 2)
+    SELECT 10 * 72057594037927936 + tx * 268435456 + ty AS cell_id,
+           65536 - active_px AS nodata_px
+    FROM act WHERE active_px < 65536
+    """
+
+    o["area_guard"] = """
+    SELECT feat_id, area FROM (
+      SELECT n_nationkey AS feat_id,
+             ((1 + n_nationkey%5)*160.0 + 31.0)
+               * ((1 + n_nationkey%4)*128.0 + 53.0) AS area
+      FROM nation
+      UNION ALL
+      SELECT n_nationkey + 1000 AS feat_id, 2.0*r*r AS area FROM (
+        SELECT n_nationkey,
+               CASE WHEN n_nationkey = 3 THEN 8196.0
+                    ELSE (1 + n_nationkey%4)*192.0 + 12.0 END AS r
+        FROM nation
+      )
+    ) WHERE area >= 100000.0
     """
 
     o["image_resize"] = f"""

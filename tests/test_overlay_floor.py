@@ -1,0 +1,99 @@
+"""Buffer-ring mask, floor level, mask overlay, void-fill face."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from raster_tools_spark import codecs, geom, wkb
+from raster_tools_spark.grid import GeoTransform
+
+
+class TestBufferRingMask:
+    def test_ring_excludes_interior_includes_halo(self):
+        gt = GeoTransform((0.0, 0.5, 0.0, 64.0, 0.0, -0.5))
+        rect = wkb.box_wkb(10.0, 10.0, 20.0, 20.0)
+        rings = geom._rings_of(rect)
+        inside = geom.rasterize_mask(rect, gt, 128, 128)
+        ring = geom.buffer_ring_mask(rings, gt, 128, 128, dist=1.0)
+        assert not (ring & inside).any()
+        # brute force: per pixel center, clamp distance to rect
+        ii, jj = np.meshgrid(np.arange(128), np.arange(128),
+                             indexing="ij")
+        cx = 0.5 * (jj + 0.5)
+        cy = 64.0 - 0.5 * (ii + 0.5)
+        dx = np.maximum(np.maximum(10.0 - cx, cx - 20.0), 0.0)
+        dy = np.maximum(np.maximum(10.0 - cy, cy - 20.0), 0.0)
+        near = dx * dx + dy * dy <= 1.0
+        expected = near & ~inside
+        assert np.array_equal(ring, expected)
+
+    def test_sq_distance_matches_brute(self):
+        rng = np.random.default_rng(4)
+        verts = rng.uniform(0, 30, (6, 2))
+        ring = np.vstack([verts, verts[:1]])
+        px = rng.uniform(-5, 35, 200)
+        py = rng.uniform(-5, 35, 200)
+        got = geom.sq_distance_to_rings(px, py, [ring])
+        # brute per-edge point-segment distance
+        exp = np.full(200, np.inf)
+        for k in range(len(ring) - 1):
+            ax, ay = ring[k]
+            bx, by = ring[k + 1]
+            ex, ey = bx - ax, by - ay
+            t = np.clip(
+                ((px - ax) * ex + (py - ay) * ey) / (ex * ex + ey * ey),
+                0, 1,
+            )
+            qx = px - (ax + t * ex)
+            qy = py - (ay + t * ey)
+            exp = np.minimum(exp, qx * qx + qy * qy)
+        assert np.allclose(got, exp, rtol=0, atol=1e-12)
+
+
+class TestFillVoidsTiles:
+    def test_fills_all_voids(self, spark):
+        px = np.full((256, 256), 80, dtype=np.uint8)
+        px[40:60, 40:70] = 255
+        px[200:210, 100:105] = 255
+        pdf = pd.DataFrame(
+            [(1, codecs.png_encode(px), "png")],
+            columns=["cell_id", "bytes", "fmt"],
+        )
+        tiles = spark.createDataFrame(
+            pdf, schema="cell_id long, bytes binary, fmt string"
+        )
+        from raster_tools_spark.operators import fill_op
+
+        out = fill_op.fill_voids_tiles(tiles).collect()[0]
+        assert out.filled_px == 20 * 30 + 10 * 5
+        filled = codecs.png_decode(bytes(out.bytes))
+        assert (filled != 255).all()
+        # uniform surroundings fill to the same level
+        assert (filled[40:60, 40:70] == 80).all()
+
+
+class TestXyzSource:
+    def test_parse_and_bin(self, spark):
+        lines = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "value": [
+                        "0.5 9.5 10.0",
+                        "0.75 9.5 12.0",  # same bin: min/max dedup
+                        "3.5 1.5 7.0",
+                        "garbage line x",
+                    ]
+                }
+            )
+        )
+        from raster_tools_spark.sources import xyz
+
+        pts = xyz.parse_xyz(lines)
+        out = {
+            (r.row, r.col): r
+            for r in xyz.bin_stats(pts, width=1.0, height=1.0).collect()
+        }
+        assert out[(0, 0)].z_min == 10.0
+        assert out[(0, 0)].z_max == 12.0
+        assert out[(0, 0)].n == 2
+        assert out[(8, 3)].z_min == 7.0
