@@ -45,12 +45,20 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
 
 
 def png_encode(array: np.ndarray) -> bytes:
+    """8-bit grayscale (2-D) or RGB (h, w, 3) PNG."""
     a = np.ascontiguousarray(array, dtype=np.uint8)
-    h, w = a.shape
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
-    raw = np.empty((h, w + 1), dtype=np.uint8)
+    if a.ndim == 2:
+        h, w = a.shape
+        ctype, nch = 0, 1
+    elif a.ndim == 3 and a.shape[2] == 3:
+        h, w, _ = a.shape
+        ctype, nch = 2, 3
+    else:
+        raise ValueError("png_encode takes (h, w) or (h, w, 3) uint8")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = np.empty((h, w * nch + 1), dtype=np.uint8)
     raw[:, 0] = 0  # filter type 0 per scanline
-    raw[:, 1:] = a
+    raw[:, 1:] = a.reshape(h, w * nch)
     idat = zlib.compress(raw.tobytes(), 6)
     return (
         _PNG_SIG
@@ -61,10 +69,12 @@ def png_encode(array: np.ndarray) -> bytes:
 
 
 def png_decode(data: bytes) -> np.ndarray:
+    """Grayscale PNGs -> (h, w); RGB PNGs -> (h, w, 3)."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     off = 8
     w = h = None
+    ctype = 0
     idat = b""
     while off < len(data):
         (length,) = struct.unpack_from(">I", data, off)
@@ -73,14 +83,17 @@ def png_decode(data: bytes) -> np.ndarray:
         off += 12 + length
         if tag == b"IHDR":
             w, h, depth, ctype = struct.unpack_from(">IIBB", payload)
-            if depth != 8 or ctype != 0:
-                raise ValueError("only 8-bit grayscale PNG supported")
+            if depth != 8 or ctype not in (0, 2):
+                raise ValueError(
+                    "only 8-bit grayscale/RGB PNG supported"
+                )
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
             break
+    nch = 3 if ctype == 2 else 1
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(
-        h, w + 1
+        h, w * nch + 1
     )
     filters = raw[:, 0]
     out = raw[:, 1:].astype(np.int32).copy()
@@ -88,15 +101,47 @@ def png_decode(data: bytes) -> np.ndarray:
         f = filters[i]
         if f == 0:
             continue
-        if f == 1:  # Sub
-            for j in range(1, w):
-                out[i, j] = (out[i, j] + out[i, j - 1]) & 0xFF
+        if f == 1:  # Sub (per-channel left neighbor)
+            for j in range(nch, w * nch):
+                out[i, j] = (out[i, j] + out[i, j - nch]) & 0xFF
         elif f == 2:  # Up
             if i > 0:
                 out[i] = (out[i] + out[i - 1]) & 0xFF
         else:
             raise ValueError(f"unsupported PNG filter {f}")
-    return out.astype(np.uint8)
+    out = out.astype(np.uint8)
+    return out.reshape(h, w, 3) if ctype == 2 else out.reshape(h, w)
+
+
+# ---------------------------------------------------------------------------
+# "rawz" -- typed raw + deflate codec for the reference's non-u8 band
+# dtypes (extract.py:46-51: u1 u2 u4 i2 i4 f4).  Lossless for every
+# dtype; the f4 path is how DEMs with more than 255 relief levels move
+# through the engine.
+# ---------------------------------------------------------------------------
+
+_RAWZ_MAGIC = b"RWZ1"
+_RAWZ_DTYPES = {"u1", "u2", "u4", "i2", "i4", "f4"}
+
+
+def rawz_encode(array: np.ndarray) -> bytes:
+    a = np.ascontiguousarray(array)
+    code = a.dtype.str.lstrip("<>|=")
+    if code not in _RAWZ_DTYPES:
+        raise ValueError(f"rawz does not carry dtype {a.dtype}")
+    h, w = a.shape
+    head = _RAWZ_MAGIC + code.encode() + struct.pack("<HH", w, h)
+    return head + zlib.compress(a.astype(f"<{code}").tobytes(), 1)
+
+
+def rawz_decode(data: bytes) -> np.ndarray:
+    if data[:4] != _RAWZ_MAGIC:
+        raise ValueError("not a rawz payload")
+    code = data[4:6].decode()
+    w, h = struct.unpack_from("<HH", data, 6)
+    return np.frombuffer(
+        zlib.decompress(data[10:]), dtype=f"<{code}"
+    ).reshape(h, w)
 
 
 # ---------------------------------------------------------------------------
@@ -168,6 +213,8 @@ def encode(array: np.ndarray, fmt: str) -> bytes:
         return png_encode(array)
     if fmt == "jpeg":
         return dctq_encode(array)
+    if fmt == "rawz":
+        return rawz_encode(array)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -176,6 +223,8 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
         return png_decode(data)
     if fmt == "jpeg":
         return dctq_decode(data)
+    if fmt == "rawz":
+        return rawz_decode(data)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

@@ -94,7 +94,10 @@ def _emit_parts(batches: Iterator[pd.DataFrame], margin: int
                             np.ascontiguousarray(part).tobytes(),
                             part.shape[0],
                             part.shape[1],
-                            "raw",
+                            # strips are raw; tag the dtype so the
+                            # reducer can reassemble non-u8 tiles (f4
+                            # DEMs etc.)
+                            "raw:" + px.dtype.str.lstrip("<>|="),
                         )
                     )
         if rows:
@@ -115,15 +118,17 @@ def _assemble_padded(pdf: pd.DataFrame, tile_px: int, margin: int):
     if len(center) == 0:
         return None
     c = center.iloc[0]
-    canvas = np.empty((size, size), dtype=np.uint8)
     core = codecs.decode(bytes(c["payload"]), str(c["fmt"]))
+    canvas = np.empty((size, size), dtype=core.dtype)
     canvas[m : m + tile_px, m : m + tile_px] = core
     have = set()
     for t in pdf.itertuples():
         dy, dx = t.src_dy, t.src_dx
         if dy == 0 and dx == 0:
             continue
-        part = np.frombuffer(bytes(t.payload), dtype=np.uint8).reshape(
+        fmt = str(t.fmt)
+        dt = fmt.split(":", 1)[1] if fmt.startswith("raw:") else "u1"
+        part = np.frombuffer(bytes(t.payload), dtype=dt).reshape(
             t.ph, t.pw
         )
         # a strip emitted by the neighbor at (-dy, -dx) relative to us
@@ -200,11 +205,15 @@ def halo_stencil(
         if canvas is None:
             return pd.DataFrame(columns=["cell_id", "bytes", "fmt"])
         result = kernel(canvas)[margin:-margin, margin:-margin]
+        if result.dtype == np.uint8:
+            payload, fmt = codecs.png_encode(result), "png"
+        else:
+            payload, fmt = codecs.rawz_encode(result), "rawz"
         return pd.DataFrame(
             {
                 "cell_id": [int(pdf["target"].iloc[0])],
-                "bytes": [codecs.png_encode(result.astype(np.uint8))],
-                "fmt": ["png"],
+                "bytes": [payload],
+                "fmt": [fmt],
             }
         )
 

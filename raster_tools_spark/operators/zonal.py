@@ -128,7 +128,13 @@ def _partials_stream(batches, expr: str | None = None):
                 continue
             vals = px[mask]
             data = vals[vals != t.nodata]
-            hist = np.bincount(data, minlength=256).astype(np.int64)
+            if data.dtype == np.uint8:
+                hist = np.bincount(data, minlength=256).astype(np.int64)
+            else:
+                # non-u8 band (f4 DEM etc.): exact-histogram
+                # percentiles are a u8-domain feature; mean/std/min/max
+                # remain exact, median/p75/frac become NaN downstream
+                hist = np.zeros(256, dtype=np.int64)
             if expr is not None and data.size:
                 stat_data = eval_band_expr(expr, data)
             else:
@@ -211,9 +217,12 @@ def _finalize(pdf: pd.DataFrame, range_frac=None) -> pd.DataFrame:
         std = math.sqrt(var)
         mn = float(pdf["mn"].min())
         mx = float(pdf["mx"].max())
-        med = percentile_from_hist(hist, 50.0)
-        p75 = percentile_from_hist(hist, 75.0)
-        if range_frac is not None:
+        if int(hist.sum()) == cnt:
+            med = percentile_from_hist(hist, 50.0)
+            p75 = percentile_from_hist(hist, 75.0)
+        else:  # non-u8 band: no exact histogram
+            med = p75 = float("nan")
+        if range_frac is not None and int(hist.sum()) == cnt:
             lo, hi = range_frac
             # green-factor style in-range fraction, exact from the u8
             # histogram (green_factor.py:176-193 semantics)
@@ -226,6 +235,149 @@ def _finalize(pdf: pd.DataFrame, range_frac=None) -> pd.DataFrame:
             "feat_id", "size", "cnt", "mean", "std", "mn", "mx",
             "median", "p75", "frac_in_range",
         ],
+    )
+
+
+_RGB_EXPR_WHITELIST = {"r", "g", "b", "np", "mean", "median", "sum",
+                       "clip", "sqrt", "abs", "minimum", "maximum",
+                       "where", "log1p", "std", "percentile"}
+
+
+def eval_rgb_expr(expr: str, r, g, b) -> float:
+    """AST-whitelisted per-feature calculation over the masked band
+    vectors r/g/b (int64) -- the safe re-expression of rgb_zonal's
+    ``eval(calculation)`` (rgb_zonal.py:95-98)."""
+    import ast
+
+    tree = ast.parse(expr, mode="eval")
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Name) and node.id not in _RGB_EXPR_WHITELIST:
+            raise ValueError(f"name {node.id!r} not allowed")
+        if isinstance(node, (ast.Attribute, ast.Call)):
+            fn = node.func if isinstance(node, ast.Call) else node
+            if isinstance(fn, ast.Attribute):
+                if not (
+                    isinstance(fn.value, ast.Name)
+                    and fn.value.id == "np"
+                    and fn.attr in _RGB_EXPR_WHITELIST
+                ):
+                    raise ValueError("only np.<whitelisted> calls allowed")
+    ns = {"r": r, "g": g, "b": b, "np": np}
+    return float(
+        eval(compile(tree, "<rgb_expr>", "eval"), {"__builtins__": {}}, ns)
+    )
+
+
+_RGB_PARTIAL_SCHEMA = (
+    "feat_id long, image_id string, r array<long>, g array<long>, "
+    "b array<long>"
+)
+_RGB_FINAL_SCHEMA = "feat_id long, n_px long, result double"
+
+
+def rgb_zonal(
+    images_cells: DataFrame,
+    polygons: DataFrame,
+    calculation: str,
+    join_res: int = JOIN_RES,
+    max_area: float = 1000.0,
+) -> DataFrame:
+    """Multi-band zonal calculation (SURVEY.md S2/A8,
+    rgb_zonal.py:57-98): per polygon, evaluate an AST-whitelisted
+    expression over the masked (r, g, b) int64 vectors of every
+    overlapping RGB tile.  Polygons with area > ``max_area`` are
+    skipped (rgb_zonal.py:74-76), as are polygons with no masked
+    pixels; partials carry the masked band vectors (features are small
+    by the guard) and are concatenated in image_id order so the result
+    is partitioning-independent."""
+    from .. import geom as _geom
+
+    @F.pandas_udf("double")
+    def area_udf(wkb_s: pd.Series) -> pd.Series:
+        return wkb_s.map(lambda bb: _geom.area(bytes(bb)))
+
+    polys = polygons.withColumn(
+        "_area", area_udf(F.col("geom_wkb"))
+    ).filter(F.col("_area") <= max_area).drop("_area")
+
+    img = images_cells.withColumn(
+        "icell",
+        F.explode(
+            _image_cover_udf(join_res)(
+                F.col("x0"), F.col("y_top"), F.col("w"), F.col("h")
+            )
+        ),
+    ).select("image_id", "bytes", "fmt", "x0", "y_top", "icell")
+
+    from .pip import _covering_udf
+
+    pcells = polys.withColumn(
+        "pcell", F.explode(_covering_udf(join_res)(F.col("geom_wkb")))
+    ).select("feat_id", "geom_wkb", "pcell")
+    cand = img.join(
+        F.broadcast(pcells), img["icell"] == pcells["pcell"]
+    ).select(
+        "image_id", "bytes", "fmt", "x0", "y_top", "feat_id", "geom_wkb"
+    )
+
+    def partials(batches):
+        cur_img = None
+        px = None
+        gt = None
+        seen: set = set()
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples():
+                if t.image_id != cur_img:
+                    cur_img = t.image_id
+                    px = codecs.decode(bytes(t.bytes), t.fmt)
+                    gt = GeoTransform(
+                        (t.x0, CELL_SIZE, 0.0, t.y_top, 0.0, -CELL_SIZE)
+                    )
+                    seen = set()
+                if t.feat_id in seen:
+                    continue
+                seen.add(t.feat_id)
+                mask = geom.rasterize_mask(
+                    bytes(t.geom_wkb), gt, px.shape[0], px.shape[1]
+                )
+                if not mask.any():
+                    continue
+                sel = px[mask].astype(np.int64)  # (n, 3)
+                rows.append(
+                    (
+                        t.feat_id,
+                        t.image_id,
+                        sel[:, 0].tolist(),
+                        sel[:, 1].tolist(),
+                        sel[:, 2].tolist(),
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["feat_id", "image_id", "r", "g", "b"],
+                )
+
+    def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("image_id")
+        r = np.concatenate([np.asarray(v) for v in pdf["r"]])
+        g = np.concatenate([np.asarray(v) for v in pdf["g"]])
+        b = np.concatenate([np.asarray(v) for v in pdf["b"]])
+        if r.size == 0 or not (r.any() or g.any() or b.any()):
+            # reference skips empty / all-zero reads
+            return pd.DataFrame(columns=["feat_id", "n_px", "result"])
+        return pd.DataFrame(
+            {
+                "feat_id": [int(pdf["feat_id"].iloc[0])],
+                "n_px": [int(r.size)],
+                "result": [eval_rgb_expr(calculation, r, g, b)],
+            }
+        )
+
+    parts = cand.mapInPandas(partials, schema=_RGB_PARTIAL_SCHEMA)
+    return parts.groupBy("feat_id").applyInPandas(
+        finalize, schema=_RGB_FINAL_SCHEMA
     )
 
 

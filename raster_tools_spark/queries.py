@@ -188,6 +188,45 @@ def _zrect_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pdf, schema="feat_id long, geom_wkb binary")
 
 
+def _srect_params(n: int):
+    """Small rectangles (area <= 1000 m^2) for the rgb_zonal guard."""
+    # anchored on the image-anchor cycle (tx, ty) = (7n, 13n) mod 16
+    # so every rectangle overlaps real pixels
+    x1 = ((n * 7) % 16) * 128.0 + 3.0
+    y2 = WORLD_TOP - ((n * 13) % 16) * 128.0 - 2.0
+    w = (1 + n % 3) * 8.0 + 3.0
+    h = (1 + n % 4) * 5.0 + 4.0
+    return x1, x1 + w, y2 - h, y2
+
+
+def _srect_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nk = [
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    rows = []
+    for n in sorted(nk):
+        x1, x2, y1, y2 = _srect_params(int(n))
+        rows.append((int(n), wkb.box_wkb(x1, y1, x2, y2)))
+    pdf = pd.DataFrame(rows, columns=["feat_id", "geom_wkb"])
+    return spark.createDataFrame(pdf, schema="feat_id long, geom_wkb binary")
+
+
+def _srects_sql() -> str:
+    return f"""
+    srects AS (
+      SELECT n_nationkey AS feat_id,
+             ((n_nationkey*7)%16)*128.0 + 3.0 AS x1,
+             ((n_nationkey*7)%16)*128.0 + 3.0
+               + (1 + n_nationkey%3)*8.0 + 3.0 AS x2,
+             ({WORLD_TOP:.1f} - ((n_nationkey*13)%16)*128.0 - 2.0)
+               - ((1 + n_nationkey%4)*5.0 + 4.0) AS y1,
+             {WORLD_TOP:.1f} - ((n_nationkey*13)%16)*128.0 - 2.0 AS y2
+      FROM nation
+    )
+    """
+
+
 def _drect_params(n: int):
     """Second rectangle layer (overlay layer 2), off the zrect grid."""
     x1 = ((n * 41) % 13) * 128.0 + 33.0
@@ -1069,6 +1108,60 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["area_guard"] = area_guard
 
+    def rgb_zonal(spark, sf_dir):
+        """S2/A8 multi-band zonal: whitelisted calculation over masked
+        (r, g, b) vectors of real RGB PNG tiles; oracle recomputes from
+        the reconstructed 3-band pixel table."""
+        images = synth.linear_rgb_images_df(spark, 150, tiles_axis=16)
+        polys = _srect_polygons(spark, sf_dir)
+        return op_zonal.rgb_zonal(
+            images, polys, "np.mean(3.0 * g - r - b)"
+        )
+
+    q["rgb_zonal"] = rgb_zonal
+
+    def zonal_f4(spark, sf_dir):
+        """S2 f4 data plane: zonal statistics over float32 (rawz) DEM
+        tiles whose relief exceeds the u8 range; exact mean/std/min/max
+        oracle-checked (percentiles are u8-domain and NULL here)."""
+        images = synth.linear_f4_images_df(spark, 150, tiles_axis=16)
+        polys = _zrect_polygons(spark, sf_dir)
+        out = op_zonal.zonal_stats(images, polys, nodata=-1.0)
+        return out.select(
+            "feat_id", "size", "cnt", "mean", "std", "mn", "mx"
+        )
+
+    q["zonal_f4"] = zonal_f4
+
+    def hillshade_f4(spark, sf_dir):
+        """f4 DEM -> u8 hillshade through the dtype-generic halo
+        exchange (rows-only; seam equality is pytest-checked)."""
+        from .operators import focal
+
+        images = synth.linear_f4_images_df(spark, 100, tiles_axis=16)
+        # full-size images only (the stencil canvas is fixed-size), one
+        # deterministic representative per canonical tile
+        images = images.filter((F.col("w") == 64) & (F.col("h") == 64))
+        tiles = images.select(
+            op_tile.cell_col(
+                F.col("x0") + F.lit(0.25),
+                F.col("y_top") - F.lit(0.25),
+                10,
+            ).alias("cell_id"),
+            "bytes",
+            "fmt",
+        ).groupBy("cell_id").agg(
+            F.min("bytes").alias("bytes"), F.min("fmt").alias("fmt")
+        )
+        out = focal.halo_stencil(
+            tiles, focal.hillshade_kernel, margin=1, tile_px=64
+        )
+        return out.select(
+            "cell_id", F.md5(F.col("bytes")).alias("shade_md5")
+        )
+
+    q["hillshade_f4"] = hillshade_f4
+
     def shadow_march(spark, sf_dir):
         from . import shadow as shadow_mod
         from .operators import focal, retile as op_retile
@@ -1821,6 +1914,36 @@ def oracle_sql() -> Dict[str, str]:
         FROM nation
       )
     ) WHERE area >= 100000.0
+    """
+
+    o["rgb_zonal"] = f"""
+    WITH {synth.linear_rgb_pixels_sql(150, 16)}, {_srects_sql()},
+    sel AS (
+      SELECT s.feat_id, p.image_id, p.r, p.g, p.b
+      FROM lrgb p JOIN srects s
+        ON p.px >= s.x1 AND p.px < s.x2
+       AND p.py >= s.y1 AND p.py < s.y2
+    )
+    SELECT feat_id, COUNT(*) AS n_px,
+           CAST(SUM(3*g - r - b) AS DOUBLE) / COUNT(*) AS result
+    FROM sel GROUP BY feat_id
+    """
+
+    o["zonal_f4"] = f"""
+    WITH {synth.linear_f4_pixels_sql(150, 16)}, {_zrects_sql()},
+    data AS (
+      SELECT r.feat_id, p.v
+      FROM lf4 p JOIN zrects r
+        ON p.px >= r.x1 AND p.px < r.x2
+       AND p.py >= r.y1 AND p.py < r.y2
+    )
+    SELECT feat_id,
+           COUNT(*) AS size, COUNT(*) AS cnt,
+           SUM(v) / COUNT(*) AS mean,
+           sqrt(GREATEST(SUM(v*v) / COUNT(*)
+                - (SUM(v)/COUNT(*)) * (SUM(v)/COUNT(*)), 0.0)) AS std,
+           MIN(v) AS mn, MAX(v) AS mx
+    FROM data GROUP BY feat_id
     """
 
     o["image_resize"] = f"""

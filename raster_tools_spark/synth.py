@@ -286,6 +286,158 @@ def linear_pixels_sql(n: int, tiles_axis: int = 16) -> str:
     """
 
 
+def linear_rgb_pixels(idx: int, h: int, w: int) -> np.ndarray:
+    """(h, w, 3) uint8: band b value = (seed + 7i + 13j + 31b) % 251."""
+    seed = (idx * 37) % 199
+    ii, jj, bb = np.meshgrid(
+        np.arange(h, dtype=np.int64),
+        np.arange(w, dtype=np.int64),
+        np.arange(3, dtype=np.int64),
+        indexing="ij",
+    )
+    return ((seed + 7 * ii + 13 * jj + 31 * bb) % 251).astype(np.uint8)
+
+
+def linear_rgb_images_df(spark, n: int, tiles_axis: int = 16,
+                         partitions=None):
+    """3-band (RGB PNG) variant of linear_images_df (S2 multi-band)."""
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for idx in pdf["id"].to_numpy():
+                idx = int(idx)
+                w, h = linear_size(idx)
+                px = linear_rgb_pixels(idx, h, w)
+                x0, y_top = linear_anchor(idx, tiles_axis)
+                rows.append(
+                    (
+                        f"img_{idx:012d}",
+                        codecs.png_encode(px),
+                        w, h, "png",
+                        f"rgb caption {idx}", int(idx),
+                        float(x0), float(y_top),
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "image_id", "bytes", "w", "h", "fmt", "caption",
+                        "phash", "x0", "y_top",
+                    ],
+                )
+
+    return spark.range(0, n, 1, parts).mapInPandas(
+        gen, schema=IMAGES_SCHEMA + ", x0 double, y_top double"
+    )
+
+
+def linear_f4_pixels(idx: int, h: int, w: int) -> np.ndarray:
+    """float32 DEM with relief beyond the u8 range: v = 3*seed +
+    0.5*i + 0.25*j (every value an exact dyadic rational)."""
+    seed = (idx * 37) % 199
+    ii, jj = np.meshgrid(
+        np.arange(h, dtype=np.float64),
+        np.arange(w, dtype=np.float64),
+        indexing="ij",
+    )
+    return (3.0 * seed + 0.5 * ii + 0.25 * jj).astype(np.float32)
+
+
+def linear_f4_images_df(spark, n: int, tiles_axis: int = 16,
+                        partitions=None):
+    """f4 (rawz) variant of linear_images_df (S2 non-u8 dtypes)."""
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for idx in pdf["id"].to_numpy():
+                idx = int(idx)
+                w, h = linear_size(idx)
+                px = linear_f4_pixels(idx, h, w)
+                x0, y_top = linear_anchor(idx, tiles_axis)
+                rows.append(
+                    (
+                        f"img_{idx:012d}",
+                        codecs.rawz_encode(px),
+                        w, h, "rawz",
+                        f"f4 caption {idx}", int(idx),
+                        float(x0), float(y_top),
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "image_id", "bytes", "w", "h", "fmt", "caption",
+                        "phash", "x0", "y_top",
+                    ],
+                )
+
+    return spark.range(0, n, 1, parts).mapInPandas(
+        gen, schema=IMAGES_SCHEMA + ", x0 double, y_top double"
+    )
+
+
+def linear_rgb_pixels_sql(n: int, tiles_axis: int = 16) -> str:
+    """DuckDB CTE ``lrgb``: (idx, image_id, i, j, r, g, b, px, py)."""
+    return f"""
+    limg AS (
+      SELECT g.idx,
+             printf('img_%012d', g.idx) AS image_id,
+             ({LINEAR_SIZE} - 2*(g.idx % 3)) AS w,
+             ({LINEAR_SIZE} - 2*(g.idx % 5)) AS h,
+             ((g.idx*7) % {tiles_axis}) * {TILE_SIZE!r} AS x0,
+             {WORLD_TOP!r} - ((g.idx*13) % {tiles_axis}) * {TILE_SIZE!r}
+               AS y_top,
+             (g.idx*37) % 199 AS seed
+      FROM (SELECT unnest(generate_series(0, {n - 1})) AS idx) g
+    ),
+    lrgb AS (
+      SELECT idx, image_id, gi.i, gj.j,
+             (seed + 7*gi.i + 13*gj.j) % 251 AS r,
+             (seed + 7*gi.i + 13*gj.j + 31) % 251 AS g,
+             (seed + 7*gi.i + 13*gj.j + 62) % 251 AS b,
+             x0 + (gj.j + 0.5) * {CELL_SIZE!r} AS px,
+             y_top - (gi.i + 0.5) * {CELL_SIZE!r} AS py
+      FROM limg,
+           LATERAL (SELECT unnest(generate_series(0, h - 1)) AS i) gi,
+           LATERAL (SELECT unnest(generate_series(0, w - 1)) AS j) gj
+    )
+    """
+
+
+def linear_f4_pixels_sql(n: int, tiles_axis: int = 16) -> str:
+    """DuckDB CTE ``lf4``: (idx, image_id, i, j, v, px, py) with v cast
+    through REAL to match the engine's float32 payload exactly."""
+    return f"""
+    limg AS (
+      SELECT g.idx,
+             printf('img_%012d', g.idx) AS image_id,
+             ({LINEAR_SIZE} - 2*(g.idx % 3)) AS w,
+             ({LINEAR_SIZE} - 2*(g.idx % 5)) AS h,
+             ((g.idx*7) % {tiles_axis}) * {TILE_SIZE!r} AS x0,
+             {WORLD_TOP!r} - ((g.idx*13) % {tiles_axis}) * {TILE_SIZE!r}
+               AS y_top,
+             (g.idx*37) % 199 AS seed
+      FROM (SELECT unnest(generate_series(0, {n - 1})) AS idx) g
+    ),
+    lf4 AS (
+      SELECT idx, image_id, gi.i, gj.j,
+             CAST(CAST(3.0*seed + 0.5*gi.i + 0.25*gj.j AS REAL)
+                  AS DOUBLE) AS v,
+             x0 + (gj.j + 0.5) * {CELL_SIZE!r} AS px,
+             y_top - (gi.i + 0.5) * {CELL_SIZE!r} AS py
+      FROM limg,
+           LATERAL (SELECT unnest(generate_series(0, h - 1)) AS i) gi,
+           LATERAL (SELECT unnest(generate_series(0, w - 1)) AS j) gj
+    )
+    """
+
+
 # ---------------------------------------------------------------------------
 # Vector layers (FIXTURES.md section 2/3).
 # ---------------------------------------------------------------------------
