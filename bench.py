@@ -99,6 +99,13 @@ def run_bench(spark, sf_dir: str, n_images: int = 20000,
         "cosine_topk",
         "token_quality",
         "streaming_window_batch",
+        # round-2 operators
+        "retile_tiles",
+        "floor_level",
+        "mask_difference",
+        "lsh_ann",
+        "dedup_clusters",
+        "xyz_bin",
     ):
         fn = qcat[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())

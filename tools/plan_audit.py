@@ -25,6 +25,12 @@ def plan_of(df) -> str:
     return buf.getvalue()
 
 
+def qcat_polys_small(spark):
+    from raster_tools_spark.queries import _zrect_polygons
+
+    return _zrect_polygons(spark, SF)
+
+
 def main():
     from pyspark.sql import functions as F
 
@@ -102,6 +108,49 @@ def main():
                 "single shuffle (final agg only)",
                 lambda p: len(re.findall(r"[+:]- Exchange ", p)) == 1,
             ),
+        ],
+    )
+
+    # 5b. floor_level: same broadcast shape as zonal -- the image side
+    # is never shuffled; the only exchange carries histograms
+    fl = op_zonal.floor_level(
+        synth.linear_images_df(spark, 40, tiles_axis=16),
+        qcat_polys_small(spark),
+    )
+    audit(
+        "floor_level_broadcast_path",
+        fl,
+        [
+            ("polygon side broadcast", lambda p: "BroadcastHashJoin" in p),
+            (
+                "single shuffle (final agg only)",
+                lambda p: len(re.findall(r"[+:]- Exchange ", p)) == 1,
+            ),
+        ],
+    )
+
+    # 5c. lsh_ann: the candidate join is an EQUI-join on the signature
+    # bucket -- never a cross join (the shape that survives 10^12 rows)
+    audit(
+        "lsh_ann_bucket_equijoin",
+        qcat["lsh_ann"](spark, SF),
+        [
+            ("no cartesian product", lambda p: "CartesianProduct" not in p),
+            (
+                "equi-join on sig",
+                lambda p: ("SortMergeJoin" in p) or ("HashJoin" in p),
+            ),
+        ],
+    )
+
+    # 5d. xyz_bin: text parse stays whole-stage codegen; the envelope
+    # is a broadcast 1-row aggregate, the bin reduce one hash agg
+    audit(
+        "xyz_bin_codegen",
+        qcat["xyz_bin"](spark, SF),
+        [
+            ("hash aggregate bins", lambda p: "HashAggregate" in p),
+            ("no python row UDF", lambda p: "BatchEvalPython" not in p),
         ],
     )
 
