@@ -96,6 +96,13 @@ def png_decode(data: bytes) -> np.ndarray:
         h, w * nch + 1
     )
     filters = raw[:, 0]
+    if not filters.any():
+        # fast path: every scanline filter is 0 (what this engine's
+        # encoder writes) -- no defiltering loop, no int32 round trip
+        out = np.ascontiguousarray(raw[:, 1:])
+        return (
+            out.reshape(h, w, 3) if ctype == 2 else out.reshape(h, w)
+        )
     out = raw[:, 1:].astype(np.int32).copy()
     for i in range(h):
         f = filters[i]

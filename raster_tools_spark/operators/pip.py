@@ -95,12 +95,21 @@ def pip_join(
     salt: Optional[int] = None,
     keep_cols=("image_id", "cx", "cy"),
     poly_cols=("feat_id", "category", "value"),
+    rehydrate_geom: bool = False,
 ) -> DataFrame:
     """images (assign_cells output) x polygons(feat_id, geom_wkb, ...)
     -> containment pairs.
 
     ``salt``: explicit salt bucket count for the shuffle phase (None =
     rely on AQE skew join only).
+
+    ``rehydrate_geom``: phase N normally carries ``geom_wkb``
+    duplicated once per covering cell through the shuffle -- cheap for
+    typical polygons, wasteful for vertex-heavy ones.  True strips the
+    geometry from the exploded cell table (the shuffle moves only
+    (feat_id, cell) keys) and broadcast-joins it back by feat_id just
+    before the exact refine.  Requires the phase-N polygon set to be
+    broadcastable; the default False works at any polygon-layer size.
     """
     cell_key = f"qk_r{join_res}"
     pts = images.select(*keep_cols, cell_key)
@@ -122,10 +131,17 @@ def pip_join(
     out_cols = [*(c for c in keep_cols), *poly_cols]
 
     # ---- phase N: shuffle equi-join on covering cells -------------------
-    ncells = normal.withColumn(
-        "cover_cell", F.explode(_covering_udf(join_res)(F.col("geom_wkb")))
-    ).select("feat_id", "geom_wkb", "cover_cell",
-             *[c for c in poly_cols if c != "feat_id"])
+    if rehydrate_geom:
+        ncells = normal.withColumn(
+            "cover_cell",
+            F.explode(_covering_udf(join_res)(F.col("geom_wkb"))),
+        ).select("feat_id", "cover_cell")
+    else:
+        ncells = normal.withColumn(
+            "cover_cell",
+            F.explode(_covering_udf(join_res)(F.col("geom_wkb"))),
+        ).select("feat_id", "geom_wkb", "cover_cell",
+                 *[c for c in poly_cols if c != "feat_id"])
 
     if salt:
         pts_s = pts.withColumn(
@@ -141,6 +157,17 @@ def pip_join(
         ).drop("_salt")
     else:
         cand_n = pts.join(ncells, pts[cell_key] == ncells["cover_cell"])
+
+    if rehydrate_geom:
+        # geometry (and attributes) re-attached AFTER the big shuffle,
+        # from a broadcast of the phase-N polygon table keyed by id
+        geo = F.broadcast(
+            normal.select(
+                "feat_id", "geom_wkb",
+                *[c for c in poly_cols if c != "feat_id"],
+            )
+        )
+        cand_n = cand_n.join(geo, "feat_id")
 
     matched_n = (
         cand_n.select("image_id", "cx", "cy", "feat_id", "geom_wkb",

@@ -1162,6 +1162,15 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hillshade_f4"] = hillshade_f4
 
+    def embedding_near_dup(spark, sf_dir):
+        """Embedding-cosine near-duplicate pairs via the LSH bucket
+        join (same integer-derived hyperplanes as lsh_ann, so the
+        bucket assignment itself is oracle-checked)."""
+        emb = _t(spark, sf_dir, "embeddings")
+        return fsim.embedding_near_dup(emb, threshold=0.3)
+
+    q["embedding_near_dup"] = embedding_near_dup
+
     def shadow_march(spark, sf_dir):
         from . import shadow as shadow_mod
         from .operators import focal, retile as op_retile
@@ -1643,6 +1652,33 @@ def oracle_sql() -> Dict[str, str]:
                ORDER BY sim DESC, cid ASC) AS rn
       FROM scored
     ) WHERE rn <= 5
+    """
+
+    o["embedding_near_dup"] = """
+    WITH sigs AS (
+      SELECT vec_id, embedding,
+        list_sum(list_transform(range(0, 8), p ->
+          CASE WHEN list_sum(list_transform(range(0, 64), d ->
+                 CAST(embedding[d+1] AS DOUBLE) *
+                 ((((p*8191 + d) * 2654435761) % 2147483648)
+                  / 1073741824.0 - 1.0)
+               )) > 0
+               THEN (CAST(1 AS BIGINT) << p) ELSE 0 END
+        )) AS sig,
+        sqrt(list_sum(list_transform(embedding,
+          x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    )
+    SELECT doc_a, doc_b, sim FROM (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+        floor(
+          list_sum(list_transform(range(1, 65),
+            i -> CAST(a.embedding[i] AS DOUBLE)
+                 * CAST(b.embedding[i] AS DOUBLE)))
+          / (a.nrm * b.nrm) * 1000000.0) / 1000000.0 AS sim
+      FROM sigs a JOIN sigs b
+        ON a.sig = b.sig AND a.vec_id < b.vec_id
+    ) WHERE sim >= 0.3
     """
 
     lpix150 = synth.linear_pixels_sql(150, 16)

@@ -307,3 +307,26 @@ class TestZonalExpr:
             zonal.eval_band_expr("__import__('os')", np.arange(3))
         with _pytest.raises(ValueError):
             zonal.eval_band_expr("v.__class__", np.arange(3))
+
+
+class TestPipRehydrate:
+    def test_rehydrate_geom_same_pairs(self, spark):
+        from raster_tools_spark import synth
+        from raster_tools_spark.operators import pip as op_pip
+        from raster_tools_spark.operators import tile as op_tile
+
+        images = synth.images_df(spark, 300, tiles_axis=32,
+                                 with_pixels=False)
+        cells = op_tile.assign_cells(images, tiles_axis=32)
+        polys = synth.polygons_df(spark, 30, tiles_axis=32)
+        base = sorted(
+            (r.image_id, r.feat_id)
+            for r in op_pip.pip_join(cells, polys).collect()
+        )
+        rehydrated = sorted(
+            (r.image_id, r.feat_id)
+            for r in op_pip.pip_join(
+                cells, polys, rehydrate_geom=True
+            ).collect()
+        )
+        assert base == rehydrated and len(base) > 0
