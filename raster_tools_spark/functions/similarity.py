@@ -171,6 +171,109 @@ def lsh_topk(
     )
 
 
+def _centroid_sims_udf(centroids: np.ndarray):
+    """Cosine similarity of each vector to every centroid, accumulated
+    in explicit dimension order (bit-identical to the oracle's
+    list_sum).  Returns an array column of doubles in centroid order."""
+    cents = centroids.astype(np.float64)
+    cnorms = np.sqrt((cents * cents).sum(axis=1))
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def sims(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        n = len(m)
+        vnorm = np.zeros(n)
+        for d in range(m.shape[1]):
+            vnorm += m[:, d] * m[:, d]
+        vnorm = np.sqrt(vnorm)
+        out = np.empty((n, len(cents)))
+        for k in range(len(cents)):
+            acc = np.zeros(n)
+            for d in range(m.shape[1]):
+                acc += m[:, d] * cents[k, d]
+            out[:, k] = acc / (vnorm * cnorms[k])
+        return pd.Series(list(out))
+
+    return sims
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN: a coarse quantizer (the first ``n_centroids``
+    vectors by id -- deterministic sampling) partitions the corpus into
+    inverted lists; each query probes its ``nprobe`` nearest lists and
+    ranks candidates by exact cosine.  The probe/list join is an
+    equi-join on the cluster id -- the IVF shape that scales (shuffle
+    by list, never all-pairs); recall < 1 by construction, raise
+    ``nprobe`` to trade cost for recall."""
+    cents_rows = (
+        vectors.select(F.col(id_col).alias("cid_c"),
+                       F.col(vec_col).alias("cv"))
+        .filter(F.col("cid_c") < n_centroids)
+        .orderBy("cid_c")
+        .collect()
+    )
+    centroids = np.stack([np.asarray(r.cv) for r in cents_rows])
+    sims = _centroid_sims_udf(centroids)
+
+    v = vectors.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    ).withColumn("csims", sims(F.col("vec"))).withColumn(
+        "n", _norm(F.col("vec"))
+    )
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(csims: pd.Series) -> pd.Series:
+        m = np.stack(csims.to_numpy())
+        return pd.Series(np.argmax(m, axis=1).astype(np.int32))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe(csims: pd.Series) -> pd.Series:
+        m = np.stack(csims.to_numpy())
+        order = np.argsort(-m, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    lists = v.withColumn("cluster", assign(F.col("csims"))).select(
+        F.col("vid").alias("cid"), F.col("vec").alias("cv2"),
+        F.col("n").alias("cn"), "cluster",
+    )
+    queries = v.withColumn(
+        "cluster", F.explode(probe(F.col("csims")))
+    ).select(
+        F.col("vid").alias("qid"), F.col("vec").alias("qv"),
+        F.col("n").alias("qn"), "cluster",
+    )
+    cand = (
+        queries.join(lists, "cluster")
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "qv", "qn", "cid", "cv2", "cn")
+        .distinct()  # a candidate can surface via several probes
+    )
+    scored = cand.withColumn(
+        "sim",
+        F.floor(
+            _dot(F.col("qv"), F.col("cv2"))
+            / (F.col("qn") * F.col("cn"))
+            * 1000000.0
+        )
+        / 1000000.0,
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("cid").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", "sim", "rn")
+    )
+
+
 def embedding_near_dup(
     vectors: DataFrame,
     threshold: float = 0.95,

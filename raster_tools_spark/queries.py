@@ -1171,6 +1171,35 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_near_dup"] = embedding_near_dup
 
+    def sessionize(spark, sf_dir):
+        """Gap-based per-user sessionization -- the batch twin of the
+        applyInPandasWithState streaming operator
+        (streaming/sessions.py); stream==batch parity is
+        pytest-checked, the twin itself oracle-checked here."""
+        from .streaming import sessions as ss
+
+        out = ss.sessionize_batch(_t(spark, sf_dir, "events"))
+        return out.select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss")
+            .alias("session_start"),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss")
+            .alias("session_end"),
+            "n_events",
+            "sum_v",
+        )
+
+    q["sessionize"] = sessionize
+
+    def ivf_ann(spark, sf_dir):
+        """IVF-flat ANN: deterministic coarse quantizer -> inverted
+        lists -> nprobe equi-join -> exact cosine; the second scale
+        path besides LSH buckets."""
+        emb = _t(spark, sf_dir, "embeddings")
+        return fsim.ivf_topk(emb, k=5, n_centroids=8, nprobe=2)
+
+    q["ivf_ann"] = ivf_ann
+
     def shadow_march(spark, sf_dir):
         from . import shadow as shadow_mod
         from .operators import focal, retile as op_retile
@@ -1679,6 +1708,85 @@ def oracle_sql() -> Dict[str, str]:
       FROM sigs a JOIN sigs b
         ON a.sig = b.sig AND a.vec_id < b.vec_id
     ) WHERE sim >= 0.3
+    """
+
+    o["sessionize"] = """
+    WITH m AS (
+      SELECT user_id, ts, event_id, value,
+        CASE WHEN epoch_ms(ts)/1000.0
+                  - lag(epoch_ms(ts)/1000.0) OVER (
+                      PARTITION BY user_id
+                      ORDER BY ts ASC, event_id ASC) > 1800.0
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+        SUM(new_session) OVER (PARTITION BY user_id
+          ORDER BY ts ASC, event_id ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS session_no
+      FROM m
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_v
+    FROM s GROUP BY user_id, session_no
+    """
+
+    o["ivf_ann"] = """
+    WITH cents AS (
+      SELECT vec_id AS cid_c, embedding AS cv,
+        sqrt(list_sum(list_transform(embedding,
+          x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS cn
+      FROM embeddings WHERE vec_id < 8
+    ),
+    vecs AS (
+      SELECT vec_id, embedding,
+        sqrt(list_sum(list_transform(embedding,
+          x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS vn
+      FROM embeddings
+    ),
+    csims AS (
+      SELECT v.vec_id, c.cid_c,
+        list_sum(list_transform(range(1, 65),
+          i -> CAST(v.embedding[i] AS DOUBLE)
+               * CAST(c.cv[i] AS DOUBLE))) / (v.vn * c.cn) AS sim
+      FROM vecs v CROSS JOIN cents c
+    ),
+    ranked AS (
+      SELECT vec_id, cid_c,
+        row_number() OVER (PARTITION BY vec_id
+          ORDER BY sim DESC, cid_c ASC) AS rn
+      FROM csims
+    ),
+    assign AS (SELECT vec_id, cid_c AS cluster FROM ranked WHERE rn = 1),
+    probes AS (SELECT vec_id, cid_c AS cluster FROM ranked
+               WHERE rn <= 2),
+    cand AS (
+      SELECT DISTINCT p.vec_id AS qid, a.vec_id AS cid
+      FROM probes p JOIN assign a ON p.cluster = a.cluster
+      WHERE p.vec_id != a.vec_id
+    ),
+    scored AS (
+      SELECT c.qid, c.cid,
+        floor(
+          list_sum(list_transform(range(1, 65),
+            i -> CAST(q.embedding[i] AS DOUBLE)
+                 * CAST(t.embedding[i] AS DOUBLE)))
+          / (q.vn * t.vn) * 1000000.0) / 1000000.0 AS sim
+      FROM cand c
+      JOIN vecs q ON q.vec_id = c.qid
+      JOIN vecs t ON t.vec_id = c.cid
+    )
+    SELECT qid, cid, sim, rn FROM (
+      SELECT qid, cid, sim,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY sim DESC, cid ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 5
     """
 
     lpix150 = synth.linear_pixels_sql(150, 16)

@@ -69,3 +69,44 @@ def test_incremental_files_accumulate(spark, tmp_path):
         q.stop()
     assert n1 == half
     assert n2 == total
+
+
+def test_sessionize_stream_equals_batch(spark, events_dir):
+    """Stateful sessionization (applyInPandasWithState): drained
+    stream output must equal the batch twin for every session the
+    final watermark provably closed."""
+    from raster_tools_spark.streaming import sessions as ss
+
+    stream = ss.sessionize_stream(
+        sw.read_event_stream(spark, events_dir)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_sessions")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM t_sessions").collect()
+
+    ev = spark.read.parquet(events_dir)
+    batch = ss.sessionize_batch(ev).collect()
+    max_ts = ev.agg(F.max("ts")).collect()[0][0].timestamp()
+    watermark = max_ts - 2 * 3600
+    gap = ss.GAP_SECONDS_DEFAULT
+    # sessions the watermark provably closed
+    expected = [
+        r for r in batch
+        if r.session_end.timestamp() + gap < watermark
+    ]
+    key = lambda r: (
+        r.user_id, r.session_start, r.session_end, r.n_events,
+        round(r.sum_v, 6),
+    )
+    got_k = sorted(key(r) for r in got)
+    exp_k = sorted(key(r) for r in expected)
+    assert len(exp_k) > 0
+    assert got_k == exp_k
