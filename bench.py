@@ -106,6 +106,8 @@ def run_bench(spark, sf_dir: str, n_images: int = 20000,
         "lsh_ann",
         "dedup_clusters",
         "xyz_bin",
+        "sessionize",
+        "ivf_ann",
     ):
         fn = qcat[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())

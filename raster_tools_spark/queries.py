@@ -83,17 +83,40 @@ def _rect_params(n: int):
     return x1, x1 + w, y2 - h, y2
 
 
+
+def _nation_layer(spark: SparkSession, sf_dir: str, geom_fn) -> DataFrame:
+    """Polygon layer derived JVM-side from the nation table: one
+    vectorized UDF builds the WKB per key -- no driver collect, so the
+    layer scales with the catalog table instead of driver memory."""
+
+    @F.pandas_udf("binary")
+    def mk(nk: pd.Series) -> pd.Series:
+        return nk.map(lambda n: geom_fn(int(n)))
+
+    return (
+        _t(spark, sf_dir, "nation")
+        .select(F.col("n_nationkey").cast("long").alias("feat_id"))
+        .withColumn("geom_wkb", mk(F.col("feat_id")))
+    )
+
+
+def _box_of(param_fn):
+    def build(n: int) -> bytes:
+        x1, x2, y1, y2 = param_fn(n)
+        return wkb.box_wkb(x1, y1, x2, y2)
+
+    return build
+
+
+def _diamond_of(n: int) -> bytes:
+    cx, cy, r = _diamond_params(n)
+    return wkb.polygon_wkb(
+        [(cx, cy - r), (cx + r, cy), (cx, cy + r), (cx - r, cy)]
+    )
+
+
 def _rect_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nk = [
-        r.n_nationkey
-        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
-    ]
-    rows = []
-    for n in sorted(nk):
-        x1, x2, y1, y2 = _rect_params(int(n))
-        rows.append((int(n), wkb.box_wkb(x1, y1, x2, y2)))
-    pdf = pd.DataFrame(rows, columns=["feat_id", "geom_wkb"])
-    return spark.createDataFrame(pdf, schema="feat_id long, geom_wkb binary")
+    return _nation_layer(spark, sf_dir, _box_of(_rect_params))
 
 
 _RECT_SQL_CASES_X1 = (
@@ -130,17 +153,7 @@ def _diamond_params(n: int):
 
 
 def _diamond_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nk = [
-        r.n_nationkey
-        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
-    ]
-    rows = []
-    for n in sorted(nk):
-        cx, cy, r = _diamond_params(int(n))
-        ring = [(cx, cy - r), (cx + r, cy), (cx, cy + r), (cx - r, cy)]
-        rows.append((int(n), wkb.polygon_wkb(ring)))
-    pdf = pd.DataFrame(rows, columns=["feat_id", "geom_wkb"])
-    return spark.createDataFrame(pdf, schema="feat_id long, geom_wkb binary")
+    return _nation_layer(spark, sf_dir, _diamond_of)
 
 
 def _diamonds_sql() -> str:
@@ -176,16 +189,7 @@ def _zrect_params(n: int):
 
 
 def _zrect_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nk = [
-        r.n_nationkey
-        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
-    ]
-    rows = []
-    for n in sorted(nk):
-        x1, x2, y1, y2 = _zrect_params(int(n))
-        rows.append((int(n), wkb.box_wkb(x1, y1, x2, y2)))
-    pdf = pd.DataFrame(rows, columns=["feat_id", "geom_wkb"])
-    return spark.createDataFrame(pdf, schema="feat_id long, geom_wkb binary")
+    return _nation_layer(spark, sf_dir, _box_of(_zrect_params))
 
 
 def _srect_params(n: int):
@@ -200,16 +204,7 @@ def _srect_params(n: int):
 
 
 def _srect_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nk = [
-        r.n_nationkey
-        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
-    ]
-    rows = []
-    for n in sorted(nk):
-        x1, x2, y1, y2 = _srect_params(int(n))
-        rows.append((int(n), wkb.box_wkb(x1, y1, x2, y2)))
-    pdf = pd.DataFrame(rows, columns=["feat_id", "geom_wkb"])
-    return spark.createDataFrame(pdf, schema="feat_id long, geom_wkb binary")
+    return _nation_layer(spark, sf_dir, _box_of(_srect_params))
 
 
 def _srects_sql() -> str:
@@ -237,16 +232,7 @@ def _drect_params(n: int):
 
 
 def _drect_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nk = [
-        r.n_nationkey
-        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
-    ]
-    rows = []
-    for n in sorted(nk):
-        x1, x2, y1, y2 = _drect_params(int(n))
-        rows.append((int(n), wkb.box_wkb(x1, y1, x2, y2)))
-    pdf = pd.DataFrame(rows, columns=["feat_id", "geom_wkb"])
-    return spark.createDataFrame(pdf, schema="feat_id long, geom_wkb binary")
+    return _nation_layer(spark, sf_dir, _box_of(_drect_params))
 
 
 def _drects_sql() -> str:
