@@ -1182,7 +1182,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         lists -> nprobe equi-join -> exact cosine; the second scale
         path besides LSH buckets."""
         emb = _t(spark, sf_dir, "embeddings")
-        return fsim.ivf_topk(emb, k=5, n_centroids=8, nprobe=2)
+        return fsim.ivf_topk(emb, k=5, n_centroids=32, nprobe=2)
 
     q["ivf_ann"] = ivf_ann
 
@@ -1727,7 +1727,7 @@ def oracle_sql() -> Dict[str, str]:
       SELECT vec_id AS cid_c, embedding AS cv,
         sqrt(list_sum(list_transform(embedding,
           x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS cn
-      FROM embeddings WHERE vec_id < 8
+      FROM embeddings WHERE vec_id < 32
     ),
     vecs AS (
       SELECT vec_id, embedding,
