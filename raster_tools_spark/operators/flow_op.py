@@ -509,13 +509,13 @@ def accumulate_tiles(
 
     all_inflows = None
     for _ in range(max_rounds):
-        if outflows.isEmpty():
-            break
         inflows = outflows.groupBy("cell_id", "px").agg(
             F.sum("qty").alias("qty")
         )
         inflows = inflows.localCheckpoint(eager=True)
         n_in = inflows.count()
+        if n_in == 0:
+            break
         all_inflows = (
             inflows if all_inflows is None
             else all_inflows.unionByName(inflows)

@@ -890,7 +890,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         from . import flow
         from .operators import flow_op, focal, retile as op_retile
 
-        images = synth.images_df(spark, 120, tiles_axis=8)
+        images = synth.images_df(spark, 64, tiles_axis=8)
         cells = op_tile.assign_cells(images, tiles_axis=8)
         tiles = op_retile.retile(cells).select("cell_id", "bytes", "fmt")
 

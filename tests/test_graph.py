@@ -77,3 +77,31 @@ def test_dedup_clusters(spark):
     assert out[12] == (5, False)
     assert out[30] == (30, True)
     assert out[31] == (30, False)
+
+
+def test_distributed_path_equals_driver_path(spark):
+    """Both executions of the hybrid must label identically."""
+    import numpy as np
+    import pandas as pd
+
+    from raster_tools_spark.functions import graph
+
+    rng = np.random.default_rng(9)
+    edges_pdf = pd.DataFrame(
+        {
+            "src": rng.integers(0, 120, 200),
+            "dst": rng.integers(0, 120, 200),
+        }
+    )
+    edges = spark.createDataFrame(edges_pdf, schema="src long, dst long")
+    drv = {
+        (r.node, r.comp)
+        for r in graph.connected_components(edges).collect()
+    }
+    dist = {
+        (r.node, r.comp)
+        for r in graph.connected_components(
+            edges, driver_threshold=0
+        ).collect()
+    }
+    assert drv == dist and len(drv) > 0

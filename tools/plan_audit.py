@@ -154,6 +154,26 @@ def main():
         ],
     )
 
+    # 5e. retile: exactly one exchange (the groupBy(cell) assembling
+    # reducer); the image scan is never shuffled twice
+    from raster_tools_spark.operators import retile as op_retile
+
+    rt = op_retile.retile(
+        op_tile.assign_cells(
+            synth.images_df(spark, 30, tiles_axis=8), tiles_axis=8
+        )
+    )
+    audit(
+        "retile_single_shuffle",
+        rt,
+        [
+            (
+                "single exchange",
+                lambda p: len(re.findall(r"[+:]- Exchange ", p)) == 1,
+            ),
+        ],
+    )
+
     # 6. mosaic merge: single hash agg pair (partial+final), no window
     audit(
         "mosaic_merge_hashagg",
