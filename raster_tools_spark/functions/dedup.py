@@ -186,27 +186,33 @@ def lsh_candidate_pairs(
     )
 
 
-def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
-    """64-bit SimHash over whitespace tokens: per bit, the majority of
-    token-hash bits.  Pure JVM bit arithmetic (xxhash64 + aggregates);
-    rows-only correctness check (no DuckDB xxhash64)."""
+def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
+    """SimHash over whitespace tokens: per bit, the majority vote of
+    token-hash bits.  Token hash = the first 15 hex chars of md5 as a
+    60-bit integer -- pure JVM expressions (md5 + conv + bit
+    arithmetic), and md5 gives the DuckDB oracle an identical hash, so
+    the fingerprint is a HARD cross-engine check (xxhash64 previously
+    forced a rows-only check)."""
+    assert bits <= 60  # 15 hex chars fit a signed long
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
-    votes = toks
+    ).withColumn(
+        "h",
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10)
+        .cast("long"),
+    )
     agg_exprs = []
     for i in range(bits):
         bit = F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))
         agg_exprs.append(
             F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"b{i}")
         )
-    per_doc = votes.groupBy("doc_id").agg(*agg_exprs)
+    per_doc = toks.groupBy("doc_id").agg(*agg_exprs)
     sim = F.lit(0).cast("long")
     for i in range(bits):
         sim = sim.bitwiseOR(
             F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long"))
             .otherwise(F.lit(0).cast("long"))
-            .__mul__(F.lit(1 << i if i < 63 else -(1 << 63)).cast("long"))
+            * F.lit(1 << i).cast("long")
         )
-    # bit 63 via multiplication of min-long avoids ANSI overflow
     return per_doc.select("doc_id", sim.alias("simhash"))

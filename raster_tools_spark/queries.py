@@ -1217,14 +1217,31 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["zonal_expr"] = zonal_expr
 
     def line_drape(spark, sf_dir):
+        """Line drape sampling over RETILED tiles, oracle-checked: the
+        SQL twin re-derives the arc-length samples, the last-wins
+        merged pixel values, and the per-line extremum.  (The jittered
+        multi-segment Philox lines keep their pytest goldens in
+        test_lines.py.)"""
         from .operators import lines as op_lines, retile as op_retile
 
-        images = synth.images_df(spark, 150, tiles_axis=8)
-        cells = op_tile.assign_cells(images, tiles_axis=8)
-        tiles = op_retile.retile(cells)
-        lines_pdf = synth.lines_pdf(30, tiles_axis=8)
-        lines_df = spark.createDataFrame(
-            lines_pdf, schema="line_id long, geom_wkb binary"
+        images = synth.linear_images_df(spark, 150, tiles_axis=16)
+        tiles = op_retile.retile(images)
+
+        @F.pandas_udf("binary")
+        def mk_line(nk: pd.Series) -> pd.Series:
+            def build(n: int) -> bytes:
+                tx = (n * 7) % 16
+                ty = (n * 13) % 16
+                x1 = tx * 128.0 + 1.25
+                y = WORLD_TOP - ty * 128.0 - 5.25
+                return wkb.linestring_wkb([(x1, y), (x1 + 96.0, y)])
+
+            return nk.map(lambda n: build(int(n)))
+
+        lines_df = (
+            _t(spark, sf_dir, "nation")
+            .select(F.col("n_nationkey").cast("long").alias("line_id"))
+            .withColumn("geom_wkb", mk_line(F.col("line_id")))
         )
         prof = op_lines.line_profile(lines_df, tiles, step=2.0)
         return op_lines.line_extremum(prof)
@@ -1268,6 +1285,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> Dict[str, str]:
     o: Dict[str, str] = {}
     top = f"{WORLD_TOP:.1f}"
+    lpix150 = synth.linear_pixels_sql(150, 16)
     R9 = 9 << 56
     R10 = 10 << 56
     R8 = 8 << 56
@@ -1722,6 +1740,72 @@ def oracle_sql() -> Dict[str, str]:
     FROM s GROUP BY user_id, session_no
     """
 
+    o["line_drape"] = f"""
+    WITH {lpix150},
+    merged AS (
+      SELECT CAST(floor(px * 2.0) AS BIGINT) AS wj,
+             CAST(floor(({top} - py) * 2.0) AS BIGINT) AS wi,
+             arg_max(v, image_id) AS v
+      FROM lpix WHERE v != 255 GROUP BY 1, 2
+    ),
+    live_tiles AS (
+      SELECT DISTINCT wj // 256 AS tx, wi // 256 AS ty FROM merged
+    ),
+    lns AS (
+      SELECT n_nationkey AS line_id,
+             (n_nationkey*7) % 16 AS tx,
+             (n_nationkey*13) % 16 AS ty,
+             ((n_nationkey*7) % 16) * 128.0 + 1.25 AS x1,
+             {top} - ((n_nationkey*13) % 16) * 128.0 - 5.25 AS y
+      FROM nation
+    ),
+    samples AS (
+      SELECT l.line_id, gk.k AS seq,
+             l.x1 + 2.0 * gk.k AS sx, l.y AS sy, l.tx, l.ty
+      FROM lns l,
+           LATERAL (SELECT unnest(generate_series(0, 48)) AS k) gk
+    ),
+    prof AS (
+      SELECT s.line_id, s.seq, s.sx, s.sy,
+             CAST(COALESCE(m.v, 255) AS INT) AS value
+      FROM samples s
+      JOIN live_tiles t ON t.tx = s.tx AND t.ty = s.ty
+      LEFT JOIN merged m
+        ON m.wj = CAST(floor(s.sx * 2.0) AS BIGINT)
+       AND m.wi = CAST(floor(({top} - s.sy) * 2.0) AS BIGINT)
+    )
+    SELECT line_id, seq AS extremum_seq, sx AS extremum_x,
+           sy AS extremum_y, value AS extremum_value
+    FROM (
+      SELECT line_id, seq, sx, sy, value,
+             row_number() OVER (PARTITION BY line_id
+               ORDER BY value DESC, seq ASC) AS rn
+      FROM prof
+    ) WHERE rn = 1
+    """
+
+    o["simhash_docs"] = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, gb.b AS bit,
+             SUM(CASE WHEN (h >> gb.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h, LATERAL (SELECT unnest(generate_series(0, 59)) AS b) gb
+      GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """
+
     o["ivf_ann"] = """
     WITH cents AS (
       SELECT vec_id AS cid_c, embedding AS cv,
@@ -1775,7 +1859,6 @@ def oracle_sql() -> Dict[str, str]:
     ) WHERE rn <= 5
     """
 
-    lpix150 = synth.linear_pixels_sql(150, 16)
     o["zonal_image"] = (
         f"WITH {lpix150}, {_zrects_sql()}, "
         + _zonal_stats_sql("", "v")
