@@ -85,3 +85,65 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         F.md5(F.col("text")).alias("fp"),
         F.md5(F.substring(F.col("text"), 1, 64)).alias("fp_prefix"),
     )
+
+
+def bpe_ish_token_count(docs: DataFrame, text_col: str = "text"
+                        ) -> DataFrame:
+    """BPE-ish subword token counting via a dialect-portable regex:
+    letter runs, digit runs, and single punctuation marks each count as
+    one token (the coarse shape of a byte-pair pre-tokenizer).  Pure
+    JVM regexp; the pattern uses only constructs Java regex and RE2
+    (DuckDB) treat identically, so the oracle is exact."""
+    pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    return docs.select(
+        "doc_id",
+        token_count_col(F.col(text_col)).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)
+        ).alias("bpe_ish_tokens"),
+    )
+
+
+def rolling_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    window: int = 16,
+    base: int = 256,
+    mod: int = 1_000_003,
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
+    polynomial rolling hash over every k-char gram, then the minimum
+    hash of each full sliding window of ``window`` grams; the DISTINCT
+    minima are the document's fingerprints.
+
+    All JVM expressions: gram positions via sequence+explode, the
+    k-term Horner hash as a codegen'd arithmetic chain, the window
+    minimum via a min() frame -- no Python, exact integer math that
+    any oracle engine reproduces."""
+    from pyspark.sql import Window as W
+
+    n_grams = F.length(F.col(text_col)) - k + 1
+    pos = docs.filter(n_grams >= window).select(
+        "doc_id",
+        F.col(text_col).alias("_t"),
+        F.explode(F.sequence(F.lit(1), n_grams)).alias("p"),
+    )
+    # Horner chain: h = ((...(c0*B + c1)*B + c2)...) % m per step
+    acc = F.lit(0).cast("long")
+    for j in range(k):
+        c = F.ascii(F.expr(f"substring(_t, p + {j}, 1)")).cast("long")
+        acc = (acc * F.lit(base).cast("long") + c) % F.lit(mod)
+    hashed = pos.select(
+        "doc_id", "p", acc.alias("h"),
+        (F.length("_t") - k + 1 - window + 1).alias("_maxp"),
+    )
+    win = W.partitionBy("doc_id").orderBy("p").rowsBetween(0, window - 1)
+    fps = hashed.select(
+        "doc_id",
+        F.min("h").over(win).alias("fp"),
+        "p", "_maxp",
+    ).filter(F.col("p") <= F.col("_maxp"))
+    return fps.groupBy("doc_id", "fp").agg(
+        F.count(F.lit(1)).alias("n_windows")
+    )

@@ -1186,6 +1186,19 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivf_ann"] = ivf_ann
 
+    def token_regex(spark, sf_dir):
+        """BPE-ish regex token counting next to whitespace tokens."""
+        return ftext.bpe_ish_token_count(_t(spark, sf_dir, "documents"))
+
+    q["token_regex"] = token_regex
+
+    def rolling_fp(spark, sf_dir):
+        """Winnowing rolling-hash document fingerprints (k-gram Horner
+        hash + per-window minima), pure JVM expressions."""
+        return ftext.rolling_fingerprints(_t(spark, sf_dir, "documents"))
+
+    q["rolling_fp"] = rolling_fp
+
     def shadow_march(spark, sf_dir):
         from . import shadow as shadow_mod
         from .operators import focal, retile as op_retile
@@ -1782,6 +1795,47 @@ def oracle_sql() -> Dict[str, str]:
                ORDER BY value DESC, seq ASC) AS rn
       FROM prof
     ) WHERE rn = 1
+    """
+
+    o["token_regex"] = """
+    SELECT doc_id,
+      CASE WHEN length(text) = 0 THEN 0
+           ELSE length(text) - length(replace(text, ' ', '')) + 1
+      END AS ws_tokens,
+      len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+        AS bpe_ish_tokens
+    FROM documents
+    """
+
+    _horner = "CAST(ascii(substr(text, p + 0, 1)) AS BIGINT)"
+    for _j in range(1, 8):
+        _horner = (
+            f"(({_horner}) * 256 "
+            f"+ CAST(ascii(substr(text, p + {_j}, 1)) AS BIGINT))"
+            " % 1000003"
+        )
+    # Spark's chain also reduces the FIRST term mod m; harmless (ascii
+    # < m) but mirror it exactly
+    _horner = f"({_horner}) % 1000003"
+    o["rolling_fp"] = f"""
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, length(text) - 7)) AS p
+      FROM documents WHERE length(text) - 7 >= 16
+    ),
+    h AS (
+      SELECT doc_id, p, {_horner} AS h,
+             length(text) - 7 - 16 + 1 AS maxp
+      FROM pos
+    ),
+    w AS (
+      SELECT doc_id, p, maxp,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+      FROM h
+    )
+    SELECT doc_id, fp, COUNT(*) AS n_windows
+    FROM w WHERE p <= maxp GROUP BY doc_id, fp
     """
 
     o["simhash_docs"] = """
