@@ -1199,6 +1199,28 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rolling_fp"] = rolling_fp
 
+    def json_props(spark, sf_dir):
+        """SURVEY 2.7 JSON family: extract a typed field from the JSON
+        props column (JVM get_json_object) and aggregate."""
+        ev = _t(spark, sf_dir, "events")
+        return (
+            ev.select(
+                "event_type",
+                F.get_json_object(F.col("props"), "$.k")
+                .cast("long")
+                .alias("k"),
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count("k").alias("n"),
+                F.sum("k").alias("sum_k"),
+                F.min("k").alias("min_k"),
+                F.max("k").alias("max_k"),
+            )
+        )
+
+    q["json_props"] = json_props
+
     def shadow_march(spark, sf_dir):
         from . import shadow as shadow_mod
         from .operators import focal, retile as op_retile
@@ -1795,6 +1817,18 @@ def oracle_sql() -> Dict[str, str]:
                ORDER BY value DESC, seq ASC) AS rn
       FROM prof
     ) WHERE rn = 1
+    """
+
+    o["json_props"] = """
+    SELECT event_type,
+           COUNT(k) AS n,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           MIN(k) AS min_k, MAX(k) AS max_k
+    FROM (
+      SELECT event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events
+    ) GROUP BY event_type
     """
 
     o["token_regex"] = """
