@@ -147,6 +147,159 @@ def line_profile(
     )
 
 
+CARPET_SCHEMA = (
+    "line_id long, seq int, off int, sx double, sy double, "
+    "cx double, cy double"
+)
+
+
+def sample_carpet_points(
+    lines: DataFrame,
+    step: float = CELL_SIZE,
+    distance: float = 1.0,
+    carpet_step: float = CELL_SIZE,
+) -> DataFrame:
+    """Carpet sampling (line_up.py get_carpet semantics): every
+    arc-length sample expands into a row of points offset along the
+    local segment NORMAL at ``carpet_step`` spacing up to ``distance``
+    each side.  (cx, cy) carries the on-line center of each row."""
+    n_off = int(np.floor(distance / carpet_step))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples():
+                gtype, coords = _wkb.parse(bytes(t.geom_wkb))
+                if gtype != _wkb.LINESTRING or len(coords) < 2:
+                    continue
+                seg = np.diff(coords, axis=0)
+                seg_len = np.hypot(seg[:, 0], seg[:, 1])
+                total = float(seg_len.sum())
+                if total <= 0:
+                    continue
+                n = max(int(np.floor(total / step)), 1)
+                params = np.arange(n + 1) * step
+                params[-1] = min(params[-1], total)
+                cum = np.concatenate([[0.0], np.cumsum(seg_len)])
+                idx = np.clip(
+                    np.searchsorted(cum, params, side="right") - 1,
+                    0, len(seg) - 1,
+                )
+                frac = (params - cum[idx]) / np.where(
+                    seg_len[idx] > 0, seg_len[idx], 1.0
+                )
+                pts = coords[idx] + seg[idx] * frac[:, None]
+                # unit normal of the carrying segment
+                nx = -seg[idx, 1] / seg_len[idx]
+                ny = seg[idx, 0] / seg_len[idx]
+                for k in range(len(pts)):
+                    cx0, cy0 = float(pts[k, 0]), float(pts[k, 1])
+                    for o in range(-n_off, n_off + 1):
+                        d = o * carpet_step
+                        rows.append(
+                            (
+                                t.line_id, k, o,
+                                cx0 + float(nx[k]) * d,
+                                cy0 + float(ny[k]) * d,
+                                cx0, cy0,
+                            )
+                        )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["line_id", "seq", "off", "sx", "sy",
+                             "cx", "cy"],
+                )
+
+    return lines.select("line_id", "geom_wkb").mapInPandas(
+        gen, schema=CARPET_SCHEMA
+    )
+
+
+def line_carpet_profile(
+    lines: DataFrame,
+    tiles: DataFrame,
+    step: float = CELL_SIZE,
+    distance: float = 1.0,
+    carpet_step: float = CELL_SIZE,
+    res: int = RES_TILE,
+    nodata: int = 255,
+    find_max: bool = True,
+) -> DataFrame:
+    """Carpet drape (line_up.py --distance mode): per on-line sample,
+    the extremum of the raster over the perpendicular carpet row;
+    nodata carpet points are ignored, rows whose whole carpet is
+    nodata (or off-coverage) are dropped.  Returns
+    (line_id, seq, cx, cy, value)."""
+    samples = sample_carpet_points(
+        lines, step, distance, carpet_step
+    ).withColumn("cell_id", cell_col(F.col("sx"), F.col("sy"), res))
+    t = tiles.select("cell_id", "bytes", "fmt", "x0", "y_top")
+    cand = samples.join(t, "cell_id").select(
+        "line_id", "seq", "off", "sx", "sy", "cx", "cy",
+        "bytes", "fmt", "x0", "y_top", "cell_id",
+    )
+
+    def lookup(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            outs = []
+            for cid, sub in pdf.groupby("cell_id", sort=False):
+                px = codecs.decode(
+                    bytes(sub["bytes"].iloc[0]), sub["fmt"].iloc[0]
+                )
+                j = np.floor(
+                    (sub["sx"].to_numpy() - sub["x0"].to_numpy())
+                    / CELL_SIZE
+                ).astype(np.int64)
+                i = np.floor(
+                    (sub["y_top"].to_numpy() - sub["sy"].to_numpy())
+                    / CELL_SIZE
+                ).astype(np.int64)
+                ok = (
+                    (i >= 0) & (i < px.shape[0])
+                    & (j >= 0) & (j < px.shape[1])
+                )
+                if not ok.any():
+                    continue
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "line_id": sub["line_id"].to_numpy()[ok],
+                            "seq": sub["seq"].to_numpy()[ok],
+                            "cx": sub["cx"].to_numpy()[ok],
+                            "cy": sub["cy"].to_numpy()[ok],
+                            "value": px[i[ok], j[ok]].astype(np.int32),
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    n_parts = lines.sparkSession.sparkContext.defaultParallelism
+    vals = (
+        cand.repartition(n_parts, "cell_id")
+        .sortWithinPartitions("cell_id")
+        .mapInPandas(
+            lookup,
+            schema=(
+                "line_id long, seq int, cx double, cy double, value int"
+            ),
+        )
+    )
+    agg = F.max("value") if find_max else F.min("value")
+    return (
+        vals.filter(F.col("value") != nodata)
+        .groupBy("line_id", "seq")
+        .agg(
+            F.min("cx").alias("cx"),
+            F.min("cy").alias("cy"),
+            agg.alias("value"),
+        )
+    )
+
+
 def line_extremum(profile: DataFrame, find_max: bool = True) -> DataFrame:
     """Per-line extremum sample with its position -- the reference's
     rank-along-line (line_up.py:169-188) as a Window row_number."""

@@ -1221,6 +1221,36 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["json_props"] = json_props
 
+    def line_carpet(spark, sf_dir):
+        """Carpet drape (line_up --distance mode): per on-line sample,
+        the max of the raster over a perpendicular +-1 m carpet row."""
+        from .operators import lines as op_lines, retile as op_retile
+
+        images = synth.linear_images_df(spark, 150, tiles_axis=16)
+        tiles = op_retile.retile(images)
+
+        @F.pandas_udf("binary")
+        def mk_line(nk: pd.Series) -> pd.Series:
+            def build(n: int) -> bytes:
+                tx = (n * 7) % 16
+                ty = (n * 13) % 16
+                x1 = tx * 128.0 + 1.25
+                y = WORLD_TOP - ty * 128.0 - 5.25
+                return wkb.linestring_wkb([(x1, y), (x1 + 96.0, y)])
+
+            return nk.map(lambda n: build(int(n)))
+
+        lines_df = (
+            _t(spark, sf_dir, "nation")
+            .select(F.col("n_nationkey").cast("long").alias("line_id"))
+            .withColumn("geom_wkb", mk_line(F.col("line_id")))
+        )
+        return op_lines.line_carpet_profile(
+            lines_df, tiles, step=2.0, distance=1.0, carpet_step=0.5
+        )
+
+    q["line_carpet"] = line_carpet
+
     def shadow_march(spark, sf_dir):
         from . import shadow as shadow_mod
         from .operators import focal, retile as op_retile
@@ -1870,6 +1900,49 @@ def oracle_sql() -> Dict[str, str]:
     )
     SELECT doc_id, fp, COUNT(*) AS n_windows
     FROM w WHERE p <= maxp GROUP BY doc_id, fp
+    """
+
+    o["line_carpet"] = f"""
+    WITH {lpix150},
+    merged AS (
+      SELECT CAST(floor(px * 2.0) AS BIGINT) AS wj,
+             CAST(floor(({top} - py) * 2.0) AS BIGINT) AS wi,
+             arg_max(v, image_id) AS v
+      FROM lpix WHERE v != 255 GROUP BY 1, 2
+    ),
+    live_tiles AS (
+      SELECT DISTINCT wj // 256 AS tx, wi // 256 AS ty FROM merged
+    ),
+    lns AS (
+      SELECT n_nationkey AS line_id,
+             (n_nationkey*7) % 16 AS tx,
+             (n_nationkey*13) % 16 AS ty,
+             ((n_nationkey*7) % 16) * 128.0 + 1.25 AS x1,
+             {top} - ((n_nationkey*13) % 16) * 128.0 - 5.25 AS y
+      FROM nation
+    ),
+    samples AS (
+      SELECT l.line_id, gk.k AS seq, go.o AS off,
+             l.x1 + 2.0 * gk.k AS sx,
+             l.y + 0.5 * go.o AS sy,
+             l.x1 + 2.0 * gk.k AS cx, l.y AS cy, l.tx, l.ty
+      FROM lns l,
+           LATERAL (SELECT unnest(generate_series(0, 48)) AS k) gk,
+           LATERAL (SELECT unnest(generate_series(-2, 2)) AS o) go
+    ),
+    vals AS (
+      SELECT s.line_id, s.seq, s.cx, s.cy,
+             COALESCE(m.v, 255) AS v
+      FROM samples s
+      JOIN live_tiles t ON t.tx = s.tx AND t.ty = s.ty
+      LEFT JOIN merged m
+        ON m.wj = CAST(floor(s.sx * 2.0) AS BIGINT)
+       AND m.wi = CAST(floor(({top} - s.sy) * 2.0) AS BIGINT)
+    )
+    SELECT line_id, seq, MIN(cx) AS cx, MIN(cy) AS cy,
+           CAST(MAX(v) AS INT) AS value
+    FROM vals WHERE v != 255
+    GROUP BY line_id, seq
     """
 
     o["simhash_docs"] = """
