@@ -1251,6 +1251,20 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["line_carpet"] = line_carpet
 
+    def green_factor(spark, sf_dir):
+        """A9 band-ratio in-range fraction (green_factor.py:176-193):
+        share of polygon pixels whose (r+b)/(2g) ratio falls in
+        [0.8, 1.2], written multiplicatively (r+b within [1.6g, 2.4g],
+        g > 0) so both engines avoid div-by-zero divergence."""
+        images = synth.linear_rgb_images_df(spark, 150, tiles_axis=16)
+        polys = _srect_polygons(spark, sf_dir)
+        return op_zonal.rgb_zonal(
+            images, polys,
+            "np.mean((r + b >= 1.6 * g) & (r + b <= 2.4 * g) & (g > 0))",
+        )
+
+    q["green_factor"] = green_factor
+
     def shadow_march(spark, sf_dir):
         from . import shadow as shadow_mod
         from .operators import focal, retile as op_retile
@@ -1900,6 +1914,22 @@ def oracle_sql() -> Dict[str, str]:
     )
     SELECT doc_id, fp, COUNT(*) AS n_windows
     FROM w WHERE p <= maxp GROUP BY doc_id, fp
+    """
+
+    o["green_factor"] = f"""
+    WITH {synth.linear_rgb_pixels_sql(150, 16)}, {_srects_sql()},
+    sel AS (
+      SELECT s.feat_id, p.r, p.g, p.b
+      FROM lrgb p JOIN srects s
+        ON p.px >= s.x1 AND p.px < s.x2
+       AND p.py >= s.y1 AND p.py < s.y2
+    )
+    SELECT feat_id, COUNT(*) AS n_px,
+           CAST(SUM(CASE WHEN r + b >= 1.6 * g
+                          AND r + b <= 2.4 * g
+                          AND g > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS result
+    FROM sel GROUP BY feat_id
     """
 
     o["line_carpet"] = f"""
