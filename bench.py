@@ -76,7 +76,7 @@ def run_bench(spark, sf_dir: str, n_images: int = 20000,
                 F.count(F.lit(1)).alias("n"),
             ).count()
 
-        n_feats = timed("flagship_tiles_pip", flagship_fn)
+        n_feats = timed("flagship_tiles_pip", flagship_fn, repeats=3)
         extras["flagship_images"] = n_images
         extras["flagship_pip_feats"] = n_feats
         extras["tiles_pip_rows_per_sec"] = round(
@@ -87,7 +87,7 @@ def run_bench(spark, sf_dir: str, n_images: int = 20000,
             cells = op_tile.assign_cells(images, tiles_axis=tiles_axis)
             return op_zonal.zonal_stats(cells, polys).count()
 
-        timed("flagship_zonal_pixels", zonal_fn)
+        timed("flagship_zonal_pixels", zonal_fn, repeats=3)
 
     for name in (
         "grid_assign",
