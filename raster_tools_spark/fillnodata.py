@@ -104,6 +104,22 @@ def label(mask: np.ndarray) -> Tuple[np.ndarray, int]:
     return labels, int(roots.size)
 
 
+def fill_holes(mask: np.ndarray) -> np.ndarray:
+    """Binary hole filling (scipy.ndimage.binary_fill_holes default
+    structure semantics, contour.py:49): background components NOT
+    connected to the array border are holes and become True."""
+    inv = ~mask
+    labs, n = label(inv)
+    if n == 0:
+        return mask.copy()
+    border = np.concatenate(
+        [labs[0, :], labs[-1, :], labs[:, 0], labs[:, -1]]
+    )
+    border_labels = np.unique(border[border > 0])
+    is_outside = np.isin(labs, border_labels) & inv
+    return mask | (inv & ~is_outside)
+
+
 def find_objects(labels: np.ndarray, n: int):
     """Bounding-box slices per label (ndimage.find_objects)."""
     out = []

@@ -1265,6 +1265,23 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["green_factor"] = green_factor
 
+    def contour_footprint(spark, sf_dir):
+        """Footprint contour (reference contour.py): hole-filled data
+        mask polygonized by marching squares per tile; rows-only --
+        ring geometry has pytest goldens (test_contour.py)."""
+        from .operators import contour_op, retile as op_retile
+
+        images = synth.linear_images_df(spark, 150, tiles_axis=16)
+        tiles = op_retile.retile(images)
+        rings = contour_op.contour_tiles(tiles)
+        return rings.groupBy("cell_id").agg(
+            F.count(F.lit(1)).alias("n_rings"),
+            F.sum("n_pts").alias("n_pts"),
+            (F.floor(F.sum("area") * 100.0) / 100.0).alias("area"),
+        )
+
+    q["contour_footprint"] = contour_footprint
+
     def shadow_march(spark, sf_dir):
         from . import shadow as shadow_mod
         from .operators import focal, retile as op_retile
