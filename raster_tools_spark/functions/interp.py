@@ -1,0 +1,106 @@
+"""Scattered-point -> grid interpolation (SURVEY.md 2.7 interpolation
+family; reference griddata usage at roof.py:73-77, zvp2tif.py:66-77,
+txt2tif.py docstring).
+
+The reference interpolates with scipy's Delaunay griddata (linear,
+nearest fallback).  scipy is not in this container and a distributed
+Delaunay is not the Spark-first shape anyway; the engine provides the
+two distributable classics over the SAME kNN ring-expansion join the
+rest of the engine uses:
+
+- ``nearest_grid``: value of the nearest point per grid pixel (the
+  reference's own fallback method);
+- ``idw_grid``: inverse-distance-squared weighting over the k nearest
+  points, folded in a deterministic neighbor order so results are
+  bit-identical across partitionings and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..grid import WORLD_TOP
+from ..operators import knn as op_knn
+from ..operators.tile import cell_col
+
+
+def grid_centers(
+    spark: SparkSession,
+    x0: float,
+    y_top: float,
+    n_cols: int,
+    n_rows: int,
+    edge: float,
+    res: int = 9,
+) -> DataFrame:
+    """Pixel-center query grid (gi, gj, cx, cy, cell), generated
+    distributedly from spark.range (no driver materialization)."""
+    g = spark.range(0, n_cols * n_rows).select(
+        (F.col("id") / n_cols).cast("long").alias("gi"),
+        (F.col("id") % n_cols).alias("gj"),
+    )
+    g = g.select(
+        "gi", "gj",
+        (F.lit(x0) + (F.col("gj") + 0.5) * edge).alias("cx"),
+        (F.lit(y_top) - (F.col("gi") + 0.5) * edge).alias("cy"),
+    )
+    return g.withColumn(
+        "cell", cell_col(F.col("cx"), F.col("cy"), res)
+    ).withColumn("qid", F.col("gi") * n_cols + F.col("gj"))
+
+
+def nearest_grid(
+    grid: DataFrame, points: DataFrame, res: int = 9,
+    max_radius: int = 16,
+) -> DataFrame:
+    """grid(qid, gi, gj, cx, cy, cell) x points(cid, cx, cy, z, cell)
+    -> (gi, gj, z) of the nearest point (ties -> lowest point id)."""
+    nn = op_knn.knn_join(
+        grid.select("qid", "cx", "cy", "cell"),
+        points.select("cid", "cx", "cy", "cell"),
+        k=1, res=res, max_radius=max_radius,
+    )
+    z = points.select(F.col("cid"), F.col("z"))
+    return (
+        nn.join(z, "cid")
+        .join(grid.select("qid", "gi", "gj"), "qid")
+        .select("gi", "gj", "z")
+    )
+
+
+def idw_grid(
+    grid: DataFrame, points: DataFrame, k: int = 4, res: int = 9,
+    max_radius: int = 16, power_eps: float = 1e-12,
+) -> DataFrame:
+    """IDW over the k nearest points: z = sum(w_i z_i) / sum(w_i),
+    w = 1 / (d^2 + eps).  The fold runs in rank order (sorted struct
+    array + HOF aggregate), so the float result is independent of
+    partitioning and reproducible by the SQL oracle."""
+    nn = op_knn.knn_join(
+        grid.select("qid", "cx", "cy", "cell"),
+        points.select("cid", "cx", "cy", "cell"),
+        k=k, res=res, max_radius=max_radius,
+    )
+    z = points.select("cid", "z")
+    joined = nn.join(z, "cid").withColumn(
+        "w", 1.0 / (F.col("dist") * F.col("dist") + F.lit(power_eps))
+    )
+    per_q = joined.groupBy("qid").agg(
+        F.sort_array(
+            F.collect_list(F.struct("rn", "w", "z"))
+        ).alias("terms")
+    )
+    num = F.aggregate(
+        "terms", F.lit(0.0), lambda acc, t: acc + t["w"] * t["z"]
+    )
+    den = F.aggregate(
+        "terms", F.lit(0.0), lambda acc, t: acc + t["w"]
+    )
+    out = per_q.select(
+        "qid",
+        (F.floor(num / den * 1000000.0) / 1000000.0).alias("z"),
+    )
+    return out.join(
+        grid.select("qid", "gi", "gj"), "qid"
+    ).select("gi", "gj", "z")

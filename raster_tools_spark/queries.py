@@ -1282,6 +1282,44 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["contour_footprint"] = contour_footprint
 
+    def _interp_inputs(spark, sf_dir):
+        from .functions import interp
+
+        pts = _t(spark, sf_dir, "events").filter(
+            F.col("event_id") < 2000
+        ).selectExpr(
+            "event_id as cid",
+            "((event_id * 48271) % 4096) + 0.5 as cx",
+            f"{WORLD_TOP:.1f} - (((event_id * 69621) % 4096) + 0.5) as cy",
+            "value as z",
+        ).withColumn(
+            "cell", op_tile.cell_col(F.col("cx"), F.col("cy"), 9)
+        )
+        grid = interp.grid_centers(
+            spark, 0.0, WORLD_TOP, 64, 64, 64.0, res=9
+        )
+        return grid, pts
+
+    def grid_interpolate(spark, sf_dir):
+        """griddata 'nearest' re-expression: per grid pixel, the value
+        of the nearest scattered point via the kNN ring join."""
+        from .functions import interp
+
+        grid, pts = _interp_inputs(spark, sf_dir)
+        return interp.nearest_grid(grid, pts)
+
+    q["grid_interpolate"] = grid_interpolate
+
+    def grid_idw(spark, sf_dir):
+        """Inverse-distance-squared interpolation over the 4 nearest
+        points, folded in rank order for cross-engine bit-identity."""
+        from .functions import interp
+
+        grid, pts = _interp_inputs(spark, sf_dir)
+        return interp.idw_grid(grid, pts, k=4)
+
+    q["grid_idw"] = grid_idw
+
     def shadow_march(spark, sf_dir):
         from . import shadow as shadow_mod
         from .operators import focal, retile as op_retile
@@ -1931,6 +1969,54 @@ def oracle_sql() -> Dict[str, str]:
     )
     SELECT doc_id, fp, COUNT(*) AS n_windows
     FROM w WHERE p <= maxp GROUP BY doc_id, fp
+    """
+
+    _interp_base = f"""
+    pts AS (
+      SELECT event_id AS cid,
+             ((event_id * 48271) % 4096) + 0.5 AS cx,
+             {top} - (((event_id * 69621) % 4096) + 0.5) AS cy,
+             value AS z
+      FROM events WHERE event_id < 2000
+    ),
+    grid AS (
+      SELECT gi.i AS gi, gj.j AS gj,
+             (gj.j + 0.5) * 64.0 AS cx,
+             {top} - (gi.i + 0.5) * 64.0 AS cy
+      FROM (SELECT unnest(generate_series(0, 63)) AS i) gi,
+           (SELECT unnest(generate_series(0, 63)) AS j) gj
+    ),
+    scored AS (
+      SELECT g.gi, g.gj, p.cid, p.z,
+             sqrt((g.cx - p.cx)*(g.cx - p.cx)
+                  + (g.cy - p.cy)*(g.cy - p.cy)) AS dist
+      FROM grid g CROSS JOIN pts p
+    ),
+    ranked AS (
+      SELECT gi, gj, cid, z, dist,
+             row_number() OVER (PARTITION BY gi, gj
+               ORDER BY dist ASC, cid ASC) AS rn
+      FROM scored
+    )
+    """
+
+    o["grid_interpolate"] = f"""
+    WITH {_interp_base}
+    SELECT gi, gj, z FROM ranked WHERE rn = 1
+    """
+
+    o["grid_idw"] = f"""
+    WITH {_interp_base},
+    terms AS (
+      SELECT gi, gj,
+             list(1.0/(dist*dist + 1e-12) * z ORDER BY rn) AS wz,
+             list(1.0/(dist*dist + 1e-12) ORDER BY rn) AS w
+      FROM ranked WHERE rn <= 4 GROUP BY gi, gj
+    )
+    SELECT gi, gj,
+           floor(list_sum(wz) / list_sum(w) * 1000000.0)
+             / 1000000.0 AS z
+    FROM terms
     """
 
     o["green_factor"] = f"""
