@@ -5,10 +5,10 @@ UnionCascaded of layer 2 from every layer-1 feature with OGR/GEOS
 boolean ops.  This engine has no GEOS; the Spark-first re-expression
 rasterizes both layers onto a shared pixel grid and does the boolean
 algebra on masks -- union is a logical OR (free under rasterization),
-difference is mask AND NOT.  Outputs are pixel/area statistics (the
-engine's mask-space answer; vectorizing the remainder back to polygons
-is flow_vec-style chain tracing and out of scope for the reference's
-own use, which feeds areas downstream).
+difference is mask AND NOT.  Outputs are pixel/area statistics
+(mask_difference_area / mask_union_area, both oracle-checked) and
+actual remainder POLYGONS (mask_difference_polygons: marching squares
+over the per-feature window, the difference.py output shape).
 
 Distribution: candidate (cell, feature) pairs come from the standard
 covering-cells explode at ``join_res``; each grid cell's window is
@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import geom
-from ..grid import GeoTransform, cell_bounds, cell_edge, covering_cells
+from ..grid import (GeoTransform, WORLD_TOP, cell_bounds, cell_edge,
+                    covering_cells)
 
 JOIN_RES_DEFAULT = 9
 
@@ -102,6 +103,100 @@ def mask_difference_area(
         F.sum("total_px").alias("total_px"),
         F.sum("kept_px").alias("kept_px"),
         (F.sum("kept_px") * float(pixel * pixel)).alias("kept_area"),
+    )
+
+
+def mask_difference_polygons(
+    layer1: DataFrame,
+    layer2: DataFrame,
+    pixel: float = 4.0,
+    join_res: int = JOIN_RES_DEFAULT,
+) -> DataFrame:
+    """Geometry-out difference (difference.py:41-57 output shape): per
+    layer-1 feature, the REMAINDER polygons after subtracting the
+    layer-2 union, vectorized by marching squares on the feature's own
+    pixel window.  Returns (feat_id, ring_id, n_pts, area, geom_wkb).
+
+    Each feature is processed in one task over its envelope window
+    (features are polygon-sized; the pair discovery is the standard
+    covering-cell equi-join), so no mask ever crosses the shuffle --
+    only (feat_id, wkb) pairs move."""
+    import math as _math
+
+    from ..contour_vec import mask_contours
+    from ..grid import GeoTransform
+    from .. import wkb as _wkb
+
+    c1 = layer1.withColumn(
+        "cell", F.explode(_cover_udf(join_res)(F.col("geom_wkb")))
+    ).select(F.col("feat_id"), F.col("geom_wkb").alias("wkb1"), "cell")
+    c2 = layer2.withColumn(
+        "cell", F.explode(_cover_udf(join_res)(F.col("geom_wkb")))
+    ).select(F.col("geom_wkb").alias("wkb2"), "cell")
+    paired = c1.join(c2, "cell", "left").select(
+        "feat_id", "wkb1", "wkb2"
+    )
+
+    def per_feat(pdf: pd.DataFrame) -> pd.DataFrame:
+        wkb1 = bytes(pdf["wkb1"].iloc[0])
+        env = geom.envelope(wkb1)
+        j0 = _math.floor(env[0] / pixel)
+        j1 = _math.ceil(env[1] / pixel)
+        i0 = _math.floor((WORLD_TOP - env[3]) / pixel)
+        i1 = _math.ceil((WORLD_TOP - env[2]) / pixel)
+        h, w = i1 - i0, j1 - j0
+        if h <= 0 or w <= 0:
+            return pd.DataFrame(
+                columns=["feat_id", "ring_id", "n_pts", "area",
+                         "geom_wkb"]
+            )
+        x0 = j0 * pixel
+        y_top = WORLD_TOP - i0 * pixel
+        gt = GeoTransform((x0, pixel, 0.0, y_top, 0.0, -pixel))
+        m1 = geom.rasterize_mask(wkb1, gt, h, w)
+        seen = set()
+        for b in pdf["wkb2"]:
+            if b is None:
+                continue
+            key = bytes(b)
+            if key in seen:
+                continue
+            seen.add(key)
+            m1 &= ~geom.rasterize_mask(key, gt, h, w)
+        rows = []
+        if m1.any():
+            for rid, ring in enumerate(mask_contours(m1)):
+                xs = x0 + (ring[:, 1] + 0.5) * pixel
+                ys = y_top - (ring[:, 0] + 0.5) * pixel
+                coords = np.column_stack([xs, ys])
+                area = 0.5 * abs(
+                    float(
+                        np.sum(
+                            coords[:-1, 0] * coords[1:, 1]
+                            - coords[1:, 0] * coords[:-1, 1]
+                        )
+                    )
+                )
+                rows.append(
+                    (
+                        int(pdf["feat_id"].iloc[0]),
+                        rid,
+                        int(len(coords)),
+                        area,
+                        _wkb.polygon_wkb(coords),
+                    )
+                )
+        return pd.DataFrame(
+            rows,
+            columns=["feat_id", "ring_id", "n_pts", "area", "geom_wkb"],
+        )
+
+    return paired.groupBy("feat_id").applyInPandas(
+        per_feat,
+        schema=(
+            "feat_id long, ring_id int, n_pts int, area double, "
+            "geom_wkb binary"
+        ),
     )
 
 

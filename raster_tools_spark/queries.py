@@ -1320,6 +1320,23 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["grid_idw"] = grid_idw
 
+    def difference_polygons(spark, sf_dir):
+        """Geometry-out difference (J8): remainder polygons after
+        subtracting the layer-2 union, vectorized per feature; area
+        accounting is oracle-checked by mask_difference, ring geometry
+        has pytest goldens."""
+        from .operators import overlay
+
+        l1 = _zrect_polygons(spark, sf_dir)
+        l2 = _drect_polygons(spark, sf_dir)
+        out = overlay.mask_difference_polygons(l1, l2, pixel=4.0)
+        return out.select(
+            "feat_id", "ring_id", "n_pts",
+            (F.floor(F.col("area") * 100.0) / 100.0).alias("area"),
+        )
+
+    q["difference_polygons"] = difference_polygons
+
     def shadow_march(spark, sf_dir):
         from . import shadow as shadow_mod
         from .operators import focal, retile as op_retile

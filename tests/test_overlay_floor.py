@@ -97,3 +97,74 @@ class TestXyzSource:
         assert out[(0, 0)].z_max == 12.0
         assert out[(0, 0)].n == 2
         assert out[(8, 3)].z_min == 7.0
+
+
+class TestDifferencePolygons:
+    def test_rect_minus_rect_rings(self, spark):
+        import pandas as pd
+
+        from raster_tools_spark.operators import overlay
+        from raster_tools_spark.grid import WORLD_TOP
+
+        # layer1: 80x40 m rect; layer2: a 40x60 m rect overlapping its
+        # right half -> remainder is one ring on the left
+        top = WORLD_TOP
+        l1 = spark.createDataFrame(
+            pd.DataFrame(
+                [(1, wkb.box_wkb(100.0, top - 140.0, 180.0,
+                                 top - 100.0))],
+                columns=["feat_id", "geom_wkb"],
+            ),
+            schema="feat_id long, geom_wkb binary",
+        )
+        l2 = spark.createDataFrame(
+            pd.DataFrame(
+                [(9, wkb.box_wkb(150.0, top - 160.0, 190.0,
+                                 top - 100.0))],
+                columns=["feat_id", "geom_wkb"],
+            ),
+            schema="feat_id long, geom_wkb binary",
+        )
+        rows = overlay.mask_difference_polygons(
+            l1, l2, pixel=4.0
+        ).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        gtype, payload = wkb.parse(bytes(r.geom_wkb))
+        assert gtype == wkb.POLYGON
+        # remainder is ~50 x 40 m; ring area within a pixel band of it
+        assert abs(r.area - 50.0 * 40.0) < 4.0 * (2 * (50 + 40))
+        # every ring vertex stays inside the remainder's outer bounds
+        ring = payload[0]
+        assert ring[:, 0].min() >= 100.0 - 4.0
+        assert ring[:, 0].max() <= 150.0 + 4.0
+
+    def test_no_overlap_keeps_whole_feature(self, spark):
+        import pandas as pd
+
+        from raster_tools_spark.operators import overlay
+        from raster_tools_spark.grid import WORLD_TOP
+
+        top = WORLD_TOP
+        l1 = spark.createDataFrame(
+            pd.DataFrame(
+                [(1, wkb.box_wkb(100.0, top - 140.0, 180.0,
+                                 top - 100.0))],
+                columns=["feat_id", "geom_wkb"],
+            ),
+            schema="feat_id long, geom_wkb binary",
+        )
+        l2 = spark.createDataFrame(
+            pd.DataFrame(
+                [(9, wkb.box_wkb(5000.0, top - 160.0, 5040.0,
+                                 top - 100.0))],
+                columns=["feat_id", "geom_wkb"],
+            ),
+            schema="feat_id long, geom_wkb binary",
+        )
+        rows = overlay.mask_difference_polygons(
+            l1, l2, pixel=4.0
+        ).collect()
+        assert len(rows) == 1
+        # whole 80 x 40 footprint kept (half-pixel contour band)
+        assert abs(rows[0].area - 80.0 * 40.0) < 4.0 * (2 * (80 + 40))
