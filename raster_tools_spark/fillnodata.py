@@ -12,7 +12,8 @@ scipy replacements (identical semantics):
   shift-based numpy morphology;
 - ``ndimage.correlate(..., mode='reflect')`` -> symmetric-pad + stacked
   window sum (scipy 'reflect' == np.pad 'symmetric');
-- ``ndimage.label`` (4-connectivity) -> two-pass union-find.
+- ``ndimage.label`` (4-connectivity) -> vectorized min-label
+  propagation (same scan-order numbering).
 
 The Spark face of this operator lives in operators/fill_op.py (per-tile
 mapInPandas); this module is the deterministic per-void kernel.

@@ -11,7 +11,7 @@ Port of the reference's shadow casting (raster_tools/shadow.py:40-141):
 - pre-pass cross maximum filter widens shadows a little
   (shadow.py:126-127, ``generate_binary_structure(2, 1)`` = cross);
 - early exit when an iteration adds no new shadow (shadow.py:133-140,
-  ported verbatim including its accept-miss semantics);
+  including its accept-miss semantics -- goldens prove parity);
 - output encoding True -> 0, False -> 255 (u1 wrap trick,
   shadow.py:141).
 
