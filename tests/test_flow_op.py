@@ -204,3 +204,44 @@ class TestVectorizeTiles:
                 gtype, coords = wkbm.parse(bytes(r.geom_wkb))
                 assert gtype == wkbm.LINESTRING
                 assert len(coords) == len(line)
+
+
+class TestSeamZigzag:
+    def test_stream_hugging_the_seam(self, spark):
+        """Adversarial: a stream alternating between two tiles at every
+        step (E at col 255, SW at col 256) -- one boundary crossing per
+        row.  Exercises mutual-pair detection and the driver tail."""
+        size = 2 * TILE
+        d = np.zeros((size, size), dtype=np.uint8)
+        E, SW = 2, 16
+        for i in range(0, size - 1):
+            if i % 2 == 0:
+                d[i, TILE - 1] = E    # cross into the right tile
+                d[i, TILE] = SW       # and bounce back one row down
+            else:
+                d[i, TILE - 1] = E
+                d[i, TILE] = SW
+        # feeders: every row's westward neighbor drains into the seam
+        for i in range(size):
+            d[i, TILE - 2] = E
+        rows = []
+        for ty in range(2):
+            for tx in range(2):
+                sub = d[ty * TILE:(ty + 1) * TILE,
+                        tx * TILE:(tx + 1) * TILE]
+                rows.append(
+                    (
+                        int(pack_cell(10, 4 + tx, 7 + ty)),
+                        codecs.png_encode(sub),
+                        "png",
+                    )
+                )
+        tiles = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["cell_id", "bytes", "fmt"]),
+            schema="cell_id long, bytes binary, fmt string",
+        )
+        out = flow_op.accumulate_tiles(tiles, max_rounds=8).collect()
+        got = _stitch(out, 2, decode=False).astype(np.int64)
+        expected = flow.accumulate(d).astype(np.int64)
+        assert expected.max() > 300  # the zigzag accumulates deep
+        assert np.array_equal(got, expected)
