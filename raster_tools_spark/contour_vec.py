@@ -54,11 +54,20 @@ def _edge_point(i: int, j: int, edge: int) -> Tuple[int, int]:
     return (2 * i + 1, 2 * j)
 
 
-def mask_contours(mask: np.ndarray) -> List[np.ndarray]:
-    """Closed contour rings of the (hole-filled) binary mask as (n, 2)
-    arrays of PIXEL coordinates (row, col; pixel centers are integer
-    positions, ring vertices sit on half-integers)."""
-    m = fill_holes(np.asarray(mask, dtype=bool))
+def mask_contours(
+    mask: np.ndarray, fill: bool = True
+) -> List[np.ndarray]:
+    """Closed contour rings of the binary mask as (n, 2) arrays of
+    PIXEL coordinates (row, col; pixel centers are integer positions,
+    ring vertices sit on half-integers).
+
+    ``fill=True`` (the footprint-contour semantics of contour.py:49)
+    fills interior holes first; pass False to ALSO trace hole rings
+    (overlay difference needs them -- a subtracted region strictly
+    inside a feature must survive as an interior ring)."""
+    m = np.asarray(mask, dtype=bool)
+    if fill:
+        m = fill_holes(m)
     p = np.pad(m, 1).astype(np.uint8)
     a = p[:-1, :-1]
     b = p[:-1, 1:]

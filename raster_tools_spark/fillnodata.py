@@ -86,7 +86,12 @@ def label(mask: np.ndarray) -> Tuple[np.ndarray, int]:
     lab = np.where(
         mask, np.arange(h * w, dtype=np.int64).reshape(h, w), big
     )
-    while True:
+    # Jacobi rounds cost O(diameter); serpentine components have
+    # diameter O(n), so cap the rounds and fall back to the scanline
+    # union-find (near-linear worst case) when a pathological shape
+    # hasn't converged
+    max_rounds = 4 * (h + w)
+    for _ in range(max_rounds):
         new = lab.copy()
         np.minimum(new[1:, :], lab[:-1, :], out=new[1:, :])
         np.minimum(new[:-1, :], lab[1:, :], out=new[:-1, :])
@@ -96,6 +101,8 @@ def label(mask: np.ndarray) -> Tuple[np.ndarray, int]:
         if np.array_equal(new, lab):
             break
         lab = new
+    else:
+        return _label_unionfind(mask)
     roots = np.unique(lab[mask])
     labels = np.zeros((h, w), dtype=np.int32)
     if roots.size:
@@ -103,6 +110,52 @@ def label(mask: np.ndarray) -> Tuple[np.ndarray, int]:
             np.searchsorted(roots, lab[mask]) + 1
         ).astype(np.int32)
     return labels, int(roots.size)
+
+
+def _label_unionfind(mask: np.ndarray) -> Tuple[np.ndarray, int]:
+    """Scanline two-pass union-find fallback: near-linear regardless
+    of component shape (used when Jacobi propagation hits its round
+    cap on serpentine components)."""
+    h, w = mask.shape
+    labels = np.zeros((h, w), dtype=np.int32)
+    parent: List[int] = [0]
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    nxt = 1
+    for i in range(h):
+        for j in range(w):
+            if not mask[i, j]:
+                continue
+            up = labels[i - 1, j] if i > 0 else 0
+            left = labels[i, j - 1] if j > 0 else 0
+            if up and left:
+                ru, rl = find(up), find(left)
+                labels[i, j] = min(ru, rl)
+                parent[max(ru, rl)] = min(ru, rl)
+            elif up or left:
+                labels[i, j] = find(up or left)
+            else:
+                parent.append(nxt)
+                labels[i, j] = nxt
+                nxt += 1
+    remap: dict = {}
+    out_n = 0
+    for i in range(h):
+        for j in range(w):
+            l = labels[i, j]
+            if not l:
+                continue
+            r = find(l)
+            if r not in remap:
+                out_n += 1
+                remap[r] = out_n
+            labels[i, j] = remap[r]
+    return labels, out_n
 
 
 def fill_holes(mask: np.ndarray) -> np.ndarray:

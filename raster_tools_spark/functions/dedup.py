@@ -7,9 +7,9 @@
 - MinHash + LSH: k md5-minhashes over shingles, banded; candidate
   pairs share >= 1 band.  md5-based so the DuckDB oracle computes the
   identical signature;
-- SimHash: 64-bit token-majority fingerprint via xxhash64 bit votes
-  (JVM-side bit arithmetic; rows-only check -- xxhash64 has no DuckDB
-  twin).
+- SimHash: 60-bit token-majority fingerprint via md5 bit votes
+  (JVM-side md5+conv+bit arithmetic; oracle-checked -- DuckDB rebuilds
+  the identical hash).
 
 Scale notes: every join here is an equi-join on a hash/shingle key
 (shuffle-friendly, AQE-skew-safe); nothing is quadratic except within a
@@ -77,6 +77,9 @@ def _doc_shingles(docs: DataFrame, max_df) -> DataFrame:
         "doc_id", F.explode(shingles_of_words(F.col("_w"))).alias("shingle")
     )
     if max_df == "auto":
+        # one count() job; on a parquet-backed docs table this is a
+        # footer-metadata read, not a scan.  Callers with a known
+        # corpus size can pass max_df explicitly to skip it.
         max_df = default_max_df(docs.count())
     if max_df is not None:
         hot = (

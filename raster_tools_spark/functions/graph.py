@@ -46,25 +46,25 @@ def _driver_components(pairs) -> list:
 
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst",
-    max_iter: int = 20, driver_threshold: int = 1_000_000,
+    max_iter: int = 20, driver_threshold: int = 200_000,
 ) -> DataFrame:
     """edges(src, dst) -> (node, component) with component = min node
     id reachable.  Nodes appear iff they occur in an edge.
 
     HYBRID execution: near-dup candidate edge sets are usually a tiny
-    fraction of the corpus (LSH pairs ~0.1%), so when the edge count is
-    below ``driver_threshold`` (~24 MB of longs at the default) the
-    components are solved in one driver-side union-find pass instead of
-    paying one full Spark job per propagation round.  Larger edge sets
-    take the distributed min-label-propagation loop below (equivalence
-    is pytest-checked on both paths)."""
-    n_edges = edges.count()
-    if n_edges <= driver_threshold:
-        spark = edges.sparkSession
-        pairs = [
-            (int(r[0]), int(r[1]))
-            for r in edges.select(src, dst).collect()
-        ]
+    fraction of the corpus (LSH pairs ~0.1%), so when at most
+    ``driver_threshold`` edges exist (a few tens of MB of Row objects
+    at the default 200k) the components are solved in one driver-side
+    union-find pass instead of paying one full Spark job per
+    propagation round.  Larger edge sets take the distributed
+    min-label-propagation loop below (equivalence is pytest-checked on
+    both paths)."""
+    spark = edges.sparkSession
+    probe = edges.select(src, dst).limit(driver_threshold + 1).collect()
+    if len(probe) <= driver_threshold:
+        # ONE job: the limit+collect above doubles as the size probe,
+        # so the (often expensive) edge pipeline never runs twice
+        pairs = [(int(r[0]), int(r[1])) for r in probe]
         import pandas as pd
 
         out = _driver_components(pairs)

@@ -249,11 +249,13 @@ def ivf_topk(
         F.col("vid").alias("qid"), F.col("vec").alias("qv"),
         F.col("n").alias("qn"), "cluster",
     )
+    # no dedup needed: a candidate lives in exactly ONE inverted
+    # list, so a (qid, cid) pair can only arise from the single probe
+    # that equals the candidate's cluster
     cand = (
         queries.join(lists, "cluster")
         .filter(F.col("qid") != F.col("cid"))
         .select("qid", "qv", "qn", "cid", "cv2", "cn")
-        .distinct()  # a candidate can surface via several probes
     )
     scored = cand.withColumn(
         "sim",

@@ -10,7 +10,8 @@ tiles:
 - ``fill_depressions_tiles``: the staged 100x100 @ 0/25/50 block
   passes of flow_fil.py:169-184.  Each pass is one
   fragments->blocks->fill->fragments->tiles round trip (two shuffles,
-  all fragment payloads PNG-compressed); blocks straddling tile
+  fragment payloads compressed in their dtype: PNG for u8, rawz for
+  f4 DEMs); blocks straddling tile
   boundaries are assembled from the fragments of every contributing
   tile, so the pass is bit-identical to running the reference kernel
   on the stitched global array (test_flow_op.py proves equality).
@@ -58,7 +59,8 @@ _FRAG_SCHEMA = (
 _TFRAG_SCHEMA = "cell_id long, ty int, tx int, payload binary"
 
 
-def _tile_extent(tiles: DataFrame) -> Tuple[int, int, int, int]:
+def _tile_extent_at(tiles: DataFrame, tile_px: int
+                    ) -> Tuple[int, int, int, int]:
     """Global pixel extent (y0, x0, y1, x1) of the tile set (one tiny
     agg; 4 longs to the driver)."""
     row = tiles.select(
@@ -72,20 +74,34 @@ def _tile_extent(tiles: DataFrame) -> Tuple[int, int, int, int]:
         .alias("iy1"),
     ).collect()[0]
     return (
-        int(row.iy0) * TILE_PX,
-        int(row.ix0) * TILE_PX,
-        (int(row.iy1) + 1) * TILE_PX,
-        (int(row.ix1) + 1) * TILE_PX,
+        int(row.iy0) * tile_px,
+        int(row.ix0) * tile_px,
+        (int(row.iy1) + 1) * tile_px,
+        (int(row.ix1) + 1) * tile_px,
     )
 
 
-def _fill_pass(tiles: DataFrame, extent, step: int, offset: int
-               ) -> DataFrame:
+def _frag_encode(a: np.ndarray) -> bytes:
+    """Self-describing fragment payload: PNG for u8, rawz otherwise."""
+    if a.dtype == np.uint8:
+        return codecs.png_encode(a)
+    return codecs.rawz_encode(a)
+
+
+def _frag_decode(b: bytes) -> np.ndarray:
+    if b[:4] == b"RWZ1":
+        return codecs.rawz_decode(b)
+    return codecs.png_decode(b)
+
+
+def _fill_pass(tiles: DataFrame, extent, step: int, offset: int,
+               res: int, tile_px: int) -> DataFrame:
     """One staged pass: route pixels into their (full-size) blocks,
     priority-flood each block, route filled pixels back into tiles.
-    Pixels outside any full block pass through unchanged."""
+    Pixels outside any full block pass through unchanged.  Fragments
+    are dtype-generic (u8 tiles stay PNG, f4 DEMs travel rawz)."""
     y0, x0, y1, x1 = extent
-    spark = tiles.sparkSession
+    TILE_PX_ = tile_px
 
     def to_frags(batches: Iterator[pd.DataFrame]):
         for pdf in batches:
@@ -96,26 +112,26 @@ def _fill_pass(tiles: DataFrame, extent, step: int, offset: int
                 res, ix, iy = (
                     int(v) for v in unpack_cell(int(t.cell_id))
                 )
-                gy, gx = iy * TILE_PX, ix * TILE_PX
+                gy, gx = iy * TILE_PX_, ix * TILE_PX_
                 covered = np.zeros(px.shape, dtype=bool)
                 # blocks overlapping this tile
                 by_first = (gy - y0 - offset) // step
                 bx_first = (gx - x0 - offset) // step
-                for by in range(by_first, by_first + TILE_PX // step + 2):
+                for by in range(by_first, by_first + TILE_PX_ // step + 2):
                     wy = y0 + offset + by * step
                     if wy + step > y1 or wy < y0:
                         continue
                     for bx in range(
-                        bx_first, bx_first + TILE_PX // step + 2
+                        bx_first, bx_first + TILE_PX_ // step + 2
                     ):
                         wx = x0 + offset + bx * step
                         if wx + step > x1 or wx < x0:
                             continue
                         # intersect block window with this tile
                         iy1_ = max(wy, gy)
-                        iy2_ = min(wy + step, gy + TILE_PX)
+                        iy2_ = min(wy + step, gy + TILE_PX_)
                         ix1_ = max(wx, gx)
-                        ix2_ = min(wx + step, gx + TILE_PX)
+                        ix2_ = min(wx + step, gx + TILE_PX_)
                         if iy1_ >= iy2_ or ix1_ >= ix2_:
                             continue
                         sub = px[iy1_ - gy:iy2_ - gy, ix1_ - gx:ix2_ - gx]
@@ -126,7 +142,7 @@ def _fill_pass(tiles: DataFrame, extent, step: int, offset: int
                                 (by << 28) | bx,
                                 iy1_ - wy,
                                 ix1_ - wx,
-                                codecs.png_encode(sub),
+                                _frag_encode(sub),
                             )
                         )
                 # pass-through pixels (domain margins of this offset):
@@ -150,7 +166,7 @@ def _fill_pass(tiles: DataFrame, extent, step: int, offset: int
                                     int(t.cell_id),
                                     int(i),
                                     c0,
-                                    codecs.png_encode(
+                                    _frag_encode(
                                         px[i:i + 1, c0:c1 + 1]
                                     ),
                                 )
@@ -170,6 +186,9 @@ def _fill_pass(tiles: DataFrame, extent, step: int, offset: int
     frags = tiles.select("cell_id", "bytes", "fmt").mapInPandas(
         to_frags, schema=_FRAG_SCHEMA
     )
+    # both downstream branches (blocks + pass-through) consume frags:
+    # materialize once instead of re-decoding every tile twice
+    frags = frags.localCheckpoint(eager=False)
     block_frags = frags.filter(F.col("bkey") >= 0)
     pass_frags = frags.filter(F.col("bkey") < 0).select(
         (-F.col("bkey") - 1).alias("cell_id"),
@@ -183,34 +202,40 @@ def _fill_pass(tiles: DataFrame, extent, step: int, offset: int
         by, bx = bkey >> 28, bkey & ((1 << 28) - 1)
         wy = y0 + offset + by * step
         wx = x0 + offset + bx * step
-        block = np.full((step, step), NODATA, dtype=np.uint8)
+        first = _frag_decode(bytes(pdf["payload"].iloc[0]))
+        if first.dtype == np.uint8:
+            block = np.full((step, step), NODATA, dtype=np.uint8)
+        else:
+            block = np.full((step, step), np.finfo(first.dtype).max,
+                            dtype=first.dtype)
         for t in pdf.itertuples():
-            sub = codecs.png_decode(bytes(t.payload))
+            sub = _frag_decode(bytes(t.payload))
             block[t.fy:t.fy + sub.shape[0],
                   t.fx:t.fx + sub.shape[1]] = sub
-        filled = priority_flood_fill(
-            block.astype(np.float64)
-        )
-        filled = np.clip(filled, 0, 255).astype(np.uint8)
-        # slice back into tile fragments
+        filled = priority_flood_fill(block.astype(np.float64))
+        if block.dtype == np.uint8:
+            filled = np.clip(filled, 0, 255).astype(np.uint8)
+        else:
+            filled = filled.astype(block.dtype)
+        # slice back into tile fragments (tile ids at the INPUT res)
         rows = []
-        ty_first, tx_first = wy // TILE_PX, wx // TILE_PX
-        for tyi in range(ty_first, (wy + step - 1) // TILE_PX + 1):
-            for txi in range(tx_first, (wx + step - 1) // TILE_PX + 1):
-                gy, gx = tyi * TILE_PX, txi * TILE_PX
+        ty_first, tx_first = wy // TILE_PX_, wx // TILE_PX_
+        for tyi in range(ty_first, (wy + step - 1) // TILE_PX_ + 1):
+            for txi in range(tx_first, (wx + step - 1) // TILE_PX_ + 1):
+                gy, gx = tyi * TILE_PX_, txi * TILE_PX_
                 iy1_ = max(wy, gy)
-                iy2_ = min(wy + step, gy + TILE_PX)
+                iy2_ = min(wy + step, gy + TILE_PX_)
                 ix1_ = max(wx, gx)
-                ix2_ = min(wx + step, gx + TILE_PX)
+                ix2_ = min(wx + step, gx + TILE_PX_)
                 if iy1_ >= iy2_ or ix1_ >= ix2_:
                     continue
                 sub = filled[iy1_ - wy:iy2_ - wy, ix1_ - wx:ix2_ - wx]
                 rows.append(
                     (
-                        int(pack_cell(10, txi, tyi)),
+                        int(pack_cell(res, txi, tyi)),
                         iy1_ - gy,
                         ix1_ - gx,
-                        codecs.png_encode(sub),
+                        _frag_encode(sub),
                     )
                 )
         return pd.DataFrame(
@@ -223,16 +248,25 @@ def _fill_pass(tiles: DataFrame, extent, step: int, offset: int
 
     def rebuild(pdf: pd.DataFrame) -> pd.DataFrame:
         cell_id = int(pdf["cell_id"].iloc[0])
-        canvas = np.full((TILE_PX, TILE_PX), NODATA, dtype=np.uint8)
+        first = _frag_decode(bytes(pdf["payload"].iloc[0]))
+        if first.dtype == np.uint8:
+            canvas = np.full((TILE_PX_, TILE_PX_), NODATA,
+                             dtype=np.uint8)
+            out_fmt = "png"
+        else:
+            canvas = np.full((TILE_PX_, TILE_PX_),
+                             np.finfo(first.dtype).max,
+                             dtype=first.dtype)
+            out_fmt = "rawz"
         for t in pdf.itertuples():
-            sub = codecs.png_decode(bytes(t.payload))
+            sub = _frag_decode(bytes(t.payload))
             canvas[t.ty:t.ty + sub.shape[0],
                    t.tx:t.tx + sub.shape[1]] = sub
         return pd.DataFrame(
             {
                 "cell_id": [cell_id],
-                "bytes": [codecs.png_encode(canvas)],
-                "fmt": ["png"],
+                "bytes": [codecs.encode(canvas, out_fmt)],
+                "fmt": [out_fmt],
             }
         )
 
@@ -247,12 +281,21 @@ def fill_depressions_tiles(
     tiles: DataFrame, step: int = 100, offsets=(0, 25, 50)
 ) -> DataFrame:
     """Staged complex depression fill over the tile table; requires a
-    gap-free rectangular mosaic (fragments of absent tiles would fill
-    as nodata).  Returns (cell_id, bytes, fmt)."""
-    extent = _tile_extent(tiles)
+    gap-free rectangular mosaic of SAME-RESOLUTION tiles (fragments of
+    absent tiles would fill as nodata).  u8 and f4 tiles both work
+    (fragments stay in their dtype).  Returns (cell_id, bytes, fmt)."""
+    res = int(
+        tiles.select(
+            F.shiftright("cell_id", 56).alias("r")
+        ).first().r
+    )
+    from ..grid import CELL_SIZE as _CS, cell_edge as _ce
+
+    tile_px = int(round(_ce(res) / _CS))
+    extent = _tile_extent_at(tiles, tile_px)
     out = tiles
     for offset in offsets:
-        out = _fill_pass(out, extent, step, offset)
+        out = _fill_pass(out, extent, step, offset, res, tile_px)
         out = out.localCheckpoint(eager=False)
     return out
 

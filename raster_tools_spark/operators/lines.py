@@ -172,6 +172,15 @@ def sample_carpet_points(
                 gtype, coords = _wkb.parse(bytes(t.geom_wkb))
                 if gtype != _wkb.LINESTRING or len(coords) < 2:
                     continue
+                # drop zero-length segments (duplicate consecutive
+                # vertices) BEFORE normals: a trailing duplicate would
+                # otherwise produce a 0/0 normal and NaN samples
+                keep = np.concatenate(
+                    [[True], (np.diff(coords, axis=0) != 0).any(axis=1)]
+                )
+                coords = coords[keep]
+                if len(coords) < 2:
+                    continue
                 seg = np.diff(coords, axis=0)
                 seg_len = np.hypot(seg[:, 0], seg[:, 1])
                 total = float(seg_len.sum())
@@ -185,9 +194,7 @@ def sample_carpet_points(
                     np.searchsorted(cum, params, side="right") - 1,
                     0, len(seg) - 1,
                 )
-                frac = (params - cum[idx]) / np.where(
-                    seg_len[idx] > 0, seg_len[idx], 1.0
-                )
+                frac = (params - cum[idx]) / seg_len[idx]
                 pts = coords[idx] + seg[idx] * frac[:, None]
                 # unit normal of the carrying segment
                 nx = -seg[idx, 1] / seg_len[idx]

@@ -106,6 +106,29 @@ def mask_difference_area(
     )
 
 
+def _ring_is_hole(ring, mask) -> bool:
+    """A ring is a HOLE iff the pixel center it encloses next to its
+    first vertex is False.  The first vertex sits on the edge between
+    two pixel centers whose mask values differ; exactly one of the two
+    centers lies inside the ring (ray cast)."""
+    r0, c0 = ring[0]
+    if r0 == int(r0):  # horizontal edge midpoint: centers left/right
+        cands = [(int(r0), int(c0 - 0.5)), (int(r0), int(c0 + 0.5))]
+    else:              # vertical edge midpoint: centers above/below
+        cands = [(int(r0 - 0.5), int(c0)), (int(r0 + 0.5), int(c0))]
+    xy_ring = np.column_stack([ring[:, 1], ring[:, 0]])
+    h, w = mask.shape
+    for ci, cj in cands:
+        inside = bool(
+            geom.points_in_rings([cj], [ci], [xy_ring])[0]
+        )
+        if inside:
+            if 0 <= ci < h and 0 <= cj < w:
+                return not bool(mask[ci, cj])
+            return True  # encloses out-of-window space: treat as hole
+    return False
+
+
 def mask_difference_polygons(
     layer1: DataFrame,
     layer2: DataFrame,
@@ -115,7 +138,10 @@ def mask_difference_polygons(
     """Geometry-out difference (difference.py:41-57 output shape): per
     layer-1 feature, the REMAINDER polygons after subtracting the
     layer-2 union, vectorized by marching squares on the feature's own
-    pixel window.  Returns (feat_id, ring_id, n_pts, area, geom_wkb).
+    pixel window.  Returns (feat_id, ring_id, n_pts, area, is_hole,
+    geom_wkb): interior holes (layer-2 regions strictly inside the
+    feature) come out as their own rings flagged is_hole, so the net
+    remainder area is sum(outer) - sum(holes).
 
     Each feature is processed in one task over its envelope window
     (features are polygon-sized; the pair discovery is the standard
@@ -148,7 +174,7 @@ def mask_difference_polygons(
         if h <= 0 or w <= 0:
             return pd.DataFrame(
                 columns=["feat_id", "ring_id", "n_pts", "area",
-                         "geom_wkb"]
+                         "is_hole", "geom_wkb"]
             )
         x0 = j0 * pixel
         y_top = WORLD_TOP - i0 * pixel
@@ -165,7 +191,10 @@ def mask_difference_polygons(
             m1 &= ~geom.rasterize_mask(key, gt, h, w)
         rows = []
         if m1.any():
-            for rid, ring in enumerate(mask_contours(m1)):
+            # fill=False: a layer-2 polygon strictly inside the feature
+            # must survive as an interior HOLE ring, not be filled back
+            for rid, ring in enumerate(mask_contours(m1, fill=False)):
+                is_hole = _ring_is_hole(ring, m1)
                 xs = x0 + (ring[:, 1] + 0.5) * pixel
                 ys = y_top - (ring[:, 0] + 0.5) * pixel
                 coords = np.column_stack([xs, ys])
@@ -183,19 +212,21 @@ def mask_difference_polygons(
                         rid,
                         int(len(coords)),
                         area,
+                        bool(is_hole),
                         _wkb.polygon_wkb(coords),
                     )
                 )
         return pd.DataFrame(
             rows,
-            columns=["feat_id", "ring_id", "n_pts", "area", "geom_wkb"],
+            columns=["feat_id", "ring_id", "n_pts", "area", "is_hole",
+                     "geom_wkb"],
         )
 
     return paired.groupBy("feat_id").applyInPandas(
         per_feat,
         schema=(
             "feat_id long, ring_id int, n_pts int, area double, "
-            "geom_wkb binary"
+            "is_hole boolean, geom_wkb binary"
         ),
     )
 

@@ -1331,7 +1331,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         l2 = _drect_polygons(spark, sf_dir)
         out = overlay.mask_difference_polygons(l1, l2, pixel=4.0)
         return out.select(
-            "feat_id", "ring_id", "n_pts",
+            "feat_id", "ring_id", "n_pts", "is_hole",
             (F.floor(F.col("area") * 100.0) / 100.0).alias("area"),
         )
 

@@ -119,6 +119,17 @@ def _session_fn(gap_seconds: int):
         closed = []
         for t_ in rows.itertuples():
             ts = t_.ts.timestamp()
+            if last is not None and ts <= last:
+                # late-but-within-watermark arrival inside the open
+                # session's span: merge without moving the session end
+                # backwards (exact whenever the late event falls within
+                # [start, last]; an event late enough to BRIDGE two
+                # already-separate sessions would need full history and
+                # stays approximate -- documented limitation)
+                start = min(start, ts)
+                n += 1
+                s += float(t_.value)
+                continue
             if last is not None and ts - last > gap_seconds:
                 closed.append((start, last, n, s))
                 start, n, s = ts, 0, 0.0

@@ -89,3 +89,29 @@ class TestMorphology:
         z = fn.zoom(a)
         assert z.shape == (4, 4)
         assert z[0, 0] == 1 and z[3, 3] == 4 and z[0, 2] == 2
+
+
+def test_label_serpentine_falls_back_to_unionfind():
+    """A boustrophedon 1-px corridor has diameter O(n); the Jacobi
+    round cap must hand off to the union-find fallback and still
+    produce correct scan-order labels quickly."""
+    import time
+
+    import numpy as np
+
+    from raster_tools_spark.fillnodata import label
+
+    h, w = 80, 80
+    m = np.zeros((h, w), dtype=bool)
+    for r in range(0, h, 2):
+        m[r, :] = True
+        if r + 1 < h:
+            if (r // 2) % 2 == 0:
+                m[r + 1, w - 1] = True
+            else:
+                m[r + 1, 0] = True
+    t0 = time.time()
+    labs, n = label(m)
+    assert time.time() - t0 < 5.0
+    assert n == 1  # one connected serpentine
+    assert (labs[m] == 1).all() and (labs[~m] == 0).all()

@@ -245,3 +245,55 @@ class TestSeamZigzag:
         expected = flow.accumulate(d).astype(np.int64)
         assert expected.max() > 300  # the zigzag accumulates deep
         assert np.array_equal(got, expected)
+
+
+class TestStagedFillGenericity:
+    def test_res12_f4_tiles(self, spark):
+        """Review regressions: tile ids at res != 10 and non-u8 dtypes
+        must survive the staged fill (ids keep their resolution, f4
+        values keep their precision)."""
+        t = 64  # res-12 tile edge in px
+        rng = np.random.default_rng(5)
+        rows = []
+        arrs = {}
+        for ty in range(2):
+            for tx in range(2):
+                a = (
+                    300.0 + rng.random((t, t)).astype(np.float32) * 50.0
+                ).astype(np.float32)
+                a[10:20, 10:20] -= 40.0  # a pit
+                cid = int(pack_cell(12, 3 + tx, 9 + ty))
+                arrs[cid] = a
+                rows.append((cid, codecs.rawz_encode(a), "rawz"))
+        tiles = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["cell_id", "bytes", "fmt"]),
+            schema="cell_id long, bytes binary, fmt string",
+        )
+        out = flow_op.fill_depressions_tiles(
+            tiles, step=40, offsets=(0, 13)
+        ).collect()
+        assert len(out) == 4
+        got_ids = {int(r.cell_id) for r in out}
+        assert got_ids == set(arrs)  # ids preserved at res 12
+        # equality vs the staged kernel on the stitched global array
+        size = 2 * t
+        glob = np.zeros((size, size), dtype=np.float64)
+        for cid, a in arrs.items():
+            res, ix, iy = (int(v) for v in unpack_cell(cid))
+            ty, tx = iy - 9, ix - 3
+            glob[ty * t:(ty + 1) * t, tx * t:(tx + 1) * t] = a
+        from raster_tools_spark import fill as fmod2
+
+        expected = fmod2.fill_depressions_staged(
+            glob.copy(), step=40, offsets=(0, 13)
+        )
+        for r in out:
+            res, ix, iy = (int(v) for v in unpack_cell(int(r.cell_id)))
+            ty, tx = iy - 9, ix - 3
+            got = codecs.decode(bytes(r.bytes), r.fmt)
+            assert r.fmt == "rawz" and got.dtype == np.float32
+            exp = expected[ty * t:(ty + 1) * t, tx * t:(tx + 1) * t]
+            assert np.array_equal(
+                got.astype(np.float64),
+                exp.astype(np.float32).astype(np.float64),
+            )

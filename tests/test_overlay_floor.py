@@ -168,3 +168,39 @@ class TestDifferencePolygons:
         assert len(rows) == 1
         # whole 80 x 40 footprint kept (half-pixel contour band)
         assert abs(rows[0].area - 80.0 * 40.0) < 4.0 * (2 * (80 + 40))
+
+    def test_interior_hole_survives(self, spark):
+        """A layer-2 polygon strictly inside the feature must come out
+        as an is_hole ring, not be filled back (review finding)."""
+        import pandas as pd
+
+        from raster_tools_spark.operators import overlay
+        from raster_tools_spark.grid import WORLD_TOP
+
+        top = WORLD_TOP
+        l1 = spark.createDataFrame(
+            pd.DataFrame(
+                [(1, wkb.box_wkb(100.0, top - 200.0, 200.0,
+                                 top - 100.0))],
+                columns=["feat_id", "geom_wkb"],
+            ),
+            schema="feat_id long, geom_wkb binary",
+        )
+        l2 = spark.createDataFrame(
+            pd.DataFrame(
+                [(9, wkb.box_wkb(140.0, top - 160.0, 160.0,
+                                 top - 140.0))],
+                columns=["feat_id", "geom_wkb"],
+            ),
+            schema="feat_id long, geom_wkb binary",
+        )
+        rows = overlay.mask_difference_polygons(
+            l1, l2, pixel=4.0
+        ).collect()
+        assert len(rows) == 2
+        outer = [r for r in rows if not r.is_hole]
+        holes = [r for r in rows if r.is_hole]
+        assert len(outer) == 1 and len(holes) == 1
+        # net area = outer - hole ~= 100*100 - 20*20
+        net = outer[0].area - holes[0].area
+        assert abs(net - (100.0 * 100.0 - 20.0 * 20.0)) < 4.0 * 500
