@@ -265,6 +265,51 @@ def _zrects_sql() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# upstream fixture: one rectangle + one diagonal line per nation key,
+# both anchored on the linear-image tile cycle so every search area
+# overlaps real pixels.  Geometry is all exact dyadic rationals
+# (integer rectangle edges, quarter-unit line endpoints), and
+# ``distance`` (33.25) strictly dominates multiplier*boundary-distance
+# (<= 28.5), so the per-sample radius is a bit-identical constant in
+# both engines; the variable-radius path is covered by the pytest
+# brute-force golden in test_upstream.py.
+# ---------------------------------------------------------------------------
+
+
+def _urect_params(n: int):
+    tx = (n * 7) % 16
+    ty = (n * 13) % 16
+    x1 = tx * 128.0 + 17.0
+    w = 49.0 + (n % 4) * 16.0
+    y2 = WORLD_TOP - ty * 128.0 - 13.0
+    h = 33.0 + (n % 3) * 12.0
+    return x1, x1 + w, y2 - h, y2
+
+
+def _uline_of(n: int) -> bytes:
+    x1, x2, y1, y2 = _urect_params(n)
+    return wkb.linestring_wkb(
+        [(x1 - 6.75, y2 - 3.25), (x2 + 5.25, y1 + 2.75)]
+    )
+
+
+def _urects_sql() -> str:
+    return f"""
+    urects AS (
+      SELECT n_nationkey AS feat_id,
+             ((n_nationkey*7) % 16) * 128.0 + 17.0 AS x1,
+             ((n_nationkey*7) % 16) * 128.0 + 17.0
+               + 49.0 + (n_nationkey % 4) * 16.0 AS x2,
+             ({WORLD_TOP:.1f} - ((n_nationkey*13) % 16) * 128.0 - 13.0)
+               - (33.0 + (n_nationkey % 3) * 12.0) AS y1,
+             {WORLD_TOP:.1f} - ((n_nationkey*13) % 16) * 128.0 - 13.0
+               AS y2
+      FROM nation
+    )
+    """
+
+
 def _zonal_stats_sql(
     pix_filter: str, expr_val: str, range_lo=None, range_hi=None
 ) -> str:
@@ -1399,6 +1444,28 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["line_drape"] = line_drape
 
+    def upstream_line_levels(spark, sf_dir):
+        """Lowest-upstream levels composite (reference upstream.py:
+        89-267), oracle-checked: directed samples, forward-half-disc
+        search area clipped to the polygon, second-smallest data pixel,
+        and the mean-halves direction reversal are all re-derived in
+        SQL on the same last-wins merged pixel table as line_drape."""
+        from .operators import retile as op_retile
+        from .operators import upstream as op_up
+
+        images = synth.linear_images_df(spark, 150, tiles_axis=16)
+        tiles = op_retile.retile(images)
+        polys = _nation_layer(spark, sf_dir, _box_of(_urect_params))
+        lines_df = _nation_layer(
+            spark, sf_dir, _uline_of
+        ).withColumnRenamed("feat_id", "line_id")
+        return op_up.upstream_levels(
+            lines_df, polys, tiles,
+            separation=4.25, distance=33.25, multiplier=1.0, grow=24.0,
+        )
+
+    q["upstream_levels"] = upstream_line_levels
+
     def streaming_parity(spark, sf_dir):
         """Batch twin of the streaming windowed agg, oracle-checked
         (window start formatted for engine-TZ independence); the
@@ -1933,6 +2000,125 @@ def oracle_sql() -> Dict[str, str]:
                ORDER BY value DESC, seq ASC) AS rn
       FROM prof
     ) WHERE rn = 1
+    """
+
+    # upstream composite: every float expression below mirrors the
+    # operator's numpy expressions op-for-op (same subtractions, same
+    # product order, sqrt not hypot), so both engines compute identical
+    # doubles and every >=/<= decision lands the same side to the ulp.
+    o["upstream_levels"] = f"""
+    WITH {lpix150},
+    merged AS (
+      SELECT CAST(floor(px * 2.0) AS BIGINT) AS wj,
+             CAST(floor(({top} - py) * 2.0) AS BIGINT) AS wi,
+             arg_max(v, image_id) AS v
+      FROM lpix WHERE v != 255 GROUP BY 1, 2
+    ),
+    mpix AS (
+      SELECT (wj + 0.5) * 0.5 AS cx, {top} - (wi + 0.5) * 0.5 AS cy, v
+      FROM merged
+    ),
+    {_urects_sql().strip().rstrip()},
+    lparam AS (
+      SELECT feat_id AS line_id,
+             x1 - 6.75 AS ax, y2 - 3.25 AS ay,
+             (x2 + 5.25) - (x1 - 6.75) AS dxl,
+             (y1 + 2.75) - (y2 - 3.25) AS dyl,
+             sqrt( ((x2 + 5.25) - (x1 - 6.75))
+                   * ((x2 + 5.25) - (x1 - 6.75))
+                 + ((y1 + 2.75) - (y2 - 3.25))
+                   * ((y1 + 2.75) - (y2 - 3.25)) ) AS L
+      FROM urects
+    ),
+    samp AS (
+      SELECT line_id, CAST(gk.k AS INT) AS seq,
+             ax + dxl * (least(gk.k * 4.25, L) / L) AS sx,
+             ay + dyl * (least(gk.k * 4.25, L) / L) AS sy
+      FROM lparam,
+           LATERAL (SELECT unnest(generate_series(0,
+                GREATEST(CAST(floor(L / 4.25) AS BIGINT), 1))) AS k) gk
+    ),
+    sdir AS (
+      SELECT line_id, seq, sx, sy,
+        COALESCE(lead(sx) OVER w - sx, sx - lag(sx) OVER w) AS fdx,
+        COALESCE(lead(sy) OVER w - sy, sy - lag(sy) OVER w) AS fdy,
+        COALESCE(lag(sx) OVER w - sx, sx - lead(sx) OVER w) AS rdx,
+        COALESCE(lag(sy) OVER w - sy, sy - lead(sy) OVER w) AS rdy
+      FROM samp
+      WINDOW w AS (PARTITION BY line_id ORDER BY seq)
+    ),
+    upairs AS (
+      SELECT s.line_id, r.feat_id, s.seq, s.sx, s.sy,
+             s.fdx, s.fdy, s.rdx, s.rdy, r.x1, r.x2, r.y1, r.y2
+      FROM sdir s JOIN urects r
+        ON GREATEST(r.x1 - s.sx, s.sx - r.x2, 0.0)
+             * GREATEST(r.x1 - s.sx, s.sx - r.x2, 0.0)
+         + GREATEST(r.y1 - s.sy, s.sy - r.y2, 0.0)
+             * GREATEST(r.y1 - s.sy, s.sy - r.y2, 0.0)
+           <= 576.0
+    ),
+    hits AS (
+      SELECT p.line_id, p.feat_id, p.seq, m.v,
+             CASE WHEN (m.cx - p.sx) * p.fdx + (m.cy - p.sy) * p.fdy
+                       >= 0.0 THEN 1 ELSE 0 END AS fok,
+             CASE WHEN (m.cx - p.sx) * p.rdx + (m.cy - p.sy) * p.rdy
+                       >= 0.0 THEN 1 ELSE 0 END AS rok
+      FROM upairs p JOIN mpix m
+        ON m.cx >= p.sx - 33.25 AND m.cx <= p.sx + 33.25
+       AND m.cy >= p.sy - 33.25 AND m.cy <= p.sy + 33.25
+       AND (m.cx - p.sx) * (m.cx - p.sx)
+           + (m.cy - p.sy) * (m.cy - p.sy) <= 1105.5625
+       AND m.cx > p.x1 AND m.cx < p.x2
+       AND m.cy > p.y1 AND m.cy < p.y2
+    ),
+    flevel AS (
+      SELECT line_id, feat_id, seq, CAST(v AS DOUBLE) AS lv
+      FROM (SELECT line_id, feat_id, seq, v,
+                   row_number() OVER (PARTITION BY line_id, feat_id, seq
+                                      ORDER BY v) AS rn
+            FROM hits WHERE fok = 1)
+      WHERE rn = 2
+    ),
+    rlevel AS (
+      SELECT line_id, feat_id, seq, CAST(v AS DOUBLE) AS lv
+      FROM (SELECT line_id, feat_id, seq, v,
+                   row_number() OVER (PARTITION BY line_id, feat_id, seq
+                                      ORDER BY v) AS rn
+            FROM hits WHERE rok = 1)
+      WHERE rn = 2
+    ),
+    fsort AS (
+      SELECT line_id, feat_id, seq, lv,
+             row_number() OVER (PARTITION BY line_id, feat_id
+                                ORDER BY seq) AS rn,
+             COUNT(*) OVER (PARTITION BY line_id, feat_id) AS n
+      FROM flevel
+    ),
+    choice AS (
+      SELECT line_id, feat_id,
+             CASE WHEN MAX(n) > 1
+                   AND SUM(CASE WHEN rn <= n // 2 THEN lv ELSE 0 END)
+                       * (MAX(n) - MAX(n) // 2)
+                     > SUM(CASE WHEN rn > n // 2 THEN lv ELSE 0 END)
+                       * (MAX(n) // 2)
+                  THEN 1 ELSE 0 END AS rev
+      FROM fsort GROUP BY 1, 2
+    ),
+    chosen AS (
+      SELECT c.line_id, c.feat_id, f.seq, f.lv AS height, c.rev
+      FROM choice c JOIN flevel f
+        ON f.line_id = c.line_id AND f.feat_id = c.feat_id
+      WHERE c.rev = 0
+      UNION ALL
+      SELECT c.line_id, c.feat_id, r.seq, r.lv, c.rev
+      FROM choice c JOIN rlevel r
+        ON r.line_id = c.line_id AND r.feat_id = c.feat_id
+      WHERE c.rev = 1
+    )
+    SELECT o.line_id, o.feat_id, o.seq, s.sx, s.sy, o.height,
+           CAST(o.rev AS INT) AS reversed
+    FROM chosen o JOIN samp s
+      ON s.line_id = o.line_id AND s.seq = o.seq
     """
 
     o["json_props"] = """
