@@ -12,11 +12,18 @@ rest of the engine uses:
   reference's own fallback method);
 - ``idw_grid``: inverse-distance-squared weighting over the k nearest
   points, folded in a deterministic neighbor order so results are
-  bit-identical across partitionings and engines.
+  bit-identical across partitionings and engines;
+- ``linear_grid_features``: the reference's actual griddata combo
+  (Delaunay linear + nearest fallback, functions/triangulate.py) run
+  PER FEATURE -- the reference's own granularity (one griddata call per
+  building footprint, roof.py:73-77), so each triangulation is local to
+  one Spark task and the distributed axis is the feature set.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -104,3 +111,51 @@ def idw_grid(
     return out.join(
         grid.select("qid", "gi", "gj"), "qid"
     ).select("gi", "gj", "z")
+
+
+_LINEAR_GRID_SCHEMA = "feat_id long, gi int, gj int, z double"
+
+
+def linear_grid_features(
+    points: DataFrame, pad: float = 1.0, edge: float = 1.0
+) -> DataFrame:
+    """points(feat_id, pid, x, y, z) -> per-feature pixel-center grid
+    interpolation (feat_id, gi, gj, z): Delaunay-linear inside the
+    feature's convex hull, nearest point (ties -> lowest pid) outside.
+
+    The grid covers the feature's point bbox padded by ``pad``; its
+    anchor and the pixel-center math are the engine's usual closed
+    forms, so an oracle engine can regenerate them exactly.  Planar
+    z-fields are reproduced exactly inside the hull regardless of the
+    triangulation, which is what queries.grid_linear checks.
+    """
+    from .triangulate import griddata_linear_nearest
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pid")
+        pts = pdf[["x", "y"]].to_numpy(dtype=np.float64)
+        z = pdf["z"].to_numpy(dtype=np.float64)
+        x0 = float(pts[:, 0].min()) - pad
+        y_top = float(pts[:, 1].max()) + pad
+        n_cols = int(round((float(pts[:, 0].max()) + pad - x0) / edge))
+        n_rows = int(round(
+            (y_top - (float(pts[:, 1].min()) - pad)) / edge
+        ))
+        gj, gi = np.meshgrid(np.arange(n_cols), np.arange(n_rows))
+        gi = gi.ravel()
+        gj = gj.ravel()
+        cx = x0 + (gj + 0.5) * edge
+        cy = y_top - (gi + 0.5) * edge
+        vals = griddata_linear_nearest(pts, z, cx, cy)
+        return pd.DataFrame(
+            {
+                "feat_id": int(pdf["feat_id"].iloc[0]),
+                "gi": gi.astype(np.int32),
+                "gj": gj.astype(np.int32),
+                "z": vals,
+            }
+        )
+
+    return points.groupBy("feat_id").applyInPandas(
+        run, schema=_LINEAR_GRID_SCHEMA
+    )

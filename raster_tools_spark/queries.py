@@ -1466,6 +1466,106 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["upstream_levels"] = upstream_line_levels
 
+    def grid_linear(spark, sf_dir):
+        """Delaunay-linear grid interpolation with nearest fallback
+        (the reference's griddata combo, roof.py:73-77), oracle-checked
+        via the planar-reproduction property: the fixture z-field is an
+        exact dyadic plane per feature, which ANY valid triangulation
+        reproduces bit-closely inside the hull (the hull is the fixture
+        rectangle, its corners being data points), while the 1-pixel
+        pad ring outside the hull takes the nearest point's value
+        (ties -> lowest pid, mirrored in SQL)."""
+        from .functions import interp as finterp
+
+        nat = _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").cast("long").alias("feat_id")
+        )
+
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for n in pdf["feat_id"]:
+                    n = int(n)
+                    x1, x2, y1, y2 = _urect_params(n)
+                    b = (1 + n % 4) * 0.0625
+                    c = (1 + n % 3) * 0.0625
+                    pts = [(x1, y1), (x1, y2), (x2, y1), (x2, y2)]
+                    for m in range(5):
+                        pts.append(
+                            (
+                                x1 + 3.25 + m * 7.25,
+                                y1 + 2.75 + ((m * 3) % 5) * 6.25,
+                            )
+                        )
+                    for pid, (px, py) in enumerate(pts):
+                        rows.append(
+                            (n, pid, px, py, n * 1.0 + b * px + c * py)
+                        )
+                yield pd.DataFrame(
+                    rows, columns=["feat_id", "pid", "x", "y", "z"]
+                )
+
+        points = nat.mapInPandas(
+            gen, "feat_id long, pid int, x double, y double, z double"
+        )
+        return finterp.linear_grid_features(points, pad=1.0, edge=1.0)
+
+    q["grid_linear"] = grid_linear
+
+    def roof_grid(spark, sf_dir):
+        """Roof pipeline composite (reference roof.py:59-205), rows-
+        only: per-footprint k-NN-graph denoise (the planar 'roof'
+        cluster survives, the offset 'foliage' cluster drops), Delaunay
+        linear + nearest rasterization, footprint clip.  The pixel
+        values are property-tested in test_roof.py (planar
+        reproduction, clip, nearest ring)."""
+        from .operators import roof as op_roof
+
+        nat = _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").cast("long").alias("feat_id")
+        )
+
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for n in pdf["feat_id"]:
+                    n = int(n)
+                    x1, x2, y1, y2 = _urect_params(n)
+                    b = (1 + n % 4) * 0.0625
+                    c = (1 + n % 3) * 0.0625
+                    # planar roof cluster, 0.3 m spacing
+                    for i in range(40):
+                        for j in range(34):
+                            px = x1 + 5.0 + j * 0.3
+                            py = y1 + 5.0 + i * 0.3
+                            rows.append(
+                                (n, px, py, 10.0 + b * px + c * py)
+                            )
+                    # foliage cluster: >= 0.5 m from the roof in XY and
+                    # +8 m in z -- a separate (smaller) component
+                    fx = x1 + 5.0 + 34 * 0.3 + 2.0
+                    fy = y1 + 5.0
+                    for i in range(12):
+                        for j in range(13):
+                            px = fx + j * 0.3
+                            py = fy + i * 0.3
+                            rows.append(
+                                (n, px, py, 18.0 + b * px + c * py)
+                            )
+                yield pd.DataFrame(rows, columns=["feat_id", "x", "y", "z"])
+
+        points = nat.mapInPandas(
+            gen, "feat_id long, x double, y double, z double"
+        )
+        polys = _nation_layer(spark, sf_dir, _box_of(_urect_params))
+        out = op_roof.roof_rasterize(points, polys, edge=0.5)
+        return out.select(
+            "feat_id", "x0", "y_top", "w", "h", "total", "kept",
+            F.md5(F.col("bytes")).alias("z_md5"),
+        )
+
+    q["roof_grid"] = roof_grid
+
     def streaming_parity(spark, sf_dir):
         """Batch twin of the streaming windowed agg, oracle-checked
         (window start formatted for engine-TZ independence); the
@@ -2119,6 +2219,60 @@ def oracle_sql() -> Dict[str, str]:
            CAST(o.rev AS INT) AS reversed
     FROM chosen o JOIN samp s
       ON s.line_id = o.line_id AND s.seq = o.seq
+    """
+
+    # Delaunay-linear gridding: checked via the planar-reproduction
+    # property -- inside the hull (the fixture rectangle) ANY valid
+    # triangulation returns the exact dyadic plane (6-dp exact, so the
+    # ~1e-12 barycentric roundoff cannot move the hash); the pad ring
+    # outside takes the nearest point's value with the same (d2, pid)
+    # tie-break in both engines.
+    o["grid_linear"] = f"""
+    WITH {_urects_sql().strip()},
+    uplanes AS (
+      SELECT feat_id, x1, x2, y1, y2,
+             (1 + feat_id % 4) * 0.0625 AS b,
+             (1 + feat_id % 3) * 0.0625 AS c
+      FROM urects
+    ),
+    upz AS (
+      SELECT u.feat_id, p.pid,
+        CASE WHEN p.pid = 0 OR p.pid = 1 THEN u.x1
+             WHEN p.pid = 2 OR p.pid = 3 THEN u.x2
+             ELSE u.x1 + 3.25 + (p.pid - 4) * 7.25 END AS x,
+        CASE WHEN p.pid = 0 OR p.pid = 2 THEN u.y1
+             WHEN p.pid = 1 OR p.pid = 3 THEN u.y2
+             ELSE u.y1 + 2.75 + (((p.pid - 4) * 3) % 5) * 6.25 END AS y,
+        u.b, u.c
+      FROM uplanes u,
+           LATERAL (SELECT unnest(generate_series(0, 8)) AS pid) p
+    ),
+    upts AS (
+      SELECT feat_id, pid, x, y,
+             CAST(feat_id AS DOUBLE) + b * x + c * y AS z
+      FROM upz
+    ),
+    ugrid AS (
+      SELECT u.feat_id, gi.i AS gi, gj.j AS gj,
+             (u.x1 - 1.0) + (gj.j + 0.5) * 1.0 AS cx,
+             (u.y2 + 1.0) - (gi.i + 0.5) * 1.0 AS cy,
+             u.x1, u.x2, u.y1, u.y2, u.b, u.c
+      FROM uplanes u,
+           LATERAL (SELECT unnest(generate_series(0,
+                CAST(u.y2 - u.y1 AS BIGINT) + 1)) AS i) gi,
+           LATERAL (SELECT unnest(generate_series(0,
+                CAST(u.x2 - u.x1 AS BIGINT) + 1)) AS j) gj
+    )
+    SELECT g.feat_id, CAST(g.gi AS INT) AS gi, CAST(g.gj AS INT) AS gj,
+      CASE WHEN g.cx > g.x1 AND g.cx < g.x2
+            AND g.cy > g.y1 AND g.cy < g.y2
+           THEN CAST(g.feat_id AS DOUBLE) + g.b * g.cx + g.c * g.cy
+           ELSE (SELECT p.z FROM upts p WHERE p.feat_id = g.feat_id
+                 ORDER BY (p.x - g.cx) * (p.x - g.cx)
+                        + (p.y - g.cy) * (p.y - g.cy), p.pid
+                 LIMIT 1)
+      END AS z
+    FROM ugrid g
     """
 
     o["json_props"] = """
