@@ -48,16 +48,22 @@ Distributed shape (one broadcast, two shuffles):
    filter keeps samples inside-or-within-``grow`` of the polygon
    (the reference's Buffer(grow).Contains(point)) and computes the
    per-sample radius;
-3. samples explode their half-disc covering cells and equi-join the
-   tile table (bbox-prejoin, the PIP pattern); per-tile batches decode
-   ONCE and emit per-(sample, tile) partials carrying only the TWO
-   SMALLEST data values per orientation (the global second-smallest of
-   a union is always among the per-part two smallest);
+3. samples explode their half-disc covering cells, are GROUPED PER
+   CELL (collect_list of sample structs), and the per-cell groups
+   equi-join the tile table -- so a tile's bytes cross the join
+   exchange ONCE PER CELL, never once per sample (the halo-stencil
+   lesson); each joined row is one tile plus all of its samples,
+   decoded once, emitting partials that carry only the TWO SMALLEST
+   data values per orientation (the global second-smallest of a union
+   is always among the per-part two smallest);
 4. one small groupBy(line, polygon) merges partials, applies the
    upstream check, and emits the chosen orientation's points.
 
-At 100 TB the only wide exchange carries ~90-byte partial rows -- the
-raster itself is never shuffled.
+At 100 TB the wide exchanges carry ~90-byte sample/partial rows plus
+one encoded tile per touched cell -- raster bytes are never duplicated
+per sample.  For vertex-heavy polygon layers, rehydrate geom_wkb by
+feat_id after the pairing join instead of carrying it through the
+sample structs (the PIP operator's rehydrate option shows the shape).
 """
 
 from __future__ import annotations
@@ -289,45 +295,57 @@ def upstream_levels(
             out.append(covering_cells((x - rr, x + rr, y - rr, y + rr), res))
         return pd.Series(out)
 
-    cand = pairs.withColumn(
-        "cell_id", F.explode(disc_cells("sx", "sy", "radius"))
-    ).join(
+    # group samples per covering cell BEFORE the tile join: the join
+    # then moves one sample-struct array + one encoded tile per cell,
+    # never tile bytes duplicated per sample
+    scols = (
+        "line_id", "feat_id", "seq", "sx", "sy",
+        "fdx", "fdy", "rdx", "rdy", "radius", "geom_wkb",
+    )
+    per_cell = (
+        pairs.withColumn(
+            "cell_id", F.explode(disc_cells("sx", "sy", "radius"))
+        )
+        .groupBy("cell_id")
+        .agg(F.collect_list(F.struct(*scols)).alias("samples"))
+    )
+    cand = per_cell.join(
         tiles.select("cell_id", "bytes", "fmt", "x0", "y_top"), "cell_id"
     )
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if len(pdf) == 0:
-                continue
             rows = []
-            for cid, sub in pdf.groupby("cell_id", sort=False):
-                px = codecs.decode(
-                    bytes(sub["bytes"].iloc[0]), sub["fmt"].iloc[0]
-                )
+            for t in pdf.itertuples():
+                px = codecs.decode(bytes(t.bytes), t.fmt)
                 H, W = px.shape
-                x0 = float(sub["x0"].iloc[0])
-                y_top = float(sub["y_top"].iloc[0])
+                x0 = float(t.x0)
+                y_top = float(t.y_top)
                 mask_cache: dict = {}
-                for t in sub.itertuples():
-                    m = mask_cache.get(t.feat_id)
+                for s in t.samples:
+                    fid = s["feat_id"]
+                    m = mask_cache.get(fid)
                     if m is None:
                         gt = (x0, CELL_SIZE, 0.0, y_top, 0.0, -CELL_SIZE)
-                        m = geom.rasterize_mask(bytes(t.geom_wkb), gt, H, W)
-                        mask_cache[t.feat_id] = m
-                    r = t.radius
+                        m = geom.rasterize_mask(
+                            bytes(s["geom_wkb"]), gt, H, W
+                        )
+                        mask_cache[fid] = m
+                    r = s["radius"]
+                    sx, sy = s["sx"], s["sy"]
                     # generous window; the exact predicates decide
-                    j0 = max(int(math.floor((t.sx - r - x0) / CELL_SIZE)) - 1, 0)
-                    j1 = min(int(math.ceil((t.sx + r - x0) / CELL_SIZE)) + 2, W)
-                    i0 = max(int(math.floor((y_top - t.sy - r) / CELL_SIZE)) - 1, 0)
-                    i1 = min(int(math.ceil((y_top - t.sy + r) / CELL_SIZE)) + 2, H)
+                    j0 = max(int(math.floor((sx - r - x0) / CELL_SIZE)) - 1, 0)
+                    j1 = min(int(math.ceil((sx + r - x0) / CELL_SIZE)) + 2, W)
+                    i0 = max(int(math.floor((y_top - sy - r) / CELL_SIZE)) - 1, 0)
+                    i1 = min(int(math.ceil((y_top - sy + r) / CELL_SIZE)) + 2, H)
                     if j0 >= j1 or i0 >= i1:
                         continue
                     # pixel-center deltas; expressions mirror the SQL
                     # oracle op-for-op so both engines agree to the ulp
                     cx = x0 + (np.arange(j0, j1) + 0.5) * CELL_SIZE
                     cy = y_top - (np.arange(i0, i1) + 0.5) * CELL_SIZE
-                    dx = cx - t.sx
-                    dy = cy - t.sy
+                    dx = cx - sx
+                    dy = cy - sy
                     in_circle = (
                         dx[None, :] * dx[None, :]
                         + dy[:, None] * dy[:, None]
@@ -340,10 +358,10 @@ def upstream_levels(
                     if not base.any():
                         continue
                     fwd = (
-                        dx[None, :] * t.fdx + dy[:, None] * t.fdy
+                        dx[None, :] * s["fdx"] + dy[:, None] * s["fdy"]
                     ) >= 0.0
                     rev = (
-                        dx[None, :] * t.rdx + dy[:, None] * t.rdy
+                        dx[None, :] * s["rdx"] + dy[:, None] * s["rdy"]
                     ) >= 0.0
                     win = px[i0:i1, j0:j1]
                     f0, f1, fc = _two_smallest(
@@ -356,7 +374,7 @@ def upstream_levels(
                         continue
                     rows.append(
                         (
-                            t.line_id, t.feat_id, t.seq, t.sx, t.sy,
+                            s["line_id"], fid, s["seq"], sx, sy,
                             f0, f1, fc, r0, r1, rc,
                         )
                     )
@@ -369,12 +387,7 @@ def upstream_levels(
                     ],
                 )
 
-    n_parts = lines.sparkSession.sparkContext.defaultParallelism
-    parts = (
-        cand.repartition(n_parts, "cell_id")
-        .sortWithinPartitions("cell_id")
-        .mapInPandas(partials, schema=_PARTIAL_SCHEMA)
-    )
+    parts = cand.mapInPandas(partials, schema=_PARTIAL_SCHEMA)
 
     def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
         def merged_level(sub: pd.DataFrame, v0: str, v1: str, vc: str):
