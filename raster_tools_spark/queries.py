@@ -23,11 +23,12 @@ from __future__ import annotations
 
 from typing import Callable, Dict
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import synth, wkb
+from . import codecs as codecs_mod, synth, wkb
 from .functions import dedup as fdedup
 from .functions import similarity as fsim
 from .functions import text as ftext
@@ -1566,6 +1567,43 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["roof_grid"] = roof_grid
 
+    def fix_nodata(spark, sf_dir):
+        """Sentinel rewrite + nodata remap with skip-if-clean
+        (srtm/fix_nodata.py:22-56), oracle-checked on the f4 plane:
+        per-image fix count and post-rewrite pixel sum (dyadic f4
+        values sum exactly in both engines)."""
+        from .operators import repair as op_repair
+
+        images = synth.linear_f4_images_df(
+            spark, 150, tiles_axis=16
+        ).withColumn(
+            # even images are already on the target nodata (skip
+            # candidates unless a sentinel pixel exists), odd are dirty
+            "nodata",
+            F.when(F.col("phash") % 2 == 0, F.lit(0.0))
+            .otherwise(F.lit(-1.0)),
+        )
+        fixed = op_repair.fix_nodata(images, sentinel=300.0)
+        pix = fixed.select(
+            "image_id", "changed", "n_fixed",
+            F.pandas_udf("double")(
+                lambda b, f: pd.Series(
+                    [
+                        float(
+                            np.sum(
+                                codecs_mod.decode(bytes(x), y)
+                                .astype(np.float64)
+                            )
+                        )
+                        for x, y in zip(b, f)
+                    ]
+                )
+            )(F.col("bytes"), F.col("fmt")).alias("sum_v"),
+        )
+        return pix
+
+    q["fix_nodata"] = fix_nodata
+
     def streaming_parity(spark, sf_dir):
         """Batch twin of the streaming windowed agg, oracle-checked
         (window start formatted for engine-TZ independence); the
@@ -2219,6 +2257,19 @@ def oracle_sql() -> Dict[str, str]:
            CAST(o.rev AS INT) AS reversed
     FROM chosen o JOIN samp s
       ON s.line_id = o.line_id AND s.seq = o.seq
+    """
+
+    o["fix_nodata"] = f"""
+    WITH {synth.linear_f4_pixels_sql(150, 16)}
+    SELECT image_id,
+      CAST(CASE WHEN (idx % 2) != 0
+                 OR SUM(CASE WHEN v = 300.0 THEN 1 ELSE 0 END) > 0
+           THEN 1 ELSE 0 END AS INT) AS changed,
+      CAST(SUM(CASE WHEN v = 300.0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_fixed,
+      SUM(CASE WHEN v = 300.0 THEN 0.0 ELSE v END) AS sum_v
+    FROM lf4
+    GROUP BY image_id, idx
     """
 
     # Delaunay-linear gridding: checked via the planar-reproduction
