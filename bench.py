@@ -108,6 +108,11 @@ def run_bench(spark, sf_dir: str, n_images: int = 20000,
         "xyz_bin",
         "sessionize",
         "ivf_ann",
+        # round-2 continuation operators
+        "upstream_levels",
+        "grid_linear",
+        "roof_grid",
+        "fix_nodata",
     ):
         fn = qcat[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())

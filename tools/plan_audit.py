@@ -174,6 +174,40 @@ def main():
         ],
     )
 
+    # 5f. upstream: polygon pairing is broadcast; samples are grouped
+    # per cell (collect_list) BEFORE the tile join so tile bytes cross
+    # the exchange once per cell, never once per sample
+    audit(
+        "upstream_cell_grouped",
+        qcat["upstream_levels"](spark, SF),
+        [
+            ("polygon pairing broadcast", lambda p: "BroadcastHashJoin" in p),
+            ("samples grouped per cell pre-join",
+             lambda p: "collect_list" in p),
+            ("no cartesian product", lambda p: "CartesianProduct" not in p),
+        ],
+    )
+
+    # 5g. grid_linear: sampler map + ONE exchange (the per-feature
+    # triangulation group)
+    audit(
+        "grid_linear_single_shuffle",
+        qcat["grid_linear"](spark, SF),
+        [
+            (
+                "single exchange",
+                lambda p: len(re.findall(r"[+:]- Exchange ", p)) == 1,
+            ),
+        ],
+    )
+
+    # 5h. fix_nodata: pure map over the image table -- no shuffle
+    audit(
+        "fix_nodata_no_shuffle",
+        qcat["fix_nodata"](spark, SF),
+        [("no exchange in plan", lambda p: "Exchange" not in p)],
+    )
+
     # 6. mosaic merge: single hash agg pair (partial+final), no window
     audit(
         "mosaic_merge_hashagg",
