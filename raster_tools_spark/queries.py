@@ -1604,6 +1604,20 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fix_nodata"] = fix_nodata
 
+    def streaming_dedup(spark, sf_dir):
+        """Ingestion-dedup batch twin, oracle-checked: events with a
+        replayed subset (event_id % 7 == 0 duplicated) deduped on the
+        key, folded to per-type counts + exact sums.  The stream ==
+        batch equality of dropDuplicatesWithinWatermark itself is
+        pytest-checked in test_streaming.py."""
+        from .streaming import windows as sw
+
+        ev = _t(spark, sf_dir, "events")
+        duped = ev.unionByName(ev.filter(F.col("event_id") % 7 == 0))
+        return sw.dedup_batch_stats(duped)
+
+    q["streaming_dedup"] = streaming_dedup
+
     def streaming_parity(spark, sf_dir):
         """Batch twin of the streaming windowed agg, oracle-checked
         (window start formatted for engine-TZ independence); the
@@ -2257,6 +2271,19 @@ def oracle_sql() -> Dict[str, str]:
            CAST(o.rev AS INT) AS reversed
     FROM chosen o JOIN samp s
       ON s.line_id = o.line_id AND s.seq = o.seq
+    """
+
+    o["streaming_dedup"] = """
+    WITH dup AS (
+      SELECT event_id, event_type, value FROM events
+      UNION ALL
+      SELECT event_id, event_type, value FROM events
+      WHERE event_id % 7 = 0
+    ),
+    ded AS (SELECT DISTINCT event_id, event_type, value FROM dup)
+    SELECT event_type, COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_v
+    FROM ded GROUP BY event_type
     """
 
     o["fix_nodata"] = f"""

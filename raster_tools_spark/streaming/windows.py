@@ -111,3 +111,33 @@ def run_stream_to_memory(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys=("event_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact-dedup on ingestion keys: the training-pipeline
+    front door (drop replayed/duplicated events before they reach the
+    corpus).  dropDuplicatesWithinWatermark keeps dedup state only for
+    the watermark horizon, so state is bounded no matter how long the
+    stream runs -- the streaming analog of the engine's batch
+    fingerprint_dedup."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def dedup_batch_stats(events: DataFrame) -> DataFrame:
+    """Batch twin of dedup_stream, folded to per-type counts + exact
+    sums so the result is orderless and oracle-checkable: duplicates
+    are full-row copies, so DISTINCT on the key set yields the same
+    rows any engine would keep."""
+    deduped = events.dropDuplicates(["event_id"])
+    return deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("value").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("sum_v"),
+    )

@@ -110,3 +110,49 @@ def test_sessionize_stream_equals_batch(spark, events_dir):
     exp_k = sorted(key(r) for r in expected)
     assert len(exp_k) > 0
     assert got_k == exp_k
+
+
+def test_dedup_stream_equals_batch(spark, tmp_path):
+    """dropDuplicatesWithinWatermark drains to exactly the batch dedup
+    when all duplicates arrive within the watermark horizon."""
+    import glob
+    import shutil as sh
+
+    d = tmp_path / "dedup_stream"
+    d.mkdir()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    dupes = ev.filter(F.col("event_id") % 7 == 0)
+
+    def write_chunk(df, name):
+        tmp = str(tmp_path / f"dchunk_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        sh.copy(part, d / f"{name}.parquet")
+
+    write_chunk(ev, "a")
+    write_chunk(dupes, "b")
+
+    stream = sw.dedup_stream(sw.read_event_stream(spark, str(d)))
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT event_type, COUNT(*) cnt, "
+            "CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) sum_v "
+            "FROM t_dedup GROUP BY event_type"
+        ).collect()
+    finally:
+        q.stop()
+    batch = sw.dedup_batch_stats(
+        ev.unionByName(dupes)
+    ).collect()
+    key = lambda r: r.event_type
+    assert {key(r): (r.cnt, r.sum_v) for r in got} == {
+        key(r): (r.cnt, r.sum_v) for r in batch
+    }
+    assert sum(r.cnt for r in got) == ev.count()
