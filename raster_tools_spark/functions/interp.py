@@ -156,9 +156,10 @@ def linear_grid_features(
             }
         )
 
-    return points.groupBy("feat_id").applyInPandas(
-        run, schema=_LINEAR_GRID_SCHEMA
-    )
+    n_parts = points.sparkSession.sparkContext.defaultParallelism
+    return points.repartition(n_parts, "feat_id").groupBy(
+        "feat_id"
+    ).applyInPandas(run, schema=_LINEAR_GRID_SCHEMA)
 
 
 _TILE_GRID_SCHEMA = (
@@ -251,6 +252,7 @@ def linear_grid_tiles(
             }
         )
 
-    return exploded.groupBy("cell_id").applyInPandas(
-        build, schema=_TILE_GRID_SCHEMA
-    )
+    n_parts = points.sparkSession.sparkContext.defaultParallelism
+    return exploded.repartition(n_parts, "cell_id").groupBy(
+        "cell_id"
+    ).applyInPandas(build, schema=_TILE_GRID_SCHEMA)

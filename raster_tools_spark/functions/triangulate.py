@@ -48,9 +48,14 @@ def _circumcircle(pts, tri):
 def delaunay(points: np.ndarray) -> np.ndarray:
     """(n, 2) float64 -> (m, 3) int32 triangle vertex indices.
 
-    Bowyer-Watson with a super-triangle; O(n * active-triangles), fine
-    for the per-feature clouds (<= a few thousand points) this engine
-    triangulates.  Duplicate points must be removed by the caller.
+    Bowyer-Watson with a super-triangle.  Circumcircles are computed
+    ONCE per created triangle and cached in growable arrays (an
+    ``alive`` mask retires cavity triangles; the arrays compact when
+    mostly dead), so each insert costs one vectorized in-circle compare
+    over live triangles plus circumcircles for the new fan only --
+    O(n * live) compares total, with none of the per-insert array
+    rebuilding a naive implementation pays.  Duplicate points must be
+    removed by the caller.
     """
     pts = np.asarray(points, dtype=np.float64)
     n = len(pts)
@@ -70,33 +75,76 @@ def delaunay(points: np.ndarray) -> np.ndarray:
         ]
     )
     allp = np.vstack([pts, sup])
-    tris = [(n, n + 1, n + 2)]
+
+    cap = max(4 * n, 64)
+    tri = np.empty((cap, 3), np.int64)
+    ccx = np.empty(cap)
+    ccy = np.empty(cap)
+    cr2 = np.empty(cap)
+    alive = np.zeros(cap, bool)
+
+    def grow(need):
+        nonlocal cap, tri, ccx, ccy, cr2, alive
+        cap = max(cap * 2, need)
+        tri = np.resize(tri, (cap, 3))
+        ccx = np.resize(ccx, cap)
+        ccy = np.resize(ccy, cap)
+        cr2 = np.resize(cr2, cap)
+        a2 = np.zeros(cap, bool)
+        a2[: alive.size] = alive
+        alive = a2
+
+    def put(rows, top):
+        m = len(rows)
+        if top + m > cap:
+            grow(top + m)
+        t_arr = np.asarray(rows, np.int64).reshape(-1, 3)
+        tri[top: top + m] = t_arr
+        cx, cy, r2 = _circumcircle(allp, t_arr)
+        ccx[top: top + m] = cx
+        ccy[top: top + m] = cy
+        cr2[top: top + m] = r2
+        alive[top: top + m] = True
+        return top + m
+
+    top = put([(n, n + 1, n + 2)], 0)
 
     for i in range(n):
         px, py = allp[i]
-        t_arr = np.asarray(tris, dtype=np.int64)
-        cx, cy, r2 = _circumcircle(allp, t_arr)
-        dx = px - cx
-        dy = py - cy
-        bad = dx * dx + dy * dy <= r2
-        if not bad.any():
+        dx = px - ccx[:top]
+        dy = py - ccy[:top]
+        bad = (dx * dx + dy * dy <= cr2[:top]) & alive[:top]
+        idx = np.nonzero(bad)[0]
+        if idx.size == 0:
             continue
         # boundary of the star-shaped cavity: edges appearing once
         edges: dict = {}
-        for ti in np.nonzero(bad)[0]:
-            a, b, c = tris[ti]
+        for ti in idx:
+            a, b, c = tri[ti]
             for e in ((a, b), (b, c), (c, a)):
                 key = (e[0], e[1]) if e[0] < e[1] else (e[1], e[0])
                 if key in edges:
                     del edges[key]
                 else:
                     edges[key] = e  # keep orientation of first sight
-        tris = [t for ti, t in enumerate(tris) if not bad[ti]]
-        for e in edges.values():
-            tris.append((e[0], e[1], i))
+        alive[idx] = False
+        top = put([(e[0], e[1], i) for e in edges.values()], top)
+        if top > 256 and alive[:top].sum() * 3 < top:
+            # compact: copy live rows down
+            live = np.nonzero(alive[:top])[0]
+            m = live.size
+            tri[:m] = tri[live]
+            ccx[:m] = ccx[live]
+            ccy[:m] = ccy[live]
+            cr2[:m] = cr2[live]
+            alive[:top] = False
+            alive[:m] = True
+            top = m
 
-    out = [t for t in tris if max(t) < n]
-    return np.asarray(out, dtype=np.int32).reshape(-1, 3)
+    live = np.nonzero(alive[:top])[0]
+    out = tri[live]
+    out = out[(out < n).all(axis=1)]
+    return out.astype(np.int32).reshape(-1, 3)
 
 
 def interp_linear(
@@ -120,39 +168,101 @@ def interp_linear(
     if len(tri) == 0:
         return out
 
-    a = pts[tri[:, 0]]
-    b = pts[tri[:, 1]]
-    c = pts[tri[:, 2]]
-    det = (b[:, 1] - c[:, 1]) * (a[:, 0] - c[:, 0]) + (
-        c[:, 0] - b[:, 0]
-    ) * (a[:, 1] - c[:, 1])
-    ok = det != 0.0
-    safe = np.where(ok, det, 1.0)
+    a_all = pts[tri[:, 0]]
+    b_all = pts[tri[:, 1]]
+    c_all = pts[tri[:, 2]]
+    det_all = (b_all[:, 1] - c_all[:, 1]) * (a_all[:, 0] - c_all[:, 0]) + (
+        c_all[:, 0] - b_all[:, 0]
+    ) * (a_all[:, 1] - c_all[:, 1])
+    # bucketed point-location: hash triangles into a coarse grid keyed
+    # by their bboxes (bucket edge >= the largest triangle bbox, so a
+    # query only ever needs its OWN bucket), group queries per bucket,
+    # and compute barycentric weights bucket-locally.  Work becomes
+    # O(queries x triangles-per-bucket) instead of O(queries x all).
+    txs = np.stack([a_all[:, 0], b_all[:, 0], c_all[:, 0]])
+    tys = np.stack([a_all[:, 1], b_all[:, 1], c_all[:, 1]])
+    tx1, tx2 = txs.min(axis=0), txs.max(axis=0)
+    ty1, ty2 = tys.min(axis=0), tys.max(axis=0)
+    gx1 = float(min(tx1.min(), qx.min()))
+    gy1 = float(min(ty1.min(), qy.min()))
+    extent = max(
+        float(max(tx2.max(), qx.max())) - gx1,
+        float(max(ty2.max(), qy.max())) - gy1,
+        1e-9,
+    )
+    slack = 2.0 * eps * extent
+    # bucket edge: no triangle bbox (plus eps slack) spans more than
+    # one bucket neighborhood; floor the count so tiny clouds stay in
+    # one bucket and huge ones cap the hash table
+    edge = max(
+        float((tx2 - tx1).max()), float((ty2 - ty1).max()), extent / 256.0
+    ) + 2.0 * slack
+    nb = int(extent / edge) + 2
 
-    for s in range(0, qx.size, chunk):
-        e = min(s + chunk, qx.size)
-        dqx = qx[s:e, None] - c[None, :, 0]
-        dqy = qy[s:e, None] - c[None, :, 1]
-        w1 = (
-            (b[None, :, 1] - c[None, :, 1]) * dqx
-            + (c[None, :, 0] - b[None, :, 0]) * dqy
-        ) / safe
-        w2 = (
-            (c[None, :, 1] - a[None, :, 1]) * dqx
-            + (a[None, :, 0] - c[None, :, 0]) * dqy
-        ) / safe
-        w3 = 1.0 - w1 - w2
-        minw = np.minimum(np.minimum(w1, w2), w3)
-        minw[:, ~ok] = -np.inf
-        best = np.argmax(minw, axis=1)
-        rows = np.arange(e - s)
-        good = minw[rows, best] >= -eps
-        bt = tri[best[good]]
-        out[s:e][good] = (
-            w1[rows[good], best[good]] * z[bt[:, 0]]
-            + w2[rows[good], best[good]] * z[bt[:, 1]]
-            + w3[rows[good], best[good]] * z[bt[:, 2]]
-        )
+    def bx(v, lo):
+        return np.clip(((v - lo) / edge).astype(np.int64), 0, nb - 1)
+
+    # register each triangle in every bucket its bbox (plus slack) maps
+    # to (bboxes span <= 2 buckets per axis by construction)
+    ok = det_all != 0.0
+    reg_t, reg_b = [], []
+    for dxs in (tx1 - slack, tx2 + slack):
+        for dys in (ty1 - slack, ty2 + slack):
+            reg_t.append(np.arange(len(tri)))
+            reg_b.append(bx(dxs, gx1) * nb + bx(dys, gy1))
+    reg_t = np.concatenate(reg_t)
+    reg_b = np.concatenate(reg_b)
+    keep = ok[reg_t]
+    reg_t, reg_b = reg_t[keep], reg_b[keep]
+    # dedup (triangle, bucket) pairs from corner collisions
+    pair = reg_b * (len(tri) + 1) + reg_t
+    uniq = np.unique(pair)
+    reg_b = uniq // (len(tri) + 1)
+    reg_t = uniq % (len(tri) + 1)
+    order = np.argsort(reg_b, kind="stable")
+    reg_b, reg_t = reg_b[order], reg_t[order]
+    bstart = np.searchsorted(reg_b, np.arange(nb * nb))
+    bend = np.searchsorted(reg_b, np.arange(nb * nb), side="right")
+
+    qb = bx(qx, gx1) * nb + bx(qy, gy1)
+    qorder = np.argsort(qb, kind="stable")
+    qb_sorted = qb[qorder]
+    bounds = np.searchsorted(
+        qb_sorted, np.unique(qb_sorted), side="left"
+    ).tolist() + [qx.size]
+    ubuckets = np.unique(qb_sorted)
+
+    for ui, bket in enumerate(ubuckets):
+        t0, t1 = int(bstart[bket]), int(bend[bket])
+        if t0 == t1:
+            continue
+        qidx = qorder[bounds[ui]: bounds[ui + 1]]
+        sel = reg_t[t0:t1]
+        a, b, c = a_all[sel], b_all[sel], c_all[sel]
+        det = det_all[sel]
+        for s in range(0, qidx.size, chunk):
+            qs = qidx[s: s + chunk]
+            dqx = qx[qs, None] - c[None, :, 0]
+            dqy = qy[qs, None] - c[None, :, 1]
+            w1 = (
+                (b[None, :, 1] - c[None, :, 1]) * dqx
+                + (c[None, :, 0] - b[None, :, 0]) * dqy
+            ) / det
+            w2 = (
+                (c[None, :, 1] - a[None, :, 1]) * dqx
+                + (a[None, :, 0] - c[None, :, 0]) * dqy
+            ) / det
+            w3 = 1.0 - w1 - w2
+            minw = np.minimum(np.minimum(w1, w2), w3)
+            best = np.argmax(minw, axis=1)
+            rows = np.arange(qs.size)
+            good = minw[rows, best] >= -eps
+            bt = tri[sel[best[good]]]
+            out[qs[good]] = (
+                w1[rows[good], best[good]] * z[bt[:, 0]]
+                + w2[rows[good], best[good]] * z[bt[:, 1]]
+                + w3[rows[good], best[good]] * z[bt[:, 2]]
+            )
     return out
 
 

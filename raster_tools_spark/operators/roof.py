@@ -110,6 +110,12 @@ def roof_rasterize(
     """points(feat_id, x, y, z) x polygons(feat_id, geom_wkb) -> one f4
     raster row per footprint (rawz payload, nodata = f4 min)."""
     paired = points.join(polygons.select("feat_id", "geom_wkb"), "feat_id")
+    # CPU-heavy, data-tiny groups: pin the group partitioning so AQE's
+    # size-based coalescing can't serialize 25 triangulations onto one
+    # task; the explicit hash partitioning satisfies the groupBy's
+    # clustering requirement, so no extra exchange is added
+    n_parts = points.sparkSession.sparkContext.defaultParallelism
+    paired = paired.repartition(n_parts, "feat_id")
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         feat_id = int(pdf["feat_id"].iloc[0])
