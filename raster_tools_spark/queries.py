@@ -1618,6 +1618,59 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_dedup"] = streaming_dedup
 
+    def grid_linear_tiles(spark, sf_dir):
+        """TILED distributed Delaunay gridding (interp.linear_grid_tiles,
+        zvp2tif semantics), oracle-checked by the planar trick: a
+        jittered-grid cloud with an exact dyadic planar z covers a 4x4
+        tile block; every pixel of the four CENTER tiles is deep inside
+        the hull, so any valid local triangulation reproduces the plane
+        there exactly (and exactly representably in f4).  The oracle
+        re-derives the per-tile pixel aggregates in closed form -- no
+        triangulation needed SQL-side.  Seam equality local-vs-global
+        is pytest-checked in test_interp_tiles.py."""
+        from .functions import interp as finterp
+        from .grid import pack_cell
+
+        NXY = 105  # 105x105 points, 4 m pitch, spanning [-8, 408+]
+
+        pts = spark.range(0, NXY * NXY).selectExpr(
+            "id AS pid",
+            # dyadic jitter with coprime periods 17/19 so no near
+            # triple is collinear and the triangulation stays in
+            # general position along rows AND columns
+            f"CAST(-8.0 + (id % {NXY}) * 4.0"
+            " + ((id * 7919) % 17) * 0.03125 AS DOUBLE) AS x",
+            f"CAST({WORLD_TOP!r} - (-8.0 + (id DIV {NXY}) * 4.0"
+            " + ((id * 104729) % 19) * 0.03125) AS DOUBLE) AS y",
+        ).selectExpr(
+            "pid", "x", "y",
+            "CAST(7.0 + 0.0625 * x - 0.125 * y AS DOUBLE) AS z",
+        )
+        tiles = finterp.linear_grid_tiles(pts, res=10, halo=32.0)
+        center = [int(pack_cell(10, tx, ty))
+                  for tx in (1, 2) for ty in (1, 2)]
+        picked = tiles.filter(F.col("cell_id").isin(center))
+
+        @F.pandas_udf("struct<n_px: long, sum_v: double, "
+                      "min_v: double, max_v: double>")
+        def agg_px(b: pd.Series, f: pd.Series) -> pd.DataFrame:
+            rows = []
+            for x, y in zip(b, f):
+                px = codecs_mod.decode(bytes(x), y).astype(np.float64)
+                rows.append(
+                    (int(px.size), float(px.sum()),
+                     float(px.min()), float(px.max()))
+                )
+            return pd.DataFrame(
+                rows, columns=["n_px", "sum_v", "min_v", "max_v"]
+            )
+
+        return picked.select(
+            "cell_id", agg_px(F.col("bytes"), F.col("fmt")).alias("s")
+        ).select("cell_id", "s.n_px", "s.sum_v", "s.min_v", "s.max_v")
+
+    q["grid_linear_tiles"] = grid_linear_tiles
+
     def streaming_parity(spark, sf_dir):
         """Batch twin of the streaming windowed agg, oracle-checked
         (window start formatted for engine-TZ independence); the
@@ -2284,6 +2337,37 @@ def oracle_sql() -> Dict[str, str]:
     SELECT event_type, COUNT(*) AS cnt,
            CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_v
     FROM ded GROUP BY event_type
+    """
+
+    # tiled Delaunay gridding, planar trick: center-tile pixels are all
+    # deep inside the cloud hull, so the decoded f4 rasters carry the
+    # exact dyadic plane -- the oracle computes the per-tile aggregates
+    # in closed form, no triangulation needed
+    o["grid_linear_tiles"] = """
+    WITH cells AS (
+      SELECT tx, ty FROM (VALUES (1, 1), (1, 2), (2, 1), (2, 2))
+        AS t(tx, ty)
+    ),
+    px AS (
+      SELECT (CAST(10 AS BIGINT) << 56)
+             | (CAST(tx AS BIGINT) << 28) | CAST(ty AS BIGINT)
+               AS cell_id,
+             CAST(tx * 128.0 + (gj.j + 0.5) * 0.5 AS DOUBLE) AS cx,
+             CAST(524288.0 - ty * 128.0 - (gi.i + 0.5) * 0.5 AS DOUBLE)
+               AS cy
+      FROM cells,
+           LATERAL (SELECT unnest(generate_series(0, 255)) AS i) gi,
+           LATERAL (SELECT unnest(generate_series(0, 255)) AS j) gj
+    ),
+    pv AS (
+      SELECT cell_id,
+             CAST(7.0 AS DOUBLE) + CAST(0.0625 AS DOUBLE) * cx
+               - CAST(0.125 AS DOUBLE) * cy AS v
+      FROM px
+    )
+    SELECT cell_id, COUNT(*) AS n_px,
+           SUM(v) AS sum_v, MIN(v) AS min_v, MAX(v) AS max_v
+    FROM pv GROUP BY cell_id
     """
 
     o["fix_nodata"] = f"""
