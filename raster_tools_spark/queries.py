@@ -1671,6 +1671,40 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["grid_linear_tiles"] = grid_linear_tiles
 
+    def dedup_apply(spark, sf_dir):
+        """Canonical-document selection -- the apply step after
+        near-dup clustering: drop every non-representative cluster
+        member, keep unclustered docs, report corpus before/after
+        stats.  Oracle re-derives the clusters with a recursive
+        reachability CTE (same machinery as dedup_clusters)."""
+        from .functions import graph
+
+        docs = _t(spark, sf_dir, "documents")
+        clusters = graph.dedup_clusters(
+            fdedup.lsh_candidate_pairs(docs)
+        )
+        marked = docs.join(
+            clusters.select("doc_id", "is_representative"),
+            "doc_id", "left",
+        )
+        dropped = F.sum(
+            F.when(F.col("is_representative") == False, 1)  # noqa: E712
+            .otherwise(0)
+        )
+        return marked.agg(
+            F.count(F.lit(1)).alias("docs_before"),
+            dropped.cast("long").alias("dropped"),
+            (F.count(F.lit(1)) - dropped).cast("long").alias("docs_after"),
+            F.sum(
+                F.when(
+                    F.coalesce(F.col("is_representative"), F.lit(True)),
+                    F.length("text"),
+                ).otherwise(0)
+            ).cast("long").alias("kept_chars"),
+        )
+
+    q["dedup_apply"] = dedup_apply
+
     def streaming_parity(spark, sf_dir):
         """Batch twin of the streaming windowed agg, oracle-checked
         (window start formatted for engine-TZ independence); the
@@ -2041,7 +2075,7 @@ def oracle_sql() -> Dict[str, str]:
 
     # connected components as a reachability closure: min reachable
     # node == the component minimum that graph.dedup_clusters assigns
-    o["dedup_clusters"] = f"""
+    _cluster_walk = f"""
     WITH RECURSIVE {_shingles},
     sig AS (
       SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle))
@@ -2071,10 +2105,30 @@ def oracle_sql() -> Dict[str, str]:
       SELECT u, v FROM edges
       UNION
       SELECT w.node, e.v FROM walk w JOIN edges e ON w.reach = e.u
-    )
+    )"""
+
+    o["dedup_clusters"] = _cluster_walk + """
     SELECT node AS doc_id, MIN(reach) AS cluster,
            (node = MIN(reach)) AS is_representative
     FROM walk GROUP BY node
+    """
+
+    # dedup APPLY: the canonical-document selection step -- drop every
+    # non-representative cluster member, keep everything else
+    o["dedup_apply"] = _cluster_walk + """,
+    clusters AS (
+      SELECT node AS doc_id, (node = MIN(reach)) AS is_rep
+      FROM walk GROUP BY node
+    )
+    SELECT COUNT(*) AS docs_before,
+           CAST(SUM(CASE WHEN c.is_rep = false THEN 1 ELSE 0 END)
+                AS BIGINT) AS dropped,
+           CAST(COUNT(*) - SUM(CASE WHEN c.is_rep = false THEN 1
+                                    ELSE 0 END) AS BIGINT) AS docs_after,
+           CAST(SUM(CASE WHEN COALESCE(c.is_rep, true)
+                         THEN length(d.text) ELSE 0 END) AS BIGINT)
+             AS kept_chars
+    FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
     """
 
     o["lsh_ann"] = """

@@ -36,3 +36,18 @@ def test_skip_and_rewrite(spark):
     assert out["c"].changed == 1 and out["c"].n_fixed == 0
     assert out["c"].nodata == 0.0
     assert (codecs.rawz_decode(bytes(out["c"].bytes)) == clean).all()
+
+
+def test_i2_dtype_path(spark):
+    """The reference's actual SRTM dtype is i2 with the -32767
+    sentinel; the rawz path must round-trip it."""
+    dirty = np.array([[100, -32767], [7, -32767]], np.int16)
+    df = spark.createDataFrame(
+        [("s", codecs.rawz_encode(dirty), "rawz", 0.0)],
+        "image_id string, bytes binary, fmt string, nodata double",
+    )
+    r = op_repair.fix_nodata(df).collect()[0]
+    got = codecs.rawz_decode(bytes(r.bytes))
+    assert got.dtype == np.int16
+    assert (got == np.array([[100, 0], [7, 0]], np.int16)).all()
+    assert r.n_fixed == 2 and r.changed == 1
