@@ -1167,29 +1167,51 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def hillshade_f4(spark, sf_dir):
         """f4 DEM -> u8 hillshade through the dtype-generic halo
-        exchange (rows-only; seam equality is pytest-checked)."""
+        exchange, now ORACLE-CHECKED per pixel: the seven full-size f4
+        images (each an exact dyadic plane 3*seed + 0.5i + 0.25j) are
+        re-keyed onto a contiguous 4x2 cell block, so REAL margin
+        strips cross the exchange between adjacent planes; the SQL twin
+        re-derives every padded-gradient case (interior, seam with a
+        live neighbor, edge-replicated world border) in closed form and
+        applies the same published ZT/gdaldem shade formula."""
         from .operators import focal
 
         images = synth.linear_f4_images_df(spark, 100, tiles_axis=16)
-        # full-size images only (the stencil canvas is fixed-size), one
-        # deterministic representative per canonical tile
+        # full-size images only (the stencil canvas is fixed-size);
+        # idx%15==0 -> rank t=idx/15 packs them onto cells (t%4, t//4)
         images = images.filter((F.col("w") == 64) & (F.col("h") == 64))
-        tiles = images.select(
-            op_tile.cell_col(
-                F.col("x0") + F.lit(0.25),
-                F.col("y_top") - F.lit(0.25),
-                10,
-            ).alias("cell_id"),
-            "bytes",
-            "fmt",
-        ).groupBy("cell_id").agg(
-            F.min("bytes").alias("bytes"), F.min("fmt").alias("fmt")
+        tiles = images.selectExpr(
+            "(CAST(10 AS BIGINT) << 56)"
+            " | (CAST((phash DIV 15) % 4 AS BIGINT) << 28)"
+            " | CAST((phash DIV 15) DIV 4 AS BIGINT) AS cell_id",
+            "bytes", "fmt",
         )
         out = focal.halo_stencil(
             tiles, focal.hillshade_kernel, margin=1, tile_px=64
         )
-        return out.select(
-            "cell_id", F.md5(F.col("bytes")).alias("shade_md5")
+
+        def expand(batches):
+            for pdf in batches:
+                outs = []
+                for t in pdf.itertuples():
+                    px = codecs_mod.decode(bytes(t.bytes), t.fmt)
+                    h, w = px.shape
+                    gj, gi = np.meshgrid(np.arange(w), np.arange(h))
+                    cid = int(t.cell_id)
+                    outs.append(pd.DataFrame({
+                        "ix": np.full(h * w, (cid >> 28) & 0xFFFFFFF,
+                                      dtype=np.int32),
+                        "iy": np.full(h * w, cid & 0xFFFFFFF,
+                                      dtype=np.int32),
+                        "i": gi.ravel().astype(np.int32),
+                        "j": gj.ravel().astype(np.int32),
+                        "shade": px.ravel().astype(np.int32),
+                    }))
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        return out.mapInPandas(
+            expand, "ix int, iy int, i int, j int, shade int"
         )
 
     q["hillshade_f4"] = hillshade_f4
@@ -1704,6 +1726,61 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["dedup_apply"] = dedup_apply
+
+    def flow_direction_f4(spark, sf_dir):
+        """D8 flow direction through the halo exchange, ORACLE-CHECKED
+        per pixel on planar f4 tiles arranged west-to-east by ASCENDING
+        seed (so every west seam drops >= 3*11 - 15.75 m and dominates).
+
+        Closed-form direction map (derivation in the oracle comment):
+        interior pixels flow NW (64: the diagonal drop 0.75/sqrt(2)
+        beats N 0.5 and W 0.25); top rows flow W (32: the replicated
+        north halo kills vertical drops); west-seam columns flow W
+        (the cross-plane drop dominates); the westmost tile's first
+        column flows N (128: replicated west halo); and the single
+        global NW corner pixel -- zero drop everywhere -- is resolved
+        to NW (64) by the flat-area flood from the outward-edge frame,
+        exercising flow_dir.py:126-154's iterative resolution."""
+        from . import flow as flow_mod
+        from .operators import focal
+
+        images = synth.linear_f4_images_df(spark, 100, tiles_axis=16)
+        images = images.filter((F.col("w") == 64) & (F.col("h") == 64))
+        # strip position by ascending seed ((t*555)%199 for t=idx/15):
+        # t [0,4,3,2,6,1,5] -> seeds [0,31,73,115,146,157,188]
+        tiles = images.selectExpr(
+            "(CAST(10 AS BIGINT) << 56) | (CAST("
+            "CASE (phash DIV 15) WHEN 0 THEN 0 WHEN 4 THEN 1"
+            " WHEN 3 THEN 2 WHEN 2 THEN 3 WHEN 6 THEN 4"
+            " WHEN 1 THEN 5 ELSE 6 END AS BIGINT) << 28) AS cell_id",
+            "bytes", "fmt",
+        )
+        out = focal.halo_stencil(
+            tiles, flow_mod.calculate_flow_direction,
+            margin=8, tile_px=64,
+        )
+
+        def expand(batches):
+            for pdf in batches:
+                outs = []
+                for t in pdf.itertuples():
+                    px = codecs_mod.decode(bytes(t.bytes), t.fmt)
+                    h, w = px.shape
+                    gj, gi = np.meshgrid(np.arange(w), np.arange(h))
+                    cid = int(t.cell_id)
+                    outs.append(pd.DataFrame({
+                        "ix": np.full(h * w, (cid >> 28) & 0xFFFFFFF,
+                                      dtype=np.int32),
+                        "i": gi.ravel().astype(np.int32),
+                        "j": gj.ravel().astype(np.int32),
+                        "dir": px.ravel().astype(np.int32),
+                    }))
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        return out.mapInPandas(expand, "ix int, i int, j int, dir int")
+
+    q["flow_direction_f4"] = flow_direction_f4
 
     def streaming_parity(spark, sf_dir):
         """Batch twin of the streaming windowed agg, oracle-checked
@@ -2378,6 +2455,107 @@ def oracle_sql() -> Dict[str, str]:
            CAST(o.rev AS INT) AS reversed
     FROM chosen o JOIN samp s
       ON s.line_id = o.line_id AND s.seq = o.seq
+    """
+
+    # f4 hillshade through the halo exchange: each tile is an exact
+    # plane 3*seed + 0.5i + 0.25j on a 4x2 cell block, so every padded
+    # np.gradient case is a closed form -- interior (0.5 / 0.25), seam
+    # with a live neighbor (cross-plane difference), edge-replicated
+    # world border (halved).  Shade truncation uses floor (DuckDB CAST
+    # rounds; numpy astype truncates).
+    o["hillshade_f4"] = """
+    WITH htiles AS (
+      SELECT g.t, CAST(g.t % 4 AS INT) AS ix,
+             CAST(g.t // 4 AS INT) AS iy,
+             ((g.t * 15) * 37) % 199 AS seed
+      FROM (SELECT unnest(generate_series(0, 6)) AS t) g
+    ),
+    nbrs AS (
+      SELECT c.ix, c.iy, c.seed,
+             n.seed AS seed_n, s.seed AS seed_s,
+             w.seed AS seed_w, e.seed AS seed_e
+      FROM htiles c
+      LEFT JOIN htiles n ON n.ix = c.ix AND n.iy = c.iy - 1
+      LEFT JOIN htiles s ON s.ix = c.ix AND s.iy = c.iy + 1
+      LEFT JOIN htiles w ON w.ix = c.ix - 1 AND w.iy = c.iy
+      LEFT JOIN htiles e ON e.ix = c.ix + 1 AND e.iy = c.iy
+    ),
+    hpx AS (
+      SELECT ix, iy, seed, seed_n, seed_s, seed_w, seed_e,
+             CAST(gi.i AS INT) AS i, CAST(gj.j AS INT) AS j
+      FROM nbrs,
+           LATERAL (SELECT unnest(generate_series(0, 63)) AS i) gi,
+           LATERAL (SELECT unnest(generate_series(0, 63)) AS j) gj
+    ),
+    grad AS (
+      SELECT ix, iy, i, j,
+        CAST(CASE
+          WHEN i = 0 AND seed_n IS NOT NULL THEN
+            ((3.0*seed + 0.5 + 0.25*j)
+             - (3.0*seed_n + 31.5 + 0.25*j)) / 2.0
+          WHEN i = 0 THEN 0.25
+          WHEN i = 63 AND seed_s IS NOT NULL THEN
+            ((3.0*seed_s + 0.25*j)
+             - (3.0*seed + 31.0 + 0.25*j)) / 2.0
+          WHEN i = 63 THEN 0.25
+          ELSE 0.5 END AS DOUBLE) AS gy_raw,
+        CAST(CASE
+          WHEN j = 0 AND seed_w IS NOT NULL THEN
+            ((3.0*seed + 0.25 + 0.5*i)
+             - (3.0*seed_w + 15.75 + 0.5*i)) / 2.0
+          WHEN j = 0 THEN 0.125
+          WHEN j = 63 AND seed_e IS NOT NULL THEN
+            ((3.0*seed_e + 0.5*i)
+             - (3.0*seed + 15.5 + 0.5*i)) / 2.0
+          WHEN j = 63 THEN 0.125
+          ELSE 0.25 END AS DOUBLE) AS gx_raw
+      FROM hpx
+    ),
+    cang AS (
+      SELECT ix, iy, i, j,
+        (sin(radians(45.0))
+         - cos(radians(45.0)) * 0.5
+           * sqrt((gx_raw * -4.0)*(gx_raw * -4.0)
+                  + (gy_raw * 4.0)*(gy_raw * 4.0))
+           * sin(atan2(gy_raw * 4.0, gx_raw * -4.0) - radians(315.0)))
+        / sqrt(1.0 + 0.25 * ((gx_raw * -4.0)*(gx_raw * -4.0)
+                             + (gy_raw * 4.0)*(gy_raw * 4.0))) AS v
+      FROM grad
+    )
+    SELECT ix, iy, i, j,
+           CAST(CASE WHEN v <= 0 THEN 1
+                ELSE floor(1.0 + 254.0 * v) END AS INT) AS shade
+    FROM cang
+    """
+
+    # D8 direction on the ascending-seed planar strip.  Derivation
+    # (flow.calculate_flow_direction semantics on the padded array):
+    # own-plane drops are N 0.5, W 0.25, NW 0.75/sqrt(2) ~ 0.5303, all
+    # others <= 0; the halo replicates absent north/south sides, so
+    # top rows lose vertical drops (W wins) and the westmost first
+    # column loses horizontal drops (N wins); west seams see the
+    # cross-plane drop 3*ds - 15.75 >= 17.25 which dominates (the
+    # diagonal variant is divided by sqrt(2)); the single global NW
+    # corner pixel has zero best drop, accumulates bits NW|N|W = 224,
+    # and the flat-flood from the outward-edge frame walks the
+    # replicated ring diagonally so the pixel adopts its first
+    # candidate slot in _D8 order: NW (64).
+    o["flow_direction_f4"] = """
+    WITH strip AS (SELECT unnest(generate_series(0, 6)) AS k),
+    fpx AS (
+      SELECT CAST(k AS INT) AS ix,
+             CAST(gi.i AS INT) AS i, CAST(gj.j AS INT) AS j
+      FROM strip,
+           LATERAL (SELECT unnest(generate_series(0, 63)) AS i) gi,
+           LATERAL (SELECT unnest(generate_series(0, 63)) AS j) gj
+    )
+    SELECT ix, i, j,
+           CASE WHEN ix = 0 AND j = 0 AND i = 0 THEN 64
+                WHEN ix = 0 AND j = 0 THEN 128
+                WHEN j = 0 THEN 32
+                WHEN i = 0 THEN 32
+                ELSE 64 END AS dir
+    FROM fpx
     """
 
     o["streaming_dedup"] = """
