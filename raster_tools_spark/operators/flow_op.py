@@ -321,7 +321,8 @@ def _halo_dir_parts(batches: Iterator[pd.DataFrame]
     return _emit_parts(batches, margin=1)
 
 
-def _build_state(pdf: pd.DataFrame) -> pd.DataFrame:
+def _build_state(pdf: pd.DataFrame, tile_px: int = TILE_PX
+                 ) -> pd.DataFrame:
     """Assemble the padded direction for one tile, derive the local
     pointer array (in-tile flat target, _SINK, or exit id >= size),
     run the local accumulation, record initial boundary outflows."""
@@ -338,7 +339,7 @@ def _build_state(pdf: pd.DataFrame) -> pd.DataFrame:
         for t in pdf.itertuples()
         if not (t.src_dy == 0 and t.src_dx == 0)
     }
-    padded = _assemble_padded(pdf, TILE_PX, 1)
+    padded = _assemble_padded(pdf, tile_px, 1)
     # edge replication is WRONG for absent neighbors here (phantom
     # directions); mark absent sides as direction 0 so targets there
     # become global sinks
@@ -352,7 +353,7 @@ def _build_state(pdf: pd.DataFrame) -> pd.DataFrame:
         padded[:, -1] = 0
 
     res, ix, iy = (int(v) for v in unpack_cell(target_cell))
-    n = TILE_PX * TILE_PX
+    n = tile_px * tile_px
     core = padded[1:-1, 1:-1]
     tgt = flow_targets(core)  # in-core flat target or n
     ptr = np.where(tgt == n, np.int64(_SINK), tgt).astype(np.int64)
@@ -362,11 +363,11 @@ def _build_state(pdf: pd.DataFrame) -> pd.DataFrame:
     from ..flow import _FIRST_DI, _FIRST_DJ
 
     d = core.ravel()
-    pi = np.arange(n) // TILE_PX + 1 + _FIRST_DI[d]
-    pj = np.arange(n) % TILE_PX + 1 + _FIRST_DJ[d]
+    pi = np.arange(n) // tile_px + 1 + _FIRST_DI[d]
+    pj = np.arange(n) % tile_px + 1 + _FIRST_DJ[d]
     crosses = (
         (d != 0)
-        & ((pi < 1) | (pi > TILE_PX) | (pj < 1) | (pj > TILE_PX))
+        & ((pi < 1) | (pi > tile_px) | (pj < 1) | (pj > tile_px))
     )
     exit_cell: List[int] = []
     exit_px: List[int] = []
@@ -375,8 +376,8 @@ def _build_state(pdf: pd.DataFrame) -> pd.DataFrame:
         tdir = int(padded[ti, tj])
         # mutual cross-edge pair (A->B and B->A): both are sinks,
         # mirroring the reference's global flow[flow[state]] == state
-        my_i = flat // TILE_PX + 1
-        my_j = flat % TILE_PX + 1
+        my_i = flat // tile_px + 1
+        my_j = flat % tile_px + 1
         back_i = ti + _FIRST_DI[tdir]
         back_j = tj + _FIRST_DJ[tdir]
         if tdir != 0 and back_i == my_i and back_j == my_j:
@@ -385,17 +386,17 @@ def _build_state(pdf: pd.DataFrame) -> pd.DataFrame:
         # which neighbor tile and pixel; NOTE ``have`` holds
         # SENDER-relative tags (the neighbor at our (dy, dx) tags its
         # strips (-dy, -dx)), so presence is checked on the negation
-        dy = -1 if ti < 1 else (1 if ti > TILE_PX else 0)
-        dx = -1 if tj < 1 else (1 if tj > TILE_PX else 0)
+        dy = -1 if ti < 1 else (1 if ti > tile_px else 0)
+        dx = -1 if tj < 1 else (1 if tj > tile_px else 0)
         jx, jy = ix + dx, iy + dy
         if jx < 0 or jy < 0 or (-dy, -dx) not in have:
             ptr[flat] = _SINK  # off the world / absent neighbor
             continue
-        ni = (ti - 1) - dy * TILE_PX
-        nj = (tj - 1) - dx * TILE_PX
+        ni = (ti - 1) - dy * tile_px
+        nj = (tj - 1) - dx * tile_px
         ptr[flat] = n + len(exit_cell)
         exit_cell.append(int(pack_cell(res, jx, jy)))
-        exit_px.append(int(ni * TILE_PX + nj))
+        exit_px.append(int(ni * tile_px + nj))
 
     # local accumulation: pointer-chase rounds, exits behave as sinks
     local = np.where(ptr >= n, np.int64(_SINK), ptr)
@@ -426,10 +427,11 @@ def _build_state(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def _route(pdf: pd.DataFrame, qty_col: str = "qty") -> pd.DataFrame:
+def _route(pdf: pd.DataFrame, qty_col: str = "qty",
+           tile_px: int = TILE_PX) -> pd.DataFrame:
     """Walk each inflow (px, qty) through one tile's static pointers;
     return next-hop outflows (cell_id, px, qty)."""
-    n = TILE_PX * TILE_PX
+    n = tile_px * tile_px
     ptr = np.frombuffer(
         zlib.decompress(bytes(pdf["ptr"].iloc[0])), dtype=np.int64
     )
@@ -451,12 +453,13 @@ def _route(pdf: pd.DataFrame, qty_col: str = "qty") -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["cell_id", "px", "qty"])
 
 
-def _driver_tail(spark, state: DataFrame, records) -> list:
+def _driver_tail(spark, state: DataFrame, records,
+                 tile_px: int = TILE_PX) -> list:
     """Finish the boundary fixpoint on the driver: route the remaining
     (cell, px, qty) records hop by hop, fetching each newly touched
     tile's pointer state once.  Returns every routed inflow event
     (the final replay applies them all)."""
-    n = TILE_PX * TILE_PX
+    n = tile_px * tile_px
     cache: dict = {}
     events: list = []
     guard = 0
@@ -503,7 +506,7 @@ def _driver_tail(spark, state: DataFrame, records) -> list:
 
 def accumulate_tiles(
     dir_tiles: DataFrame, max_rounds: int = 64,
-    tail_threshold: int = 1024,
+    tail_threshold: int = 1024, tile_px: int = TILE_PX,
 ) -> DataFrame:
     """Global flow accumulation over direction tiles (cell_id, bytes,
     fmt).  Returns (cell_id, acc binary: zlib int64[65536]) -- equal to
@@ -516,7 +519,7 @@ def accumulate_tiles(
         )
     )
     state = parts.groupBy("target").applyInPandas(
-        _build_state, schema=_STATE_SCHEMA
+        lambda pdf: _build_state(pdf, tile_px), schema=_STATE_SCHEMA
     )
     state = state.localCheckpoint(eager=True)
 
@@ -532,7 +535,7 @@ def accumulate_tiles(
             ptr = np.frombuffer(
                 zlib.decompress(bytes(t.ptr)), dtype=np.int64
             )
-            n = TILE_PX * TILE_PX
+            n = tile_px * tile_px
             exits = np.nonzero(ptr >= n)[0]
             for flat in exits:
                 e = int(ptr[flat]) - n
@@ -576,6 +579,7 @@ def accumulate_tiles(
                 spark, state,
                 [(int(r.cell_id), int(r.px), int(r.qty))
                  for r in inflows.collect()],
+                tile_px=tile_px,
             )
             if events:
                 tail_df = spark.createDataFrame(
@@ -587,13 +591,13 @@ def accumulate_tiles(
                 all_inflows = all_inflows.unionByName(tail_df)
             break
         routed = inflows.join(state, "cell_id").groupBy("cell_id").applyInPandas(
-            lambda pdf: _route(pdf), schema=_FLOW_SCHEMA
+            lambda pdf: _route(pdf, tile_px=tile_px), schema=_FLOW_SCHEMA
         )
         outflows = routed.localCheckpoint(eager=True)
 
     # final: replay every inflow along its path, adding to local acc
     def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = TILE_PX * TILE_PX
+        n = tile_px * tile_px
         acc = np.frombuffer(
             zlib.decompress(bytes(pdf["acc"].iloc[0])), dtype=np.int64
         ).copy()

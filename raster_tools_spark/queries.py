@@ -1782,6 +1782,60 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["flow_direction_f4"] = flow_direction_f4
 
+    def flow_accumulation_f4(spark, sf_dir):
+        """GLOBAL flow accumulation (G2: cross-tile fixpoint with
+        boundary-outflow exchange), ORACLE-CHECKED per pixel: on the
+        ascending-seed planar strip the D8 pointer field is the closed
+        form proven by flow_direction_f4, so the oracle can replay
+        every cell's full downstream path with a recursive CTE and
+        count visits -- acc(v) == number of strictly-upstream cells.
+        Flow crosses all six tile seams (west seam columns drain W),
+        driving the distributed rounds + driver-tail finish."""
+        import zlib as _zlib
+
+        from . import flow as flow_mod
+        from .operators import flow_op, focal
+
+        images = synth.linear_f4_images_df(spark, 100, tiles_axis=16)
+        images = images.filter((F.col("w") == 64) & (F.col("h") == 64))
+        tiles = images.selectExpr(
+            "(CAST(10 AS BIGINT) << 56) | (CAST("
+            "CASE (phash DIV 15) WHEN 0 THEN 0 WHEN 4 THEN 1"
+            " WHEN 3 THEN 2 WHEN 2 THEN 3 WHEN 6 THEN 4"
+            " WHEN 1 THEN 5 ELSE 6 END AS BIGINT) << 28) AS cell_id",
+            "bytes", "fmt",
+        )
+        dirs = focal.halo_stencil(
+            tiles, flow_mod.calculate_flow_direction,
+            margin=8, tile_px=64,
+        )
+        acc = flow_op.accumulate_tiles(
+            dirs.select("cell_id", "bytes", "fmt"), tile_px=64
+        )
+
+        def expand(batches):
+            for pdf in batches:
+                outs = []
+                for t in pdf.itertuples():
+                    a = np.frombuffer(
+                        _zlib.decompress(bytes(t.acc)), np.int64
+                    ).reshape(64, 64)
+                    gj, gi = np.meshgrid(np.arange(64), np.arange(64))
+                    cid = int(t.cell_id)
+                    outs.append(pd.DataFrame({
+                        "ix": np.full(a.size, (cid >> 28) & 0xFFFFFFF,
+                                      dtype=np.int32),
+                        "i": gi.ravel().astype(np.int32),
+                        "j": gj.ravel().astype(np.int32),
+                        "acc": a.ravel(),
+                    }))
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        return acc.mapInPandas(expand, "ix int, i int, j int, acc long")
+
+    q["flow_accumulation_f4"] = flow_accumulation_f4
+
     def streaming_parity(spark, sf_dir):
         """Batch twin of the streaming windowed agg, oracle-checked
         (window start formatted for engine-TZ independence); the
@@ -2556,6 +2610,47 @@ def oracle_sql() -> Dict[str, str]:
                 WHEN i = 0 THEN 32
                 ELSE 64 END AS dir
     FROM fpx
+    """
+
+    # global accumulation on the strip: replay every cell's downstream
+    # path (successor map == the proven closed-form direction field in
+    # GLOBAL coords gJ = ix*64 + j) with a recursive CTE; UNION ALL
+    # keeps one row per (walker, step), so counting rows at a position
+    # is exactly "number of strictly-upstream cells".
+    o["flow_accumulation_f4"] = """
+    WITH RECURSIVE fcell AS (
+      SELECT CAST(gi.i AS INT) AS i, CAST(gj.g AS INT) AS gj
+      FROM (SELECT unnest(generate_series(0, 63)) AS i) gi,
+           (SELECT unnest(generate_series(0, 447)) AS g) gj
+    ),
+    walk(pi, pj) AS (
+      SELECT CASE WHEN gj = 0 THEN i - 1
+                  WHEN i = 0 THEN 0
+                  WHEN gj % 64 = 0 THEN i
+                  ELSE i - 1 END,
+             CASE WHEN gj = 0 THEN 0
+                  WHEN i = 0 THEN gj - 1
+                  WHEN gj % 64 = 0 THEN gj - 1
+                  ELSE gj - 1 END
+      FROM fcell WHERE NOT (i = 0 AND gj = 0)
+      UNION ALL
+      SELECT CASE WHEN pj = 0 THEN pi - 1
+                  WHEN pi = 0 THEN 0
+                  WHEN pj % 64 = 0 THEN pi
+                  ELSE pi - 1 END,
+             CASE WHEN pj = 0 THEN 0
+                  WHEN pi = 0 THEN pj - 1
+                  WHEN pj % 64 = 0 THEN pj - 1
+                  ELSE pj - 1 END
+      FROM walk WHERE NOT (pi = 0 AND pj = 0)
+    ),
+    counts AS (
+      SELECT pi, pj, COUNT(*) AS c FROM walk GROUP BY 1, 2
+    )
+    SELECT CAST(f.gj // 64 AS INT) AS ix, f.i,
+           CAST(f.gj % 64 AS INT) AS j,
+           CAST(COALESCE(c.c, 0) AS BIGINT) AS acc
+    FROM fcell f LEFT JOIN counts c ON c.pi = f.i AND c.pj = f.gj
     """
 
     o["streaming_dedup"] = """
