@@ -113,6 +113,8 @@ def run_bench(spark, sf_dir: str, n_images: int = 20000,
         "grid_linear",
         "roof_grid",
         "fix_nodata",
+        "flow_direction_f4",
+        "flow_accumulation_f4",
     ):
         fn = qcat[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())

@@ -1836,6 +1836,70 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["flow_accumulation_f4"] = flow_accumulation_f4
 
+    def shadow_march_flat(spark, sf_dir):
+        """Shadow march through the halo exchange, ORACLE-CHECKED per
+        pixel on a descending STEP fixture (constant-z f4 tiles
+        c = [60,57,51,42,30,28,21] on a west-east strip).  On constants
+        the cross-max pre-pass and the NW diagonal march lose all row
+        dependence: a pixel at in-tile column J of tile k is shadowed
+        iff 1 <= J <= margin and the west wall clears the sun ray at
+        the first seam-crossing step, c[k-1] - max(J,1)*dz > c[k]
+        (larger steps only subtract more).  The seam deltas
+        [3,6,9,12,2,7] produce six different band widths, and every
+        lit/shadow decision has >= 0.07 m of slack, far beyond any
+        cross-engine trig ulp."""
+        from . import shadow as shadow_mod
+        from .operators import focal
+
+        consts = [60.0, 57.0, 51.0, 42.0, 30.0, 28.0, 21.0]
+
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for k in pdf["id"]:
+                    k = int(k)
+                    arr = np.full((64, 64), consts[k], np.float32)
+                    rows.append(
+                        (
+                            int((10 << 56) | (k << 28)),
+                            codecs_mod.rawz_encode(arr),
+                            "rawz",
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows, columns=["cell_id", "bytes", "fmt"]
+                )
+
+        tiles = spark.range(0, 7, 1, 4).mapInPandas(
+            gen, "cell_id long, bytes binary, fmt string"
+        )
+        kern = shadow_mod.shadow_kernel_factory(
+            azimuth=315.0, elevation=45.0, m_per_px=1.0, mz=100.0,
+            margin=8,
+        )
+        out = focal.halo_stencil(tiles, kern, margin=8, tile_px=64)
+
+        def expand(batches):
+            for pdf in batches:
+                outs = []
+                for t in pdf.itertuples():
+                    px = codecs_mod.decode(bytes(t.bytes), t.fmt)
+                    gj, gi = np.meshgrid(np.arange(64), np.arange(64))
+                    cid = int(t.cell_id)
+                    outs.append(pd.DataFrame({
+                        "ix": np.full(px.size, (cid >> 28) & 0xFFFFFFF,
+                                      dtype=np.int32),
+                        "i": gi.ravel().astype(np.int32),
+                        "j": gj.ravel().astype(np.int32),
+                        "lit": px.ravel().astype(np.int32),
+                    }))
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        return out.mapInPandas(expand, "ix int, i int, j int, lit int")
+
+    q["shadow_march_flat"] = shadow_march_flat
+
     def streaming_parity(spark, sf_dir):
         """Batch twin of the streaming windowed agg, oracle-checked
         (window start formatted for engine-TZ independence); the
@@ -2651,6 +2715,33 @@ def oracle_sql() -> Dict[str, str]:
            CAST(f.gj % 64 AS INT) AS j,
            CAST(COALESCE(c.c, 0) AS BIGINT) AS acc
     FROM fcell f LEFT JOIN counts c ON c.pi = f.i AND c.pj = f.gj
+    """
+
+    # step-fixture shadow march: shadow (lit = 0) iff 1 <= j <= 8 on a
+    # tile with a west wall high enough to clear the sun ray at the
+    # first seam-crossing step; dz mirrors shadow._params op-for-op
+    o["shadow_march_flat"] = """
+    WITH sconst AS (
+      SELECT * FROM (VALUES
+        (0, CAST(60.0 AS DOUBLE)), (1, 57.0), (2, 51.0), (3, 42.0),
+        (4, 30.0), (5, 28.0), (6, 21.0)) AS t(k, c)
+    ),
+    spx AS (
+      SELECT s.k AS ix, CAST(gi.i AS INT) AS i, CAST(gj.j AS INT) AS j,
+             s.c, w.c AS c_w
+      FROM sconst s
+      LEFT JOIN sconst w ON w.k = s.k - 1,
+      LATERAL (SELECT unnest(generate_series(0, 63)) AS i) gi,
+      LATERAL (SELECT unnest(generate_series(0, 63)) AS j) gj
+    )
+    SELECT ix, i, j,
+      CASE WHEN c_w IS NOT NULL AND j >= 1 AND j <= 8
+            AND (c_w - CAST(GREATEST(j, 1) AS DOUBLE)
+                 * ((1.0 / GREATEST(ABS(sin(radians(315.0))),
+                                    ABS(0.0 - cos(radians(315.0)))))
+                    * tan(radians(45.0)) * 1.0)) > c
+           THEN 0 ELSE 255 END AS lit
+    FROM spx
     """
 
     o["streaming_dedup"] = """
