@@ -1900,6 +1900,69 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["shadow_march_flat"] = shadow_march_flat
 
+    def fill_voids_flat(spark, sf_dir):
+        """G6 multi-res void fill, oracle-checked on the constant
+        invariant: a constant tile with sprinkled voids must come back
+        constant EVERYWHERE -- masked means of equal values are exact
+        in float64 (sum of n copies of an integer / n), medians of
+        equals are equal, and round/clip preserve them, at every level
+        of the pyramid.  Any mis-weighted aggregate, leaked nodata, or
+        edge-handling bug breaks constancy."""
+        from .operators import fill_op
+
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for k in pdf["id"]:
+                    k = int(k)
+                    c = (k * 37) % 199
+                    px = np.full((64, 64), c, np.uint8)
+                    ii, jj = np.meshgrid(
+                        np.arange(64), np.arange(64), indexing="ij"
+                    )
+                    px[(ii + jj) % 17 == 0] = 255  # voids
+                    rows.append(
+                        (
+                            int((10 << 56) | (k << 28)),
+                            codecs_mod.png_encode(px),
+                            "png",
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows, columns=["cell_id", "bytes", "fmt"]
+                )
+
+        tiles = spark.range(0, 12, 1, 4).mapInPandas(
+            gen, "cell_id long, bytes binary, fmt string"
+        )
+        out = fill_op.fill_voids_tiles(tiles)
+
+        def expand(batches):
+            for pdf in batches:
+                outs = []
+                for t in pdf.itertuples():
+                    px = codecs_mod.decode(bytes(t.bytes), t.fmt)
+                    gj, gi = np.meshgrid(np.arange(64), np.arange(64))
+                    cid = int(t.cell_id)
+                    outs.append(pd.DataFrame({
+                        "k": np.full(px.size, (cid >> 28) & 0xFFFFFFF,
+                                     dtype=np.int32),
+                        "i": gi.ravel().astype(np.int32),
+                        "j": gj.ravel().astype(np.int32),
+                        "v": px.ravel().astype(np.int32),
+                        "filled_px": np.full(
+                            px.size, int(t.filled_px), dtype=np.int64
+                        ),
+                    }))
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        return out.mapInPandas(
+            expand, "k int, i int, j int, v int, filled_px long"
+        )
+
+    q["fill_voids_flat"] = fill_voids_flat
+
     def streaming_parity(spark, sf_dir):
         """Batch twin of the streaming windowed agg, oracle-checked
         (window start formatted for engine-TZ independence); the
@@ -2742,6 +2805,23 @@ def oracle_sql() -> Dict[str, str]:
                     * tan(radians(45.0)) * 1.0)) > c
            THEN 0 ELSE 255 END AS lit
     FROM spx
+    """
+
+    o["fill_voids_flat"] = """
+    WITH fv AS (SELECT unnest(generate_series(0, 11)) AS k),
+    holes AS (
+      SELECT COUNT(*) AS n
+      FROM (SELECT unnest(generate_series(0, 63)) AS i) a,
+           (SELECT unnest(generate_series(0, 63)) AS j) b
+      WHERE (a.i + b.j) % 17 = 0
+    )
+    SELECT CAST(f.k AS INT) AS k, CAST(gi.i AS INT) AS i,
+           CAST(gj.j AS INT) AS j,
+           CAST((f.k * 37) % 199 AS INT) AS v,
+           CAST(holes.n AS BIGINT) AS filled_px
+    FROM fv f, holes,
+         LATERAL (SELECT unnest(generate_series(0, 63)) AS i) gi,
+         LATERAL (SELECT unnest(generate_series(0, 63)) AS j) gj
     """
 
     o["streaming_dedup"] = """
