@@ -1963,6 +1963,90 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fill_voids_flat"] = fill_voids_flat
 
+    def contour_rect(spark, sf_dir):
+        """Marching-squares footprint contour, oracle-checked on
+        rectangle masks: an a x b data rectangle yields one ring with
+        exactly 2(a+b)+1 vertices (edge midpoints, corners chamfered)
+        and exact dyadic area (a*b - 0.5 pixels) * CELL_SIZE^2 -- the
+        world-coordinate shoelace stays exact, so the SQL twin is a
+        closed form.  Hole rings keep their pytest goldens
+        (test_contour.py)."""
+        from .operators import contour_op
+
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for k in pdf["id"]:
+                    k = int(k)
+                    a = 5 + (k * 3) % 11
+                    b = 4 + (k * 5) % 13
+                    px = np.full((64, 64), 255, np.uint8)
+                    r0, c0 = 2 + k % 3, 3 + k % 4
+                    px[r0:r0 + a, c0:c0 + b] = 100 + k
+                    rows.append(
+                        (
+                            int((10 << 56) | (k << 28)),
+                            codecs_mod.png_encode(px),
+                            "png",
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows, columns=["cell_id", "bytes", "fmt"]
+                )
+
+        tiles = spark.range(0, 12, 1, 4).mapInPandas(
+            gen, "cell_id long, bytes binary, fmt string"
+        )
+        rings = contour_op.contour_tiles(tiles)
+        return rings.selectExpr(
+            "CAST(shiftright(cell_id, 28) & CAST(268435455 AS BIGINT)"
+            " AS INT) AS k",
+            "ring_id", "n_pts", "area",
+        )
+
+    q["contour_rect"] = contour_rect
+
+    def _diff_base(n: int):
+        tx, ty = (n * 7) % 16, (n * 13) % 16
+        off = 64.0 * (n // 16)  # keep anchor-sharing features apart
+        x1 = tx * 128.0 + 8.0 + off
+        y2 = WORLD_TOP - ty * 128.0 - 8.0 - off
+        a, b = 6 + n % 5, 5 + n % 4  # rows, cols in 4 m pixels
+        return x1, y2, a, b
+
+    def _diff_l1(n: int) -> bytes:
+        x1, y2, a, b = _diff_base(n)
+        return wkb.box_wkb(x1, y2 - 4.0 * a, x1 + 4.0 * b, y2)
+
+    def _diff_l2(n: int) -> bytes:
+        x1, y2, a, b = _diff_base(n)
+        if n % 2 == 0:  # flush NW corner cut -> L remainder
+            c, d = 2 + n % 3, 2 + (n // 2) % 2
+            return wkb.box_wkb(x1, y2 - 4.0 * c, x1 + 4.0 * d, y2)
+        # strictly interior cut -> outer ring + hole ring
+        return wkb.box_wkb(
+            x1 + 8.0, y2 - 8.0 - 12.0, x1 + 16.0, y2 - 8.0
+        )
+
+    def difference_rings(spark, sf_dir):
+        """Geometry-out polygon difference, ORACLE-CHECKED: on
+        pixel-aligned rectangle layers the remainder rings have closed
+        forms -- a flush corner cut leaves an L with 2(a+b)+1 vertices
+        and (a*b - c*d - 0.5) px^2, an interior cut leaves the outer
+        ring plus an is_hole ring with 2(c+d)+1 vertices and
+        (c*d - 0.5) px^2 (marching-squares chamfer accounting).  The
+        world shoelace stays dyadic-exact, so areas compare raw."""
+        from .operators import overlay
+
+        l1 = _nation_layer(spark, sf_dir, _diff_l1)
+        l2 = _nation_layer(spark, sf_dir, _diff_l2)
+        out = overlay.mask_difference_polygons(l1, l2, pixel=4.0)
+        return out.select(
+            "feat_id", "ring_id", "n_pts", "is_hole", "area"
+        )
+
+    q["difference_rings"] = difference_rings
+
     def streaming_parity(spark, sf_dir):
         """Batch twin of the streaming windowed agg, oracle-checked
         (window start formatted for engine-TZ independence); the
@@ -2822,6 +2906,35 @@ def oracle_sql() -> Dict[str, str]:
     FROM fv f, holes,
          LATERAL (SELECT unnest(generate_series(0, 63)) AS i) gi,
          LATERAL (SELECT unnest(generate_series(0, 63)) AS j) gj
+    """
+
+    o["contour_rect"] = """
+    SELECT CAST(k AS INT) AS k, CAST(0 AS INT) AS ring_id,
+           CAST(2 * ((5 + (k*3) % 11) + (4 + (k*5) % 13)) + 1 AS INT)
+             AS n_pts,
+           CAST(((5 + (k*3) % 11) * (4 + (k*5) % 13) - 0.5) * 0.25
+                AS DOUBLE) AS area
+    FROM (SELECT unnest(generate_series(0, 11)) AS k)
+    """
+
+    o["difference_rings"] = """
+    WITH feats AS (
+      SELECT n_nationkey AS k,
+             6 + n_nationkey % 5 AS a, 5 + n_nationkey % 4 AS b,
+             2 + n_nationkey % 3 AS c,
+             2 + (n_nationkey // 2) % 2 AS d
+      FROM nation
+    )
+    SELECT k AS feat_id, CAST(0 AS INT) AS ring_id,
+           CAST(2 * (a + b) + 1 AS INT) AS n_pts,
+           FALSE AS is_hole,
+           CAST(CASE WHEN k % 2 = 0 THEN (a*b - c*d - 0.5) * 16.0
+                     ELSE (a*b - 0.5) * 16.0 END AS DOUBLE) AS area
+    FROM feats
+    UNION ALL
+    SELECT k, CAST(1 AS INT), CAST(11 AS INT), TRUE,
+           CAST((3*2 - 0.5) * 16.0 AS DOUBLE)
+    FROM feats WHERE k % 2 = 1
     """
 
     o["streaming_dedup"] = """
