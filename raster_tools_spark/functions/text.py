@@ -147,3 +147,35 @@ def rolling_fingerprints(
     return fps.groupBy("doc_id", "fp").agg(
         F.count(F.lit(1)).alias("n_windows")
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    quotas: dict,
+    default_pct: int = 100,
+    salt: str = "strat1",
+) -> DataFrame:
+    """Deterministic language-balanced downsampling: keep a document
+    iff its md5-derived uniform draw falls under its language's quota
+    (percent).  The draw is a pure function of (salt, doc_id), so the
+    sample is identical at any parallelism and reproducible by any
+    engine with md5 -- the corpus-mixing primitive of training-data
+    pipelines (downweight over-represented languages without a shuffle
+    or an RNG).
+
+    ``quotas``: {lang: keep_percent 0..100}; unlisted langs keep
+    ``default_pct``.  All JVM expressions: md5 -> first 8 hex chars ->
+    int -> % 100.
+    """
+    draw = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col("doc_id")
+                                          .cast("string"))), 1, 8),
+               16, 10)
+        .cast("long") % 100
+    )
+    quota = F.lit(default_pct)
+    for lang, pct in sorted(quotas.items()):
+        quota = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(quota)
+    return docs.withColumn("draw", draw).filter(
+        F.col("draw") < quota
+    ).drop("draw")

@@ -2047,6 +2047,18 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["difference_rings"] = difference_rings
 
+    def stratified_sample(spark, sf_dir):
+        """Language-balanced deterministic corpus downsampling
+        (training-data mixing): md5-derived per-doc uniform draw vs
+        per-language quota, pure JVM, RNG-free, partitioning-proof."""
+        out = ftext.stratified_sample(
+            _t(spark, sf_dir, "documents"),
+            quotas={"en": 40, "de": 75, "fr": 10},
+        )
+        return out.select("doc_id", "lang")
+
+    q["stratified_sample"] = stratified_sample
+
     def streaming_parity(spark, sf_dir):
         """Batch twin of the streaming windowed agg, oracle-checked
         (window start formatted for engine-TZ independence); the
@@ -2935,6 +2947,18 @@ def oracle_sql() -> Dict[str, str]:
     SELECT k, CAST(1 AS INT), CAST(11 AS INT), TRUE,
            CAST((3*2 - 0.5) * 16.0 AS DOUBLE)
     FROM feats WHERE k % 2 = 1
+    """
+
+    o["stratified_sample"] = """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             CAST('0x' || substring(
+               md5('strat1' || CAST(doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) % 100 AS draw
+      FROM documents
+    )
+    WHERE draw < CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 75
+                           WHEN 'fr' THEN 10 ELSE 100 END
     """
 
     o["streaming_dedup"] = """
