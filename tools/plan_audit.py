@@ -208,6 +208,18 @@ def main():
         [("no exchange in plan", lambda p: "Exchange" not in p)],
     )
 
+    # 5i. stratified_sample: the quota filter is whole-stage-codegen
+    # JVM expressions on the scan -- no Python, no shuffle
+    audit(
+        "stratified_sample_codegen",
+        qcat["stratified_sample"](spark, SF),
+        [
+            ("no exchange in plan", lambda p: "Exchange" not in p),
+            ("no python UDF", lambda p: "EvalPython" not in p),
+            ("columns pruned", lambda p: "doc_id" in p),
+        ],
+    )
+
     # 6. mosaic merge: single hash agg pair (partial+final), no window
     audit(
         "mosaic_merge_hashagg",
