@@ -195,7 +195,9 @@ def linear_grid_tiles(
 
     from .. import codecs
     from ..grid import CELL_SIZE, cell_bounds, cell_edge, covering_cells
-    from .triangulate import griddata_linear_nearest, interp_linear
+    from .triangulate import (
+        dedup_points, griddata_linear_nearest, interp_linear,
+    )
 
     nodata = float(np.finfo("f4").min)
 
@@ -230,7 +232,8 @@ def linear_grid_tiles(
         if nearest_fallback:
             vals = griddata_linear_nearest(pts, z, cx, cy)
         else:
-            vals = interp_linear(pts, z, cx, cy)
+            dpts, dz = dedup_points(pts, z)
+            vals = interp_linear(dpts, dz, cx, cy)
         arr = vals.reshape(tile_px, tile_px)
         arr = np.where(np.isnan(arr), nodata, arr).astype(np.float32)
         if (arr == np.float32(nodata)).all():

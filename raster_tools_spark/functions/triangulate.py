@@ -290,6 +290,18 @@ def nearest_values(
     return out
 
 
+def dedup_points(points: np.ndarray, z: np.ndarray):
+    """Drop exact XY duplicates, keeping the FIRST occurrence (the
+    same lowest-index rule the nearest tie-break uses).  Duplicate
+    coordinates make Bowyer-Watson circumcircles degenerate, and real
+    sensor clouds do contain them."""
+    pts = np.asarray(points, dtype=np.float64)
+    z = np.asarray(z, dtype=np.float64)
+    _, first = np.unique(pts, axis=0, return_index=True)
+    keep = np.sort(first)
+    return pts[keep], z[keep]
+
+
 def griddata_linear_nearest(
     points: np.ndarray,
     z: np.ndarray,
@@ -297,7 +309,9 @@ def griddata_linear_nearest(
     qy: np.ndarray,
 ) -> np.ndarray:
     """The reference's rasterize combo (roof.py:73-77): linear where
-    defined, nearest outside the hull."""
+    defined, nearest outside the hull.  XY duplicates are dropped
+    keep-first before triangulation."""
+    points, z = dedup_points(points, z)
     lin = interp_linear(points, z, qx, qy)
     nan = np.isnan(lin)
     if nan.any():

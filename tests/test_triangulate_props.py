@@ -90,3 +90,17 @@ def test_convexity_and_exactness(seed, n):
     assert np.isin(
         np.round(full[~fin], 12), np.round(z, 12)
     ).all()
+
+
+def test_duplicate_points_guard():
+    """XY duplicates are dropped keep-first before triangulation; a
+    duplicated planar cloud still reproduces the plane."""
+    rng = np.random.default_rng(9)
+    pts = rng.uniform(0, 50, (60, 2))
+    z = 2.0 + 0.5 * pts[:, 0] - 0.25 * pts[:, 1]
+    dup_pts = np.vstack([pts, pts[:30]])
+    dup_z = np.concatenate([z, z[:30] + 100.0])  # conflicting later z
+    cent = pts[delaunay(pts)].mean(axis=1)  # strictly inside the hull
+    v = griddata_linear_nearest(dup_pts, dup_z, cent[:, 0], cent[:, 1])
+    expect = 2.0 + 0.5 * cent[:, 0] - 0.25 * cent[:, 1]
+    assert np.allclose(v, expect, atol=1e-6)  # first z wins
