@@ -201,3 +201,31 @@ def test_some_reversal_logic_ran(result):
     import itertools
     for _, grp in itertools.groupby(result, key=lambda r: (r[0], r[1])):
         assert len({g[4] for g in grp}) == 1
+
+
+def test_partitioning_invariance(spark, result):
+    """North rule: the same upstream job at a different input
+    partitioning produces identical rows (the two-smallest partial
+    merge and the mean-halves decision are order-independent)."""
+    roofless = spark.createDataFrame(
+        [(k, wkb.linestring_wkb(v)) for k, v in LINES.items()],
+        "line_id long, geom_wkb binary",
+    ).repartition(7)
+    polys = spark.createDataFrame(
+        [(k, wkb.box_wkb(r[0], r[2], r[1], r[3]))
+         for k, r in RECTS.items()],
+        "feat_id long, geom_wkb binary",
+    ).repartition(5)
+    images = synth.linear_images_df(
+        spark, N_IMG, tiles_axis=AXIS, partitions=3
+    )
+    tiles = op_retile.retile(images)
+    out = op_up.upstream_levels(
+        roofless, polys, tiles,
+        separation=SEP, distance=DIST, multiplier=MULT, grow=GROW,
+    )
+    again = sorted(
+        (r.line_id, r.feat_id, r.seq, r.height, r.reversed)
+        for r in out.collect()
+    )
+    assert again == result
