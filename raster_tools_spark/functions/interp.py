@@ -22,6 +22,8 @@ rest of the engine uses:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -137,8 +139,10 @@ def linear_grid_features(
         z = pdf["z"].to_numpy(dtype=np.float64)
         x0 = float(pts[:, 0].min()) - pad
         y_top = float(pts[:, 1].max()) + pad
-        n_cols = int(round((float(pts[:, 0].max()) + pad - x0) / edge))
-        n_rows = int(round(
+        # ceil, not round: the grid must COVER the padded bbox for
+        # non-integral extents too
+        n_cols = int(math.ceil((float(pts[:, 0].max()) + pad - x0) / edge))
+        n_rows = int(math.ceil(
             (y_top - (float(pts[:, 1].min()) - pad)) / edge
         ))
         gj, gi = np.meshgrid(np.arange(n_cols), np.arange(n_rows))

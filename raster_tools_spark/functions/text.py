@@ -176,6 +176,6 @@ def stratified_sample(
     quota = F.lit(default_pct)
     for lang, pct in sorted(quotas.items()):
         quota = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(quota)
-    return docs.withColumn("draw", draw).filter(
-        F.col("draw") < quota
-    ).drop("draw")
+    # filter on the expression directly: materializing a named column
+    # would clobber any caller column that happens to share the name
+    return docs.filter(draw < quota)

@@ -232,6 +232,12 @@ def covering_cells(envelope, res, pad=0.0, closed_bottom=True):
         jy2 = int(math.ceil((WORLD_TOP - y1) / edge))
     jx2 = max(jx2, jx1 + 1)
     jy2 = max(jy2, jy1 + 1)
+    # clamp to the world: negative indices would smear into the res/ix
+    # bit fields of pack_cell and collapse distinct out-of-world
+    # regions onto one garbage id
+    n_axis = 1 << (res + 2)  # WORLD_SIZE / cell_edge(res)
+    jx1, jx2 = max(jx1, 0), min(jx2, n_axis)
+    jy1, jy2 = max(jy1, 0), min(jy2, n_axis)
     out = []
     for iy in range(jy1, jy2):
         for ix in range(jx1, jx2):

@@ -49,10 +49,10 @@ def fix_nodata(
                     continue
                 out = px.copy()
                 out[hit] = new_nodata
-                enc = (
-                    codecs.rawz_encode(out) if t.fmt == "rawz"
-                    else codecs.png_encode(out)
-                )
+                # dispatch on the row's own format so bytes and fmt
+                # stay consistent (a lossy source re-encodes lossy --
+                # the reference's SRTM inputs are lossless i2 tifs)
+                enc = codecs.encode(out, t.fmt)
                 rows.append(
                     (t.image_id, enc, t.fmt, new_nodata, 1, n)
                 )

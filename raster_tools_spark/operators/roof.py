@@ -120,6 +120,11 @@ def roof_rasterize(
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         feat_id = int(pdf["feat_id"].iloc[0])
         wkb_b = bytes(pdf["geom_wkb"].iloc[0])
+        # deterministic row order regardless of shuffle arrival: the
+        # Bowyer-Watson insertion order (co-circular diagonal picks)
+        # and the keep-first/lowest-index tie-breaks all depend on it
+        # (north rule: bit-identical output at any partitioning)
+        pdf = pdf.sort_values(["x", "y", "z"], kind="mergesort")
         pts3 = pdf[["x", "y", "z"]].to_numpy(dtype=np.float64)
         keep = classify_points(
             pts3, links=links, limit=limit, min_points=min_points

@@ -432,6 +432,44 @@ def _pip_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _per_pixel_rows(tiles, schema, value_name, array_of, ids_of,
+                    extra_of=None):
+    """Shared expander for the per-pixel stencil-oracle queries: one
+    row per pixel with id columns derived from cell_id bits, (i, j)
+    indices, the decoded value column, and optional per-tile extras."""
+
+    def expand(batches):
+        for pdf in batches:
+            outs = []
+            for t in pdf.itertuples():
+                a = array_of(t)
+                h, w = a.shape
+                gj, gi = np.meshgrid(np.arange(w), np.arange(h))
+                cols = {
+                    k: np.full(a.size, v, dtype=np.int32)
+                    for k, v in ids_of(int(t.cell_id)).items()
+                }
+                cols["i"] = gi.ravel().astype(np.int32)
+                cols["j"] = gj.ravel().astype(np.int32)
+                cols[value_name] = a.ravel()
+                if extra_of:
+                    for k, v in extra_of(t).items():
+                        cols[k] = np.full(a.size, v)
+                outs.append(pd.DataFrame(cols))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return tiles.mapInPandas(expand, schema)
+
+
+def _cell_hi(cid: int) -> int:
+    return (cid >> 28) & 0xFFFFFFF
+
+
+def _cell_lo(cid: int) -> int:
+    return cid & 0xFFFFFFF
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
@@ -1189,29 +1227,11 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = focal.halo_stencil(
             tiles, focal.hillshade_kernel, margin=1, tile_px=64
         )
-
-        def expand(batches):
-            for pdf in batches:
-                outs = []
-                for t in pdf.itertuples():
-                    px = codecs_mod.decode(bytes(t.bytes), t.fmt)
-                    h, w = px.shape
-                    gj, gi = np.meshgrid(np.arange(w), np.arange(h))
-                    cid = int(t.cell_id)
-                    outs.append(pd.DataFrame({
-                        "ix": np.full(h * w, (cid >> 28) & 0xFFFFFFF,
-                                      dtype=np.int32),
-                        "iy": np.full(h * w, cid & 0xFFFFFFF,
-                                      dtype=np.int32),
-                        "i": gi.ravel().astype(np.int32),
-                        "j": gj.ravel().astype(np.int32),
-                        "shade": px.ravel().astype(np.int32),
-                    }))
-                if outs:
-                    yield pd.concat(outs, ignore_index=True)
-
-        return out.mapInPandas(
-            expand, "ix int, iy int, i int, j int, shade int"
+        return _per_pixel_rows(
+            out, "ix int, iy int, i int, j int, shade int", "shade",
+            lambda t: codecs_mod.decode(bytes(t.bytes), t.fmt)
+            .astype(np.int32),
+            lambda cid: {"ix": _cell_hi(cid), "iy": _cell_lo(cid)},
         )
 
     q["hillshade_f4"] = hillshade_f4
@@ -1759,26 +1779,12 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
             tiles, flow_mod.calculate_flow_direction,
             margin=8, tile_px=64,
         )
-
-        def expand(batches):
-            for pdf in batches:
-                outs = []
-                for t in pdf.itertuples():
-                    px = codecs_mod.decode(bytes(t.bytes), t.fmt)
-                    h, w = px.shape
-                    gj, gi = np.meshgrid(np.arange(w), np.arange(h))
-                    cid = int(t.cell_id)
-                    outs.append(pd.DataFrame({
-                        "ix": np.full(h * w, (cid >> 28) & 0xFFFFFFF,
-                                      dtype=np.int32),
-                        "i": gi.ravel().astype(np.int32),
-                        "j": gj.ravel().astype(np.int32),
-                        "dir": px.ravel().astype(np.int32),
-                    }))
-                if outs:
-                    yield pd.concat(outs, ignore_index=True)
-
-        return out.mapInPandas(expand, "ix int, i int, j int, dir int")
+        return _per_pixel_rows(
+            out, "ix int, i int, j int, dir int", "dir",
+            lambda t: codecs_mod.decode(bytes(t.bytes), t.fmt)
+            .astype(np.int32),
+            lambda cid: {"ix": _cell_hi(cid)},
+        )
 
     q["flow_direction_f4"] = flow_direction_f4
 
@@ -1812,27 +1818,13 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         acc = flow_op.accumulate_tiles(
             dirs.select("cell_id", "bytes", "fmt"), tile_px=64
         )
-
-        def expand(batches):
-            for pdf in batches:
-                outs = []
-                for t in pdf.itertuples():
-                    a = np.frombuffer(
-                        _zlib.decompress(bytes(t.acc)), np.int64
-                    ).reshape(64, 64)
-                    gj, gi = np.meshgrid(np.arange(64), np.arange(64))
-                    cid = int(t.cell_id)
-                    outs.append(pd.DataFrame({
-                        "ix": np.full(a.size, (cid >> 28) & 0xFFFFFFF,
-                                      dtype=np.int32),
-                        "i": gi.ravel().astype(np.int32),
-                        "j": gj.ravel().astype(np.int32),
-                        "acc": a.ravel(),
-                    }))
-                if outs:
-                    yield pd.concat(outs, ignore_index=True)
-
-        return acc.mapInPandas(expand, "ix int, i int, j int, acc long")
+        return _per_pixel_rows(
+            acc, "ix int, i int, j int, acc long", "acc",
+            lambda t: np.frombuffer(
+                _zlib.decompress(bytes(t.acc)), np.int64
+            ).reshape(64, 64),
+            lambda cid: {"ix": _cell_hi(cid)},
+        )
 
     q["flow_accumulation_f4"] = flow_accumulation_f4
 
@@ -1878,25 +1870,12 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
             margin=8,
         )
         out = focal.halo_stencil(tiles, kern, margin=8, tile_px=64)
-
-        def expand(batches):
-            for pdf in batches:
-                outs = []
-                for t in pdf.itertuples():
-                    px = codecs_mod.decode(bytes(t.bytes), t.fmt)
-                    gj, gi = np.meshgrid(np.arange(64), np.arange(64))
-                    cid = int(t.cell_id)
-                    outs.append(pd.DataFrame({
-                        "ix": np.full(px.size, (cid >> 28) & 0xFFFFFFF,
-                                      dtype=np.int32),
-                        "i": gi.ravel().astype(np.int32),
-                        "j": gj.ravel().astype(np.int32),
-                        "lit": px.ravel().astype(np.int32),
-                    }))
-                if outs:
-                    yield pd.concat(outs, ignore_index=True)
-
-        return out.mapInPandas(expand, "ix int, i int, j int, lit int")
+        return _per_pixel_rows(
+            out, "ix int, i int, j int, lit int", "lit",
+            lambda t: codecs_mod.decode(bytes(t.bytes), t.fmt)
+            .astype(np.int32),
+            lambda cid: {"ix": _cell_hi(cid)},
+        )
 
     q["shadow_march_flat"] = shadow_march_flat
 
@@ -1936,29 +1915,12 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
             gen, "cell_id long, bytes binary, fmt string"
         )
         out = fill_op.fill_voids_tiles(tiles)
-
-        def expand(batches):
-            for pdf in batches:
-                outs = []
-                for t in pdf.itertuples():
-                    px = codecs_mod.decode(bytes(t.bytes), t.fmt)
-                    gj, gi = np.meshgrid(np.arange(64), np.arange(64))
-                    cid = int(t.cell_id)
-                    outs.append(pd.DataFrame({
-                        "k": np.full(px.size, (cid >> 28) & 0xFFFFFFF,
-                                     dtype=np.int32),
-                        "i": gi.ravel().astype(np.int32),
-                        "j": gj.ravel().astype(np.int32),
-                        "v": px.ravel().astype(np.int32),
-                        "filled_px": np.full(
-                            px.size, int(t.filled_px), dtype=np.int64
-                        ),
-                    }))
-                if outs:
-                    yield pd.concat(outs, ignore_index=True)
-
-        return out.mapInPandas(
-            expand, "k int, i int, j int, v int, filled_px long"
+        return _per_pixel_rows(
+            out, "k int, i int, j int, v int, filled_px long", "v",
+            lambda t: codecs_mod.decode(bytes(t.bytes), t.fmt)
+            .astype(np.int32),
+            lambda cid: {"k": _cell_hi(cid)},
+            extra_of=lambda t: {"filled_px": np.int64(t.filled_px)},
         )
 
     q["fill_voids_flat"] = fill_voids_flat
