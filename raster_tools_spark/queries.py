@@ -21,6 +21,7 @@ oversized rectangle -- against an independent implementation.
 
 from __future__ import annotations
 
+import zlib as _zlib_mod
 from typing import Callable, Dict
 
 import numpy as np
@@ -2021,6 +2022,78 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stratified_sample"] = stratified_sample
 
+    def vectorize_streams(spark, sf_dir):
+        """G7 streamline vectorization, ORACLE-CHECKED on a hand-built
+        Y-river: river A flows south down one column, a west-running
+        tributary joins it mid-stream.  Hand-assigned accumulation puts
+        three 1-chain class bands downstream and one band across the
+        junction, whose MERGE cell (two in-class inflows) both stops
+        the two tributary chains and starts the continuation -- so the
+        published semantics (sources + merges start, merges + sinks
+        stop, walks include the terminating off-class cell) produce
+        exactly six polylines with closed-form vertex counts and
+        endpoints, hand-derived in the oracle."""
+        from .operators import flow_op
+
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for _ in pdf["id"]:
+                    d = np.zeros((256, 256), np.uint8)
+                    a = np.zeros((256, 256), np.int64)
+                    d[20:101, 10] = 8    # river A: south along col 10
+                    d[50, 11:16] = 32    # tributary: west along row 50
+                    a[40:61, 10] = 5     # class [4.7, 9.9) across the
+                    a[50, 11:16] = 5     # junction at (50, 10)
+                    a[70, 10] = 2        # class [2, 3): one cell
+                    a[75, 10] = 3        # class [3, 4): one cell
+                    a[80:84, 10] = 4     # class [4, 4.7): four cells
+                    rows.append(
+                        (
+                            int((10 << 56) | (3 << 28) | 2),
+                            codecs_mod.png_encode(d),
+                            "png",
+                            _zlib_mod.compress(a.tobytes(), 1),
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows, columns=["cell_id", "bytes", "fmt", "acc"]
+                )
+
+        tiles = spark.range(0, 1, 1, 1).mapInPandas(
+            gen, "cell_id long, bytes binary, fmt string, acc binary"
+        )
+        out = flow_op.vectorize_streams_tiles(
+            tiles.select("cell_id", "bytes", "fmt"),
+            tiles.select("cell_id", "acc"),
+        )
+
+        @F.pandas_udf("struct<xf: double, yf: double, xl: double, "
+                      "yl: double>")
+        def endpoints(wkb_s: pd.Series) -> pd.DataFrame:
+            rows = []
+            for b in wkb_s:
+                _, coords = wkb.parse(bytes(b))
+                rows.append(
+                    (
+                        float(coords[0, 0]), float(coords[0, 1]),
+                        float(coords[-1, 0]), float(coords[-1, 1]),
+                    )
+                )
+            return pd.DataFrame(rows, columns=["xf", "yf", "xl", "yl"])
+
+        return out.select(
+            "cls", "seq",
+            F.pandas_udf("int")(
+                lambda b: b.map(
+                    lambda x: len(wkb.parse(bytes(x))[1])
+                )
+            )(F.col("geom_wkb")).alias("n_pts"),
+            endpoints(F.col("geom_wkb")).alias("e"),
+        ).select("cls", "seq", "n_pts", "e.xf", "e.yf", "e.xl", "e.yl")
+
+    q["vectorize_streams"] = vectorize_streams
+
     def streaming_parity(spark, sf_dir):
         """Batch twin of the streaming windowed agg, oracle-checked
         (window start formatted for engine-TZ independence); the
@@ -2921,6 +2994,25 @@ def oracle_sql() -> Dict[str, str]:
     )
     WHERE draw < CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 75
                            WHEN 'fr' THEN 10 ELSE 100 END
+    """
+
+    # hand-derived Y-river streamlines (semantics walked by hand from
+    # flow_vec.vectorize_streams: sources+merges start, merges+sinks
+    # stop, chains include the terminating off-class cell; starts
+    # sorted by padded flat index; classes in CLASSES order)
+    o["vectorize_streams"] = """
+    SELECT CAST(cls AS DOUBLE) AS cls, CAST(seq AS INT) AS seq,
+           CAST(n_pts AS INT) AS n_pts,
+           CAST(xf AS DOUBLE) AS xf, CAST(yf AS DOUBLE) AS yf,
+           CAST(xl AS DOUBLE) AS xl, CAST(yl AS DOUBLE) AS yl
+    FROM (VALUES
+      (2.0, 0, 2,  389.25, 523996.75, 389.25, 523996.25),
+      (3.0, 1, 2,  389.25, 523994.25, 389.25, 523993.75),
+      (4.0, 2, 5,  389.25, 523991.75, 389.25, 523989.75),
+      (4.7, 3, 11, 389.25, 524011.75, 389.25, 524006.75),
+      (4.7, 4, 12, 389.25, 524006.75, 389.25, 524001.25),
+      (4.7, 5, 6,  391.75, 524006.75, 389.25, 524006.75)
+    ) AS t(cls, seq, n_pts, xf, yf, xl, yl)
     """
 
     o["streaming_dedup"] = """
