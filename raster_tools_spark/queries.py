@@ -935,6 +935,10 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["retile_tiles"] = retile_tiles
 
     def hillshade_tiles(spark, sf_dir):
+        """Philox-data smoke of the hillshade stencil (rows-only BY
+        DESIGN: realistic pixels are not SQL-derivable); the identical
+        machinery is hard-oracled per pixel by hillshade_f4 and
+        seam-tested in test_focal.py."""
         from .operators import focal, retile as op_retile
 
         images = synth.images_df(spark, 150, tiles_axis=8)
@@ -946,6 +950,9 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["hillshade_tiles"] = hillshade_tiles
 
     def flow_direction(spark, sf_dir):
+        """Philox-data smoke of the D8 stencil (rows-only by design);
+        the machinery is hard-oracled per pixel by flow_direction_f4
+        and golden/seam-tested in test_flow.py."""
         import numpy as np
 
         from . import flow
@@ -968,7 +975,9 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     def flow_accumulation(spark, sf_dir):
         """GLOBAL flow accumulation: catchments cross tile seams via
         the boundary-flow fixpoint (flow_op.accumulate_tiles; equality
-        with the single-array kernel proven in test_flow_op.py)."""
+        with the single-array kernel proven in test_flow_op.py).
+        Rows-only by design (Philox DEM); the same fixpoint is
+        hard-oracled per pixel by flow_accumulation_f4."""
         import numpy as np
         import pandas as pd
 
@@ -1014,7 +1023,11 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         """The reference's product pipeline fil -> dir -> acc -> vec
         end-to-end over a deterministic multi-tile DEM mosaic: staged
         complex depression fill (G4), halo flow direction, GLOBAL
-        accumulation (G2 fixpoint), streamline vectorization (G7)."""
+        accumulation (G2 fixpoint), streamline vectorization (G7).
+        Rows-only by design (Philox DEM); every stage's machinery is
+        individually hard-oracled (flow_direction_f4,
+        flow_accumulation_f4, vectorize_streams) or reference-golden
+        (fill.py)."""
         import numpy as np
         import pandas as pd
 
@@ -1142,8 +1155,10 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def fill_voids(spark, sf_dir):
         """G6 Spark face: per-tile multi-resolution void fill (the
-        reference's own distribution unit); rows-only -- the recursive
-        kernel has reference goldens in test_fillnodata.py."""
+        reference's own distribution unit); rows-only by design -- the
+        recursive kernel has reference goldens in test_fillnodata.py
+        and the constant invariant is hard-oracled per pixel by
+        fill_voids_flat."""
         from .operators import fill_op, retile as op_retile
 
         images = synth.linear_images_df(spark, 150, tiles_axis=16)
@@ -1356,8 +1371,10 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def contour_footprint(spark, sf_dir):
         """Footprint contour (reference contour.py): hole-filled data
-        mask polygonized by marching squares per tile; rows-only --
-        ring geometry has pytest goldens (test_contour.py)."""
+        mask polygonized by marching squares per tile; rows-only by
+        design -- ring geometry has pytest goldens (test_contour.py)
+        and closed-form combinatorics are hard-oracled by
+        contour_rect."""
         from .operators import contour_op, retile as op_retile
 
         images = synth.linear_images_df(spark, 150, tiles_axis=16)
@@ -1411,9 +1428,10 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def difference_polygons(spark, sf_dir):
         """Geometry-out difference (J8): remainder polygons after
-        subtracting the layer-2 union, vectorized per feature; area
-        accounting is oracle-checked by mask_difference, ring geometry
-        has pytest goldens."""
+        subtracting the layer-2 union, vectorized per feature; rows-
+        only by design -- area accounting is oracle-checked by
+        mask_difference, ring combinatorics by difference_rings, and
+        ring geometry has pytest goldens."""
         from .operators import overlay
 
         l1 = _zrect_polygons(spark, sf_dir)
@@ -1427,6 +1445,9 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["difference_polygons"] = difference_polygons
 
     def shadow_march(spark, sf_dir):
+        """Philox-data smoke of the shadow march (rows-only by
+        design); the machinery is hard-oracled per pixel by
+        shadow_march_flat and spike-golden in test_shadow.py."""
         from . import shadow as shadow_mod
         from .operators import focal, retile as op_retile
 
