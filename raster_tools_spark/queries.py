@@ -2115,6 +2115,52 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["vectorize_streams"] = vectorize_streams
 
+    def remote_extract(spark, sf_dir):
+        """S7 remote raster extraction, ORACLE-CHECKED end to end via
+        the deterministic fake service (closed-form pixel function):
+        window snap + row-major chunk grid + serials, per-chunk fetch
+        with the reference's retry classes (every 3rd serial 503s once
+        -> attempts == 2), and payload integrity via per-chunk count +
+        exact sum.  The network itself is the only stubbed piece
+        (sources/remote.py, disclosed)."""
+        from .sources import remote
+
+        feats = _t(spark, sf_dir, "nation").selectExpr(
+            "CAST(n_nationkey AS BIGINT) AS feat_id",
+            "((n_nationkey*7) % 16) * 128.0 + 17.0 AS x1",
+            "(524288.0 - ((n_nationkey*13) % 16) * 128.0 - 13.0)"
+            " - (33.0 + (n_nationkey % 3) * 12.0) AS y1",
+            "((n_nationkey*7) % 16) * 128.0 + 17.0"
+            " + 49.0 + (n_nationkey % 4) * 16.0 AS x2",
+            "524288.0 - ((n_nationkey*13) % 16) * 128.0 - 13.0 AS y2",
+        )
+        reqs = remote.chunk_requests(feats, chunk_px=64)
+        fetched = remote.fetch_chunks(
+            reqs, remote.fake_raster_transport(fail_first_every=3),
+            max_retries=2,
+        )
+
+        @F.pandas_udf("struct<n_px: long, sum_v: long>")
+        def px_stats(b: pd.Series) -> pd.DataFrame:
+            rows = []
+            for x in b:
+                a = np.frombuffer(
+                    _zlib_mod.decompress(bytes(x)), np.uint8
+                ).astype(np.int64)
+                rows.append((int(a.size), int(a.sum())))
+            return pd.DataFrame(rows, columns=["n_px", "sum_v"])
+
+        return fetched.select(
+            "feat_id", "serial", "status", "attempts",
+            "width", "height",
+            px_stats(F.col("bytes")).alias("s"),
+        ).select(
+            "feat_id", "serial", "status", "attempts", "width",
+            "height", "s.n_px", "s.sum_v",
+        )
+
+    q["remote_extract"] = remote_extract
+
     def streaming_parity(spark, sf_dir):
         """Batch twin of the streaming windowed agg, oracle-checked
         (window start formatted for engine-TZ independence); the
@@ -3034,6 +3080,56 @@ def oracle_sql() -> Dict[str, str]:
       (4.7, 4, 12, 389.25, 524006.75, 389.25, 524001.25),
       (4.7, 5, 6,  391.75, 524006.75, 389.25, 524006.75)
     ) AS t(cls, seq, n_pts, xf, yf, xl, yl)
+    """
+
+    # remote extraction: re-derive the snapped window, the row-major
+    # 64-px chunk grid with clipped edge chunks, the retry schedule
+    # (every 3rd serial 503s once), and the fake service's exact pixel
+    # sums per chunk
+    o["remote_extract"] = """
+    WITH rfeat AS (
+      SELECT n_nationkey AS feat_id,
+             ((n_nationkey*7) % 16) * 128.0 + 17.0 AS wx1,
+             524288.0 - ((n_nationkey*13) % 16) * 128.0 - 13.0 AS wy2,
+             CAST(2 * (49 + (n_nationkey % 4) * 16) AS INT) AS wpx,
+             CAST(2 * (33 + (n_nationkey % 3) * 12) AS INT) AS hpx
+      FROM nation
+    ),
+    rgrid AS (
+      SELECT feat_id, wx1, wy2, wpx, hpx,
+             CAST(ceil(wpx / 64.0) AS INT) AS ncx,
+             CAST(ceil(hpx / 64.0) AS INT) AS ncy
+      FROM rfeat
+    ),
+    rchunk AS (
+      SELECT feat_id, CAST(gk.k + 1 AS INT) AS serial,
+             wx1 + (gk.k % ncx) * 32.0 AS cx1,
+             wy2 - (gk.k // ncx) * 32.0 AS cy2,
+             CAST(LEAST(wpx - (gk.k % ncx) * 64, 64) AS INT) AS width,
+             CAST(LEAST(hpx - (gk.k // ncx) * 64, 64) AS INT) AS height
+      FROM rgrid,
+           LATERAL (SELECT unnest(generate_series(0,
+                ncx * ncy - 1)) AS k) gk
+    ),
+    rpx AS (
+      SELECT c.feat_id, c.serial, c.width, c.height,
+             CAST(floor((524288.0 - c.cy2) / 0.5) AS BIGINT) + gi.i
+               AS wi,
+             CAST(floor(c.cx1 / 0.5) AS BIGINT) + gj.j AS wj
+      FROM rchunk c,
+           LATERAL (SELECT unnest(generate_series(0, c.height - 1))
+                    AS i) gi,
+           LATERAL (SELECT unnest(generate_series(0, c.width - 1))
+                    AS j) gj
+    )
+    SELECT feat_id, serial, CAST(200 AS INT) AS status,
+           CAST(CASE WHEN serial % 3 = 0 THEN 2 ELSE 1 END AS INT)
+             AS attempts,
+           width, height,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM((7 * wi + 13 * wj + 3) % 251) AS BIGINT) AS sum_v
+    FROM rpx
+    GROUP BY feat_id, serial, width, height
     """
 
     o["streaming_dedup"] = """
