@@ -115,6 +115,7 @@ def run_bench(spark, sf_dir: str, n_images: int = 20000,
         "fix_nodata",
         "flow_direction_f4",
         "flow_accumulation_f4",
+        "remote_extract",
     ):
         fn = qcat[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())

@@ -48,12 +48,7 @@ from ..grid import CELL_SIZE, WORLD_TOP
 # retry classes (rextract.py:85-90): retryable statuses map to a
 # nominal backoff; anything else non-200 is fatal for the chunk
 RETRY_STATUS = {503: 10.0, 504: 0.0}
-FATAL_EXAMPLE = 404
 
-REQUEST_SCHEMA = (
-    "feat_id long, serial int, x1 double, y1 double, x2 double, "
-    "y2 double, width int, height int"
-)
 FETCH_SCHEMA = (
     "feat_id long, serial int, status int, attempts int, "
     "width int, height int, x1 double, y2 double, bytes binary"
@@ -132,7 +127,9 @@ def chunk_requests(
         f"CAST(ceil(wpx / CAST({chunk_px} AS DOUBLE)) AS INT) AS ncx",
         f"CAST(ceil(hpx / CAST({chunk_px} AS DOUBLE)) AS INT) AS ncy",
     )
-    c = f.selectExpr(
+    # degenerate (zero-area) windows produce no chunks; without the
+    # guard sequence(0, -1) would count DOWN and emit phantom serials
+    c = f.filter("wpx > 0 AND hpx > 0").selectExpr(
         "feat_id", "wx1", "wy1", "wy2", "wpx", "hpx", "ncx",
         "explode(sequence(0, ncx * ncy - 1)) AS k",
     )
