@@ -2161,6 +2161,39 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["remote_extract"] = remote_extract
 
+    def fill_depressions_f4(spark, sf_dir):
+        """G4 staged complex depression fill, ORACLE-CHECKED on the
+        identity invariant: on the ascending-seed planar strip every
+        cell drains NW through monotone seams to the raster edge, so
+        there are NO depressions and all three staged offset passes
+        must return the mosaic bit-identically -- any spurious raise,
+        fragment mis-stitch, or boundary artifact breaks equality with
+        the closed-form plane."""
+        from .operators import flow_op
+
+        images = synth.linear_f4_images_df(spark, 100, tiles_axis=16)
+        images = images.filter((F.col("w") == 64) & (F.col("h") == 64))
+        # res 12 cells ARE 64 px, so the fill rebuilds tiles at the
+        # input size (fill derives tile_px from the cell res)
+        tiles = images.selectExpr(
+            "(CAST(12 AS BIGINT) << 56) | (CAST("
+            "CASE (phash DIV 15) WHEN 0 THEN 0 WHEN 4 THEN 1"
+            " WHEN 3 THEN 2 WHEN 2 THEN 3 WHEN 6 THEN 4"
+            " WHEN 1 THEN 5 ELSE 6 END AS BIGINT) << 28) AS cell_id",
+            "bytes", "fmt",
+        )
+        out = flow_op.fill_depressions_tiles(tiles).join(
+            tiles.select("cell_id"), "cell_id", "left_semi"
+        )
+        return _per_pixel_rows(
+            out, "ix int, i int, j int, v double", "v",
+            lambda t: codecs_mod.decode(bytes(t.bytes), t.fmt)
+            .astype(np.float64),
+            lambda cid: {"ix": _cell_hi(cid)},
+        )
+
+    q["fill_depressions_f4"] = fill_depressions_f4
+
     def streaming_parity(spark, sf_dir):
         """Batch twin of the streaming windowed agg, oracle-checked
         (window start formatted for engine-TZ independence); the
@@ -3130,6 +3163,24 @@ def oracle_sql() -> Dict[str, str]:
            CAST(SUM((7 * wi + 13 * wj + 3) % 251) AS BIGINT) AS sum_v
     FROM rpx
     GROUP BY feat_id, serial, width, height
+    """
+
+    # G4 identity invariant: the depression-free planar strip must
+    # come back unchanged -- the oracle is the plane itself (seed per
+    # strip position = ((t*555)%199) for t in the ascending order)
+    o["fill_depressions_f4"] = """
+    WITH fstrip AS (
+      SELECT * FROM (VALUES (0, 0), (1, 31), (2, 73), (3, 115),
+                            (4, 146), (5, 157), (6, 188))
+        AS t(k, seed)
+    )
+    SELECT CAST(k AS INT) AS ix, CAST(gi.i AS INT) AS i,
+           CAST(gj.j AS INT) AS j,
+           CAST(CAST(3.0 * seed + 0.5 * gi.i + 0.25 * gj.j AS REAL)
+                AS DOUBLE) AS v
+    FROM fstrip,
+         LATERAL (SELECT unnest(generate_series(0, 63)) AS i) gi,
+         LATERAL (SELECT unnest(generate_series(0, 63)) AS j) gj
     """
 
     o["streaming_dedup"] = """
