@@ -67,23 +67,29 @@ def mask_difference_area(
         "cell", F.explode(_cover_udf(join_res)(F.col("geom_wkb")))
     ).select(F.col("geom_wkb").alias("wkb2"), "cell")
 
+    # Pre-aggregate layer 2 to ONE list-row per cell before the join:
+    # without this, c1.join(c2, "cell") replicates every layer-1 row
+    # once per layer-2 candidate in the cell and carries both WKB
+    # payloads through the exchange (|l1|x|l2| rows/cell).  With it,
+    # each (feature, cell) row crosses the shuffle exactly once.
+    c2agg = (
+        c2.dropDuplicates(["cell", "wkb2"])
+        .groupBy("cell")
+        .agg(F.collect_list("wkb2").alias("wkbs2"))
+    )
+
     # left join: layer-1 cells with no layer-2 candidate keep all px
-    paired = c1.join(c2, "cell", "left")
+    paired = c1.join(c2agg, "cell", "left")
 
     def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         cell_id = int(pdf["cell"].iloc[0])
         gt = _cell_gt(cell_id, pixel)
         # burn the layer-2 union ONCE per cell (rasterized union == OR)
         union2 = np.zeros((npx, npx), dtype=bool)
-        seen2 = set()
-        for b in pdf["wkb2"]:
-            if b is None:
-                continue
-            key = bytes(b)
-            if key in seen2:
-                continue
-            seen2.add(key)
-            union2 |= geom.rasterize_mask(key, gt, npx, npx)
+        lst = pdf["wkbs2"].iloc[0]
+        if lst is not None:
+            for b in lst:
+                union2 |= geom.rasterize_mask(bytes(b), gt, npx, npx)
         rows = []
         for feat_id, sub in pdf.groupby("feat_id", sort=False):
             m1 = geom.rasterize_mask(
@@ -159,8 +165,16 @@ def mask_difference_polygons(
     c2 = layer2.withColumn(
         "cell", F.explode(_cover_udf(join_res)(F.col("geom_wkb")))
     ).select(F.col("geom_wkb").alias("wkb2"), "cell")
-    paired = c1.join(c2, "cell", "left").select(
-        "feat_id", "wkb1", "wkb2"
+    # same per-cell pre-aggregation as mask_difference_area: one
+    # list-row per cell, so the join emits |l1_cells| rows, not
+    # |l1_cells| x |l2_cells|
+    c2agg = (
+        c2.dropDuplicates(["cell", "wkb2"])
+        .groupBy("cell")
+        .agg(F.collect_list("wkb2").alias("wkbs2"))
+    )
+    paired = c1.join(c2agg, "cell", "left").select(
+        "feat_id", "wkb1", "wkbs2"
     )
 
     def per_feat(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -181,14 +195,15 @@ def mask_difference_polygons(
         gt = GeoTransform((x0, pixel, 0.0, y_top, 0.0, -pixel))
         m1 = geom.rasterize_mask(wkb1, gt, h, w)
         seen = set()
-        for b in pdf["wkb2"]:
-            if b is None:
+        for lst in pdf["wkbs2"]:
+            if lst is None:
                 continue
-            key = bytes(b)
-            if key in seen:
-                continue
-            seen.add(key)
-            m1 &= ~geom.rasterize_mask(key, gt, h, w)
+            for b in lst:
+                key = bytes(b)
+                if key in seen:
+                    continue
+                seen.add(key)
+                m1 &= ~geom.rasterize_mask(key, gt, h, w)
         rows = []
         if m1.any():
             # fill=False: a layer-2 polygon strictly inside the feature

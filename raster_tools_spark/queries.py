@@ -2220,7 +2220,15 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_resize"] = image_resize
 
-    return q
+    # The driver's correctness gate inspects only the FIRST 50 registry
+    # entries: reorder so every oracle-backed query precedes every
+    # rows-only one (the rows-only Philox/realistic variants of machinery
+    # that is oracle-proven elsewhere).  Derived from oracle_sql() so the
+    # ordering self-corrects as oracles are added.
+    hard = set(oracle_sql())
+    ordered = {k: v for k, v in q.items() if k in hard}
+    ordered.update({k: v for k, v in q.items() if k not in hard})
+    return ordered
 
 
 # ---------------------------------------------------------------------------
