@@ -85,6 +85,35 @@ def cosine_topk(
     )
 
 
+TARGET_BUCKET_ROWS = 1024
+MIN_PLANES = 8
+MAX_PLANES = 32
+
+
+def derive_n_planes(
+    n_rows: int,
+    target_bucket_rows: int = TARGET_BUCKET_ROWS,
+    min_planes: int = MIN_PLANES,
+    max_planes: int = MAX_PLANES,
+) -> int:
+    """Corpus-scaled hyperplane count: enough planes that the EXPECTED
+    bucket holds <= ``target_bucket_rows`` vectors (buckets = 2^planes),
+    so the within-bucket exact-cosine join stays O(n * target) instead
+    of degrading toward O(n^2 / 2^const) at fixed plane count.  The
+    formula is mirrored verbatim in the DuckDB oracle SQL
+    (GREATEST/LEAST/ceil/log2), so derived counts stay a hard
+    cross-engine check."""
+    import math
+
+    if n_rows <= target_bucket_rows:
+        return min_planes
+    return max(
+        min_planes,
+        min(max_planes,
+            math.ceil(math.log2(n_rows / target_bucket_rows))),
+    )
+
+
 def _plane_matrix(n_planes: int, dim: int) -> np.ndarray:
     """Deterministic hyperplane directions from closed-form integer
     arithmetic: w[p,d] = (((p*8191 + d) * 2654435761) mod 2^31) / 2^30
@@ -96,6 +125,29 @@ def _plane_matrix(n_planes: int, dim: int) -> np.ndarray:
     d = np.arange(dim, dtype=np.int64)[None, :]
     h = ((p * 8191 + d) * 2654435761) % (1 << 31)
     return h.astype(np.float64) / float(1 << 30) - 1.0
+
+
+def lsh_band_sigs_udf(n_planes: int, dim: int, n_bands: int):
+    """One signature per band; band ``b`` uses plane rows
+    [b*n_planes, (b+1)*n_planes) of the shared closed-form matrix
+    (minhash-style banding: a pair is a candidate if ANY band
+    matches, trading extra candidates for recall)."""
+    planes = _plane_matrix(n_bands * n_planes, dim)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sigs(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        n = len(m)
+        out = np.zeros((n, n_bands), dtype=np.int64)
+        for b in range(n_bands):
+            for p in range(n_planes):
+                acc = np.zeros(n, dtype=np.float64)
+                for d in range(planes.shape[1]):
+                    acc += m[:, d] * planes[b * n_planes + p, d]
+                out[:, b] |= (acc > 0).astype(np.int64) << p
+        return pd.Series(list(out))
+
+    return sigs
 
 
 def lsh_signature_udf(n_planes: int, dim: int):
@@ -123,43 +175,60 @@ def lsh_signature_udf(n_planes: int, dim: int):
 def lsh_topk(
     vectors: DataFrame,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     dim: int = 64,
+    n_bands: int = 2,
+    n_rows: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """ANN: exact cosine within each random-hyperplane bucket.
 
-    Recall < 1 by construction; pair with multiple plane sets for
-    higher recall.  The join is an equi-join on the signature -- the
-    shape that scales (shuffle by bucket, no cross join).
+    ``n_planes=None`` (the default) derives the plane count from the
+    corpus size so expected bucket occupancy stays bounded
+    (derive_n_planes) -- a fixed plane count makes the within-bucket
+    join quadratic at large n.  ``n_bands`` independent plane sets are
+    probed and their candidates unioned (minhash-style banding) to
+    recover recall lost to the larger plane count.  Pass ``n_rows``
+    to skip the sizing count when the caller already knows it.  The
+    join is an equi-join on (band, signature) -- the shape that scales
+    (shuffle by bucket, no cross join).
     """
-    sig = lsh_signature_udf(n_planes, dim)
+    if n_planes is None:
+        n_planes = derive_n_planes(
+            n_rows if n_rows is not None else vectors.count()
+        )
+    sigs = lsh_band_sigs_udf(n_planes, dim, n_bands)
     v = vectors.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
-    ).withColumn("sig", sig(F.col("vec"))).withColumn(
+    ).withColumn("sigs", sigs(F.col("vec"))).withColumn(
         "n", _norm(F.col("vec"))
+    ).select(
+        "vid", "vec", "n",
+        F.posexplode("sigs").alias("band", "sig"),
     )
     a = v.select(
         F.col("vid").alias("qid"), F.col("vec").alias("qv"),
-        F.col("n").alias("qn"), "sig",
+        F.col("n").alias("qn"), "band", "sig",
     )
     b = v.select(
         F.col("vid").alias("cid"), F.col("vec").alias("cv"),
-        F.col("n").alias("cn"), "sig",
+        F.col("n").alias("cn"), "band", "sig",
     )
-    scored = (
-        a.join(b, "sig")
+    cand = (
+        a.join(b, ["band", "sig"])
         .filter(F.col("qid") != F.col("cid"))
-        .withColumn(
-            "sim",
-            F.floor(
-                _dot(F.col("qv"), F.col("cv"))
-                / (F.col("qn") * F.col("cn"))
-                * 1000000.0
-            )
-            / 1000000.0,
+        # a pair matching in several bands must be scored once
+        .dropDuplicates(["qid", "cid"])
+    )
+    scored = cand.withColumn(
+        "sim",
+        F.floor(
+            _dot(F.col("qv"), F.col("cv"))
+            / (F.col("qn") * F.col("cn"))
+            * 1000000.0
         )
+        / 1000000.0,
     )
     w = Window.partitionBy("qid").orderBy(
         F.col("sim").desc(), F.col("cid").asc()
@@ -279,25 +348,36 @@ def ivf_topk(
 def embedding_near_dup(
     vectors: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     dim: int = 64,
+    n_bands: int = 2,
+    n_rows: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH buckets."""
-    sig = lsh_signature_udf(n_planes, dim)
+    """Embedding-cosine near-duplicate pairs via banded LSH buckets
+    (corpus-scaled plane count, same shape as lsh_topk)."""
+    if n_planes is None:
+        n_planes = derive_n_planes(
+            n_rows if n_rows is not None else vectors.count()
+        )
+    sigs = lsh_band_sigs_udf(n_planes, dim, n_bands)
     v = vectors.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
-    ).withColumn("sig", sig(F.col("vec"))).withColumn(
+    ).withColumn("sigs", sigs(F.col("vec"))).withColumn(
         "n", _norm(F.col("vec"))
+    ).select(
+        "vid", "vec", "n",
+        F.posexplode("sigs").alias("band", "sig"),
     )
     a = v.select(F.col("vid").alias("doc_a"), F.col("vec").alias("va"),
-                 F.col("n").alias("na"), "sig")
+                 F.col("n").alias("na"), "band", "sig")
     b = v.select(F.col("vid").alias("doc_b"), F.col("vec").alias("vb"),
-                 F.col("n").alias("nb"), "sig")
+                 F.col("n").alias("nb"), "band", "sig")
     return (
-        a.join(b, "sig")
+        a.join(b, ["band", "sig"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
         .withColumn(
             "sim",
             F.floor(

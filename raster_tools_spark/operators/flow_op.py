@@ -44,7 +44,8 @@ from .. import codecs, wkb as _wkb
 from ..fill import block_grid, priority_flood_fill
 from ..flow import flow_targets
 from ..flow_vec import CLASSES, vectorize_streams
-from ..grid import CELL_SIZE, cell_bounds, pack_cell, unpack_cell
+from ..grid import (CELL_SIZE, cell_bounds, cell_edge, pack_cell,
+                    unpack_cell)
 
 TILE_PX = 256
 NODATA = 255
@@ -501,6 +502,15 @@ def _driver_tail(spark, state: DataFrame, records,
         if nxt:
             events.extend(nxt)
         records = nxt
+    if records:
+        # never return truncated accumulation: by this point the flow
+        # graph must contain a routing cycle (sound D8 fields are
+        # acyclic, so legitimate flow drains within |pixels| steps)
+        raise RuntimeError(
+            f"flow-accumulation driver tail exceeded {guard} route "
+            f"steps with {len(records)} records still in flight; "
+            "refusing to drop in-flight flow (cyclic direction field?)"
+        )
     return events
 
 
@@ -554,6 +564,26 @@ def accumulate_tiles(
     outflows = outflows.localCheckpoint(eager=True)
 
     all_inflows = None
+
+    def _finish_on_driver(inflows):
+        """Route the remaining records to completion on the driver and
+        append the generated inflow events (raises rather than drop)."""
+        nonlocal all_inflows
+        events = _driver_tail(
+            spark, state,
+            [(int(r.cell_id), int(r.px), int(r.qty))
+             for r in inflows.collect()],
+            tile_px=tile_px,
+        )
+        if events:
+            tail_df = spark.createDataFrame(
+                pd.DataFrame(
+                    events, columns=["cell_id", "px", "qty"]
+                ),
+                schema=_FLOW_SCHEMA,
+            )
+            all_inflows = all_inflows.unionByName(tail_df)
+
     for _ in range(max_rounds):
         inflows = outflows.groupBy("cell_id", "px").agg(
             F.sum("qty").alias("qty")
@@ -575,25 +605,28 @@ def accumulate_tiles(
             # (lazily, as the flow reaches new tiles) and finish the
             # fixpoint in numpy, then append the generated inflow
             # events in one createDataFrame.
-            events = _driver_tail(
-                spark, state,
-                [(int(r.cell_id), int(r.px), int(r.qty))
-                 for r in inflows.collect()],
-                tile_px=tile_px,
-            )
-            if events:
-                tail_df = spark.createDataFrame(
-                    pd.DataFrame(
-                        events, columns=["cell_id", "px", "qty"]
-                    ),
-                    schema=_FLOW_SCHEMA,
-                )
-                all_inflows = all_inflows.unionByName(tail_df)
+            _finish_on_driver(inflows)
             break
         routed = inflows.join(state, "cell_id").groupBy("cell_id").applyInPandas(
             lambda pdf: _route(pdf, tile_px=tile_px), schema=_FLOW_SCHEMA
         )
         outflows = routed.localCheckpoint(eager=True)
+    else:
+        # max_rounds exhausted with flow still moving: the last routed
+        # outflows were never folded into all_inflows -- truncating
+        # here would silently under-count every catchment whose flow
+        # crosses more than max_rounds tile hops.  Force the driver
+        # tail on the remainder regardless of tail_threshold.
+        inflows = outflows.groupBy("cell_id", "px").agg(
+            F.sum("qty").alias("qty")
+        )
+        inflows = inflows.localCheckpoint(eager=True)
+        if inflows.count() > 0:
+            all_inflows = (
+                inflows if all_inflows is None
+                else all_inflows.unionByName(inflows)
+            )
+            _finish_on_driver(inflows)
 
     # final: replay every inflow along its path, adding to local acc
     def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -658,12 +691,15 @@ def vectorize_streams_tiles(
             rows = []
             for t in pdf.itertuples():
                 d = codecs.decode(bytes(t.bytes), t.fmt)
-                a = np.frombuffer(
-                    zlib.decompress(bytes(t.acc)), dtype=np.int64
-                ).reshape(TILE_PX, TILE_PX)
                 res, ix, iy = (
                     int(v) for v in unpack_cell(int(t.cell_id))
                 )
+                # tile edge follows the cell resolution (res-12 cells
+                # are 64 px), like fill_depressions_tiles
+                tpx = int(round(cell_edge(res) / CELL_SIZE))
+                a = np.frombuffer(
+                    zlib.decompress(bytes(t.acc)), dtype=np.int64
+                ).reshape(tpx, tpx)
                 for dy in (-1, 0, 1):
                     for dx in (-1, 0, 1):
                         jx, jy = ix + dx, iy + dy
@@ -722,13 +758,15 @@ def vectorize_streams_tiles(
             )
         c = center.iloc[0]
         cell_id = int(pdf["target"].iloc[0])
-        size = TILE_PX + 2
+        res = int(unpack_cell(cell_id)[0])
+        tpx = int(round(cell_edge(res) / CELL_SIZE))
+        size = tpx + 2
         dpad = np.zeros((size, size), dtype=np.uint8)
         apad = np.zeros((size, size), dtype=np.int64)
         dpad[1:-1, 1:-1] = codecs.decode(bytes(c["dpay"]), str(c["fmt"]))
         apad[1:-1, 1:-1] = np.frombuffer(
             zlib.decompress(bytes(c["apay"])), dtype=np.int64
-        ).reshape(TILE_PX, TILE_PX)
+        ).reshape(tpx, tpx)
         for t in pdf.itertuples():
             dy, dx = t.src_dy, t.src_dx
             if dy == 0 and dx == 0:
@@ -736,12 +774,12 @@ def vectorize_streams_tiles(
             ys = (
                 slice(0, 1) if dy == 1
                 else slice(size - 1, size) if dy == -1
-                else slice(1, 1 + TILE_PX)
+                else slice(1, 1 + tpx)
             )
             xs = (
                 slice(0, 1) if dx == 1
                 else slice(size - 1, size) if dx == -1
-                else slice(1, 1 + TILE_PX)
+                else slice(1, 1 + tpx)
             )
             nrow = (ys.stop - ys.start)
             ncol = (xs.stop - xs.start)

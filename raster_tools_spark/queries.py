@@ -2628,30 +2628,48 @@ def oracle_sql() -> Dict[str, str]:
     FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
     """
 
+    # banded LSH with corpus-derived plane count: np mirrors
+    # similarity.derive_n_planes (GREATEST/LEAST/ceil/log2 on the same
+    # count), band b uses plane rows [b*n_planes, (b+1)*n_planes) of
+    # the shared closed-form matrix, candidates = DISTINCT over bands
     o["lsh_ann"] = """
-    WITH sigs AS (
-      SELECT vec_id, embedding,
-        list_sum(list_transform(range(0, 8), p ->
+    WITH np AS (
+      SELECT CASE WHEN count(*) <= 1024 THEN 8
+             ELSE GREATEST(8, LEAST(32,
+               CAST(ceil(log2(count(*) / 1024.0)) AS INT))) END
+             AS n_planes
+      FROM embeddings
+    ),
+    sigs AS (
+      SELECT e.vec_id, e.embedding, bd.band,
+        list_sum(list_transform(range(0, np.n_planes), p ->
           CASE WHEN list_sum(list_transform(range(0, 64), d ->
-                 CAST(embedding[d+1] AS DOUBLE) *
-                 ((((p*8191 + d) * 2654435761) % 2147483648)
-                  / 1073741824.0 - 1.0)
+                 CAST(e.embedding[d+1] AS DOUBLE) *
+                 (((((bd.band*np.n_planes + p)*8191 + d) * 2654435761)
+                   % 2147483648) / 1073741824.0 - 1.0)
                )) > 0
                THEN (CAST(1 AS BIGINT) << p) ELSE 0 END
         )) AS sig,
-        sqrt(list_sum(list_transform(embedding,
+        sqrt(list_sum(list_transform(e.embedding,
           x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
-      FROM embeddings
+      FROM embeddings e, np, (SELECT unnest(range(0, 2)) AS band) bd
     ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS qid, b.vec_id AS cid
+      FROM sigs a JOIN sigs b
+        ON a.band = b.band AND a.sig = b.sig AND a.vec_id != b.vec_id
+    ),
+    nv AS (SELECT DISTINCT vec_id, embedding, nrm FROM sigs),
     scored AS (
-      SELECT a.vec_id AS qid, b.vec_id AS cid,
+      SELECT c.qid, c.cid,
         floor(
           list_sum(list_transform(range(1, 65),
-            i -> CAST(a.embedding[i] AS DOUBLE)
-                 * CAST(b.embedding[i] AS DOUBLE)))
-          / (a.nrm * b.nrm) * 1000000.0) / 1000000.0 AS sim
-      FROM sigs a JOIN sigs b
-        ON a.sig = b.sig AND a.vec_id != b.vec_id
+            i -> CAST(qa.embedding[i] AS DOUBLE)
+                 * CAST(qb.embedding[i] AS DOUBLE)))
+          / (qa.nrm * qb.nrm) * 1000000.0) / 1000000.0 AS sim
+      FROM cand c
+      JOIN nv qa ON qa.vec_id = c.qid
+      JOIN nv qb ON qb.vec_id = c.cid
     )
     SELECT qid, cid, sim, rn FROM (
       SELECT qid, cid, sim,
@@ -2662,29 +2680,43 @@ def oracle_sql() -> Dict[str, str]:
     """
 
     o["embedding_near_dup"] = """
-    WITH sigs AS (
-      SELECT vec_id, embedding,
-        list_sum(list_transform(range(0, 8), p ->
+    WITH np AS (
+      SELECT CASE WHEN count(*) <= 1024 THEN 8
+             ELSE GREATEST(8, LEAST(32,
+               CAST(ceil(log2(count(*) / 1024.0)) AS INT))) END
+             AS n_planes
+      FROM embeddings
+    ),
+    sigs AS (
+      SELECT e.vec_id, e.embedding, bd.band,
+        list_sum(list_transform(range(0, np.n_planes), p ->
           CASE WHEN list_sum(list_transform(range(0, 64), d ->
-                 CAST(embedding[d+1] AS DOUBLE) *
-                 ((((p*8191 + d) * 2654435761) % 2147483648)
-                  / 1073741824.0 - 1.0)
+                 CAST(e.embedding[d+1] AS DOUBLE) *
+                 (((((bd.band*np.n_planes + p)*8191 + d) * 2654435761)
+                   % 2147483648) / 1073741824.0 - 1.0)
                )) > 0
                THEN (CAST(1 AS BIGINT) << p) ELSE 0 END
         )) AS sig,
-        sqrt(list_sum(list_transform(embedding,
+        sqrt(list_sum(list_transform(e.embedding,
           x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
-      FROM embeddings
-    )
+      FROM embeddings e, np, (SELECT unnest(range(0, 2)) AS band) bd
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM sigs a JOIN sigs b
+        ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+    ),
+    nv AS (SELECT DISTINCT vec_id, embedding, nrm FROM sigs)
     SELECT doc_a, doc_b, sim FROM (
-      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+      SELECT c.doc_a, c.doc_b,
         floor(
           list_sum(list_transform(range(1, 65),
-            i -> CAST(a.embedding[i] AS DOUBLE)
-                 * CAST(b.embedding[i] AS DOUBLE)))
-          / (a.nrm * b.nrm) * 1000000.0) / 1000000.0 AS sim
-      FROM sigs a JOIN sigs b
-        ON a.sig = b.sig AND a.vec_id < b.vec_id
+            i -> CAST(qa.embedding[i] AS DOUBLE)
+                 * CAST(qb.embedding[i] AS DOUBLE)))
+          / (qa.nrm * qb.nrm) * 1000000.0) / 1000000.0 AS sim
+      FROM cand c
+      JOIN nv qa ON qa.vec_id = c.doc_a
+      JOIN nv qb ON qb.vec_id = c.doc_b
     ) WHERE sim >= 0.3
     """
 

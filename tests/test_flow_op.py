@@ -206,6 +206,39 @@ class TestVectorizeTiles:
                 assert len(coords) == len(line)
 
 
+class TestVectorizeNon256Tiles:
+    def test_res12_64px_tiles(self, spark):
+        """Tile edge must follow the cell resolution (regression: the
+        reshape hardcoded 256 px and failed on res-12 / 64-px tiles)."""
+        t = 64
+        d = np.zeros((t, t), dtype=np.uint8)
+        S = 8
+        d[: t - 1, t // 2] = S  # one straight southbound stream
+        a = np.zeros((t, t), dtype=np.int64)
+        a[:, t // 2] = 3  # inside the (3.0, 4.0) class band
+        cid = int(pack_cell(12, 40, 70))
+        dir_tiles = spark.createDataFrame(
+            pd.DataFrame(
+                [(cid, codecs.png_encode(d), "png")],
+                columns=["cell_id", "bytes", "fmt"],
+            ),
+            schema="cell_id long, bytes binary, fmt string",
+        )
+        acc_tiles = spark.createDataFrame(
+            pd.DataFrame(
+                [(cid, zlib.compress(a.tobytes(), 1))],
+                columns=["cell_id", "acc"],
+            ),
+            schema="cell_id long, acc binary",
+        )
+        rows = flow_op.vectorize_streams_tiles(
+            dir_tiles, acc_tiles
+        ).collect()
+        assert len(rows) > 0
+        for r in rows:
+            assert int(r.cell_id) == cid
+
+
 class TestSeamZigzag:
     def test_stream_hugging_the_seam(self, spark):
         """Adversarial: a stream alternating between two tiles at every
@@ -244,6 +277,42 @@ class TestSeamZigzag:
         got = _stitch(out, 2, decode=False).astype(np.int64)
         expected = flow.accumulate(d).astype(np.int64)
         assert expected.max() > 300  # the zigzag accumulates deep
+        assert np.array_equal(got, expected)
+
+    def test_round_cap_exhaustion_is_exact(self, spark):
+        """A stream whose boundary flow needs more rounds than
+        max_rounds, with tail_threshold=0 so the in-loop driver tail
+        never triggers: the exhaustion path must force the tail and
+        return EXACT accumulation, never a silent truncation."""
+        size = 2 * TILE
+        d = np.zeros((size, size), dtype=np.uint8)
+        E, SW = 2, 16
+        for i in range(0, size - 1):
+            d[i, TILE - 1] = E
+            d[i, TILE] = SW
+        for i in range(size):
+            d[i, TILE - 2] = E
+        rows = []
+        for ty in range(2):
+            for tx in range(2):
+                sub = d[ty * TILE:(ty + 1) * TILE,
+                        tx * TILE:(tx + 1) * TILE]
+                rows.append(
+                    (
+                        int(pack_cell(10, 4 + tx, 7 + ty)),
+                        codecs.png_encode(sub),
+                        "png",
+                    )
+                )
+        tiles = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["cell_id", "bytes", "fmt"]),
+            schema="cell_id long, bytes binary, fmt string",
+        )
+        out = flow_op.accumulate_tiles(
+            tiles, max_rounds=2, tail_threshold=0
+        ).collect()
+        got = _stitch(out, 2, decode=False).astype(np.int64)
+        expected = flow.accumulate(d).astype(np.int64)
         assert np.array_equal(got, expected)
 
 
