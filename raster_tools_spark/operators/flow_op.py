@@ -681,6 +681,16 @@ def vectorize_streams_tiles(
     Mirrors the reference's distribution: each tile is vectorized over
     a 1-pixel-margined window (flow_vec.py Vectorizer.vectorize);
     margins come from the neighbor strips of one halo exchange.
+
+    OUTPUT CONTRACT (the reference's own per-tile unit, flow_vec.py
+    145-149): a stream crossing k tiles emits k SEGMENTS, one per
+    tile, each extending one pixel into its neighbors' cores via the
+    margin; consecutive segments therefore overlap by exactly two
+    pixel centers at every seam, so downstream consumers can stitch
+    whole polylines with a (cls, endpoint-coordinate) merge without
+    any gap/tolerance handling (endpoints are exact dyadic world
+    coordinates).  tests/test_flow_op.py TestSeamContract asserts
+    this overlap structure on a 3-tile stream.
     """
     joined = dir_tiles.select("cell_id", "bytes", "fmt").join(
         acc_tiles, "cell_id"

@@ -64,6 +64,43 @@ def _envelope_udf(wkb_s: pd.Series) -> pd.Series:
     return wkb_s.map(lambda b: list(geom.envelope(bytes(b))))
 
 
+_POLY_META_SCHEMA = T.StructType([
+    T.StructField("n_cover", T.IntegerType()),
+    T.StructField("ex1", T.DoubleType()),
+    T.StructField("ex2", T.DoubleType()),
+    T.StructField("ey1", T.DoubleType()),
+    T.StructField("ey2", T.DoubleType()),
+    T.StructField("cells", T.ArrayType(T.LongType())),
+])
+
+
+def _poly_meta_udf(res: int, hot_cover: int):
+    """Cover count + envelope + covering cells in ONE Python pass.
+
+    Every separate pandas UDF on the polygon side costs a full Spark
+    stage of fixed scheduler/worker latency (~0.2s each on a warm
+    local[32]); with ncover, covering and two envelope UDFs that
+    overhead dominated small-polygon-layer joins.  Hot polygons
+    (n_cover > hot_cover) skip cell enumeration -- phase H never needs
+    it and a continent-sized envelope would materialize millions of
+    ids."""
+
+    @F.pandas_udf(_POLY_META_SCHEMA)
+    def meta(wkb_s: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in wkb_s:
+            env = geom.envelope(bytes(b))
+            n = n_covering(env, res)
+            cells = covering_cells(env, res) if n <= hot_cover else []
+            rows.append((n, env[0], env[1], env[2], env[3], cells))
+        return pd.DataFrame(
+            rows, columns=["n_cover", "ex1", "ex2", "ey1", "ey2",
+                           "cells"],
+        )
+
+    return meta
+
+
 def _refine(pdf: pd.DataFrame) -> pd.DataFrame:
     """Exact PIP refine of candidate pairs; one ring-parse per polygon
     per batch (polygons repeat heavily within a cell's batch)."""
@@ -114,9 +151,11 @@ def pip_join(
     cell_key = f"qk_r{join_res}"
     pts = images.select(*keep_cols, cell_key)
 
-    polys = polygons.withColumn("n_cover", _ncover_udf(join_res)(F.col("geom_wkb")))
-    hot = polys.filter(F.col("n_cover") > hot_cover)
-    normal = polys.filter(F.col("n_cover") <= hot_cover)
+    polys = polygons.withColumn(
+        "_pm", _poly_meta_udf(join_res, hot_cover)(F.col("geom_wkb"))
+    )
+    hot = polys.filter(F.col("_pm.n_cover") > hot_cover)
+    normal = polys.filter(F.col("_pm.n_cover") <= hot_cover)
 
     refine_schema = ", ".join(
         [
@@ -131,17 +170,35 @@ def pip_join(
     out_cols = [*(c for c in keep_cols), *poly_cols]
 
     # ---- phase N: shuffle equi-join on covering cells -------------------
+    # envelope columns ride along (4 doubles/row) so a JVM-side bbox
+    # predicate can drop candidates BEFORE the Python refine: boundary
+    # cells -- especially the closed-bottom cover row, where only
+    # points exactly ON y == ymin can ever match -- otherwise flood the
+    # pandas UDF with pairs that fail trivially
+    env_cols = [
+        F.col("_pm.ex1").alias("_ex1"), F.col("_pm.ex2").alias("_ex2"),
+        F.col("_pm.ey1").alias("_ey1"), F.col("_pm.ey2").alias("_ey2"),
+    ]
     if rehydrate_geom:
         ncells = normal.withColumn(
-            "cover_cell",
-            F.explode(_covering_udf(join_res)(F.col("geom_wkb"))),
-        ).select("feat_id", "cover_cell")
+            "cover_cell", F.explode("_pm.cells")
+        ).select("feat_id", "cover_cell", *env_cols)
     else:
         ncells = normal.withColumn(
-            "cover_cell",
-            F.explode(_covering_udf(join_res)(F.col("geom_wkb"))),
-        ).select("feat_id", "geom_wkb", "cover_cell",
+            "cover_cell", F.explode("_pm.cells")
+        ).select("feat_id", "geom_wkb", "cover_cell", *env_cols,
                  *[c for c in poly_cols if c != "feat_id"])
+
+    # same bbox convention as phase H (points_in_wkb counts x==xmin /
+    # y==ymin / y==ymax as inside, x==xmax as outside): anything the
+    # predicate drops, the exact refine would also drop
+    def _bbox_pred(left):
+        return (
+            (left["cx"] >= F.col("_ex1"))
+            & (left["cx"] < F.col("_ex2"))
+            & (left["cy"] >= F.col("_ey1"))
+            & (left["cy"] <= F.col("_ey2"))
+        )
 
     if salt:
         pts_s = pts.withColumn(
@@ -153,10 +210,14 @@ def pip_join(
         cand_n = pts_s.join(
             ncells_s,
             (pts_s[cell_key] == ncells_s["cover_cell"])
-            & (pts_s["_salt"] == ncells_s["_salt"]),
+            & (pts_s["_salt"] == ncells_s["_salt"])
+            & _bbox_pred(pts_s),
         ).drop("_salt")
     else:
-        cand_n = pts.join(ncells, pts[cell_key] == ncells["cover_cell"])
+        cand_n = pts.join(
+            ncells,
+            (pts[cell_key] == ncells["cover_cell"]) & _bbox_pred(pts),
+        )
 
     if rehydrate_geom:
         # geometry (and attributes) re-attached AFTER the big shuffle,
@@ -177,18 +238,17 @@ def pip_join(
     )
 
     # ---- phase H: broadcast bbox prejoin + exact refine -----------------
-    hot_env = hot.withColumn("env", _envelope_udf(F.col("geom_wkb")))
     hot_b = F.broadcast(
-        hot_env.select(
-            "feat_id", "geom_wkb", "env",
+        hot.select(
+            "feat_id", "geom_wkb", F.col("_pm").alias("env_s"),
             *[c for c in poly_cols if c != "feat_id"],
         )
     )
     bbox_pred = (
-        (F.col("cx") >= F.col("env")[0])
-        & (F.col("cx") < F.col("env")[1])
-        & (F.col("cy") >= F.col("env")[2])
-        & (F.col("cy") <= F.col("env")[3])
+        (F.col("cx") >= F.col("env_s.ex1"))
+        & (F.col("cx") < F.col("env_s.ex2"))
+        & (F.col("cy") >= F.col("env_s.ey1"))
+        & (F.col("cy") <= F.col("env_s.ey2"))
     )
     cand_h = pts.join(hot_b, bbox_pred)
     matched_h = (

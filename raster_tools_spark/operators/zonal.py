@@ -533,20 +533,39 @@ def zonal_stats(
         ),
     ).select("image_id", "bytes", "fmt", "x0", "y_top", "w", "h", "icell")
 
-    from .pip import _covering_udf  # same covering-cell generator
+    from .pip import _covering_udf, _envelope_udf  # same generators
 
     pcells = polygons.withColumn(
+        "env", _envelope_udf(F.col("geom_wkb"))
+    ).withColumn(
         "pcell", F.explode(_covering_udf(join_res)(F.col("geom_wkb")))
-    ).select("feat_id", "geom_wkb", "pcell")
+    ).select(
+        "feat_id", "geom_wkb", "pcell",
+        F.col("env")[0].alias("_ex1"), F.col("env")[1].alias("_ex2"),
+        F.col("env")[2].alias("_ey1"), F.col("env")[3].alias("_ey2"),
+    )
 
     # candidate pairs; pair dedup happens inside the streaming UDF --
-    # an image/polygon pair can arise from up to 4 shared corner cells
+    # an image/polygon pair can arise from up to 4 shared corner cells.
+    # The JVM-side envelope-overlap predicate (closed comparisons: a
+    # strict superset of "mask non-empty") drops boundary-cell pairs
+    # whose tile never touches the polygon bbox BEFORE they pay a
+    # decode+rasterize in the pandas stage.
+    overlap = (
+        (F.col("x0") <= F.col("_ex2"))
+        & (F.col("x0") + F.col("w") * CELL_SIZE >= F.col("_ex1"))
+        & (F.col("y_top") - F.col("h") * CELL_SIZE <= F.col("_ey2"))
+        & (F.col("y_top") >= F.col("_ey1"))
+    )
     if broadcast_polygons:
         cand = img.join(
-            F.broadcast(pcells), img["icell"] == pcells["pcell"]
+            F.broadcast(pcells),
+            (img["icell"] == pcells["pcell"]) & overlap,
         )
     else:
-        cand = img.join(pcells, img["icell"] == pcells["pcell"])
+        cand = img.join(
+            pcells, (img["icell"] == pcells["pcell"]) & overlap
+        )
     cand = cand.select(
         "image_id", "bytes", "fmt", "x0", "y_top", "w", "h",
         "feat_id", "geom_wkb",

@@ -206,6 +206,60 @@ class TestVectorizeTiles:
                 assert len(coords) == len(line)
 
 
+class TestSeamContract:
+    def test_three_tile_stream_segments_overlap(self, spark):
+        """The documented per-tile output contract: one stream
+        crossing 3 tiles emits exactly 3 segments whose consecutive
+        pairs overlap by two pixel centers at each seam, composing the
+        full global polyline with no gaps."""
+        from raster_tools_spark.grid import CELL_SIZE, cell_bounds
+
+        t = 64
+        E = 2
+        d_rows, a_rows = [], []
+        for k in range(3):
+            d = np.zeros((t, t), dtype=np.uint8)
+            d[10, :] = E  # one eastbound stream on row 10
+            a = np.zeros((t, t), dtype=np.int64)
+            a[10, :] = 3  # inside the (3.0, 4.0) class band
+            cid = int(pack_cell(12, 40 + k, 70))
+            d_rows.append((cid, codecs.png_encode(d), "png"))
+            a_rows.append((cid, zlib.compress(a.tobytes(), 1)))
+        dir_tiles = spark.createDataFrame(
+            pd.DataFrame(d_rows, columns=["cell_id", "bytes", "fmt"]),
+            schema="cell_id long, bytes binary, fmt string",
+        )
+        acc_tiles = spark.createDataFrame(
+            pd.DataFrame(a_rows, columns=["cell_id", "acc"]),
+            schema="cell_id long, acc binary",
+        )
+        rows = flow_op.vectorize_streams_tiles(
+            dir_tiles, acc_tiles
+        ).collect()
+        assert len(rows) == 3
+        import raster_tools_spark.wkb as wkbm
+
+        base_x1 = cell_bounds(int(pack_cell(12, 40, 70)))[0]
+        frags = []
+        for r in rows:
+            _, coords = wkbm.parse(bytes(r.geom_wkb))
+            gcols = [
+                int(round((x - base_x1) / CELL_SIZE - 0.5))
+                for x, _ in coords
+            ]
+            frags.append(sorted(gcols))
+        frags.sort(key=lambda g: g[0])
+        # tile 0 has no west margin data: cols 0..64 (65 pts); middle
+        # tile reaches one px into both neighbors: 63..128 (66 pts);
+        # tile 2 adds the off-class terminator px: 127..192
+        assert frags[0] == list(range(0, 65))
+        assert frags[1] == list(range(63, 129))
+        assert frags[2] == list(range(127, 193))
+        # two-pixel-center overlap at every seam, zero gaps
+        for a_, b_ in zip(frags, frags[1:]):
+            assert len(set(a_) & set(b_)) == 2
+
+
 class TestVectorizeNon256Tiles:
     def test_res12_64px_tiles(self, spark):
         """Tile edge must follow the cell resolution (regression: the
