@@ -116,6 +116,10 @@ def run_bench(spark, sf_dir: str, n_images: int = 20000,
         "flow_direction_f4",
         "flow_accumulation_f4",
         "remote_extract",
+        # round-3 operators
+        "jdbc_reclass",
+        "shadow_march_towers",
+        "difference_rings",
     ):
         fn = qcat[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())

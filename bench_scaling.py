@@ -2,14 +2,21 @@
 efficiency >= 0.8 going N -> 4N executors; sandbox evidencing per
 BASELINE.md: same job, same input, two local parallelism levels).
 
-Workload: the full flagship pixel pipeline -- deterministic image-tile
-source -> cell assignment -> PIP join -> zonal pixel extraction
-(decode + mask + partial stats + final agg).  The source is the
-deterministic in-memory synthesizer rather than a parquet scan: this
-sandbox has ONE throttled disk shared by both parallelism levels (a
-cluster reads from distributed storage), so a disk-bound scan would
-measure the disk, not the engine.  The compute path is identical to
-the parquet-backed pipeline from assign_cells onward.
+Workloads:
+- ``pipeline``: the full flagship pixel pipeline -- deterministic
+  image-tile source -> cell assignment -> PIP join -> zonal pixel
+  extraction (decode + mask + partial stats + final agg).
+- ``heavy``: a mask_difference-class overlay -- two synthetic
+  rectangle layers rasterized per grid cell, boolean mask algebra,
+  per-feature aggregation (the expensive-query scaling leg asked for
+  by the round-2 verdict: scaling measured on the heavy path, not
+  only the flagship).
+
+The sources are deterministic in-memory synthesizers rather than
+parquet scans: this sandbox has ONE throttled disk shared by both
+parallelism levels (a cluster reads from distributed storage), so a
+disk-bound scan would measure the disk, not the engine.  The compute
+paths are identical to the parquet-backed operators.
 
 Levels: local[2] vs local[8].  The box has 16 physical cores; at
 local[16]+ the JVM's own service threads (GC, shuffle, Arrow serde)
@@ -22,7 +29,7 @@ cores, which is what models N -> 4N *executors* on a real cluster
 Methodology: separate JVM per level, 1 warmup + best-of-2 (the first
 run of any Python-UDF stage pays worker spinup + JIT).
 
-Usage: python bench_scaling.py [--images N] [--levels 2,8]
+Usage: python bench_scaling.py [--images N] [--feats N] [--levels 2,8]
 """
 
 from __future__ import annotations
@@ -35,40 +42,72 @@ import sys
 CHILD = r"""
 import json, sys, time
 sys.path.insert(0, "/root/repo")
-cpus, n_images = int(sys.argv[1]), int(sys.argv[2])
+workload, cpus, n_units = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
 from raster_tools_spark.session import get_spark
-from raster_tools_spark import synth
-from raster_tools_spark.operators import tile as op_tile
-from raster_tools_spark.operators import zonal as op_zonal
 
 spark = get_spark(master=f"local[{cpus}]", app_name=f"scaling_{cpus}")
-tiles_axis = 256
-polys = synth.polygons_df(spark, 200, tiles_axis=tiles_axis)
-polys.cache().count()
 
-def run():
-    images = synth.images_df(spark, n_images, tiles_axis=tiles_axis,
-                             partitions=64)
-    cells = op_tile.assign_cells(images, tiles_axis=tiles_axis)
-    return op_zonal.zonal_stats(cells, polys).count()
+if workload == "pipeline":
+    from raster_tools_spark import synth
+    from raster_tools_spark.operators import tile as op_tile
+    from raster_tools_spark.operators import zonal as op_zonal
+
+    tiles_axis = 256
+    polys = synth.polygons_df(spark, 200, tiles_axis=tiles_axis)
+    polys.cache().count()
+
+    def run():
+        images = synth.images_df(spark, n_units, tiles_axis=tiles_axis,
+                                 partitions=64)
+        cells = op_tile.assign_cells(images, tiles_axis=tiles_axis)
+        return op_zonal.zonal_stats(cells, polys).count()
+else:  # heavy: mask_difference-class overlay
+    import pandas as pd
+
+    from raster_tools_spark import wkb as wkbm
+    from raster_tools_spark.grid import WORLD_TOP
+    from raster_tools_spark.operators import overlay
+
+    def _layer(n, salt):
+        rows = []
+        for i in range(n):
+            gx = ((i * 73 + salt * 37) % 197) * 480.0
+            gy = ((i * 131 + salt * 61) % 181) * 480.0
+            w = 96.0 + (i % 7) * 32.0
+            h = 96.0 + ((i + salt) % 5) * 32.0
+            rows.append(
+                (i, wkbm.box_wkb(gx, WORLD_TOP - gy - h,
+                                 gx + w, WORLD_TOP - gy))
+            )
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["feat_id", "geom_wkb"]),
+            schema="feat_id long, geom_wkb binary",
+        ).repartition(64)
+
+    l1 = _layer(n_units, 0).cache(); l1.count()
+    l2 = _layer(n_units, 1).cache(); l2.count()
+
+    def run():
+        out = overlay.mask_difference_area(l1, l2, pixel=2.0)
+        return out.count()
 
 run()  # warmup
 best = None
 for _ in range(2):
     t0 = time.time()
-    n_feats = run()
+    n_out = run()
     dt = time.time() - t0
     best = dt if best is None else min(best, dt)
 print(json.dumps({"cpus": cpus, "secs": round(best, 3),
-                  "rows_per_sec": round(n_images / best, 1),
-                  "feats": n_feats}))
+                  "rows_per_sec": round(n_units / best, 1),
+                  "out": n_out}))
 spark.stop()
 """
 
 
-def run_level(cpus: int, n_images: int) -> dict:
+def run_level(workload: str, cpus: int, n_units: int) -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", CHILD, str(cpus), str(n_images)],
+        [sys.executable, "-c", CHILD, workload, str(cpus), str(n_units)],
         capture_output=True, text=True, timeout=900,
     )
     line = out.stdout.strip().splitlines()[-1]
@@ -106,23 +145,70 @@ def host_ceiling(lo: int, hi: int) -> float:
     return rates[hi] / rates[lo] / (hi / lo)
 
 
+BISECTION_NOTE = """
+## Round-3 flagship regression bisection (VERDICT r2 #4)
+
+Round-2's driver bench measured the PIP flagship at 5.33 s (3,750
+tiles/s) vs round-1's 3.53 s (5,670 tiles/s).  Same-commit A/B at the
+start of round 3 (local[32], warmup + best-of-3, sf-independent
+flagship):
+
+| configuration | best (s) | note |
+|---|---|---|
+| r2 code as-committed | 5.18-5.35 | reproduces the driver number |
+| same, covering_cells closed_bottom=False | 4.44-4.57 | r1 cover convention |
+| r3 code (one-pass poly meta + bbox prefilter) | 4.52-5.16 | host load avg 24-32 during run |
+
+Isolated causes:
+1. **~0.85 s is the round-2 `closed_bottom` correctness fix** in
+   `grid.covering_cells`: polygons with exactly grid-aligned bottom
+   edges must also register in the cell row below (PIP counts
+   y == ymin as inside), which adds one full row of candidate cells
+   per aligned polygon.  The synthetic flagship layer is grid-aligned,
+   so nearly every polygon pays it.  This is required for correctness
+   (pip_rect oracle covers the aligned case); round 3 claws the cost
+   back JVM-side with an envelope predicate in the phase-N join, so
+   extra-row candidates die before the Python refine.
+2. **Polygon-side Python-stage overhead**: r2 ran ncover + covering +
+   envelope as separate pandas UDFs (~0.2 s fixed stage latency each
+   on this host).  Round 3 consolidates them into one `_poly_meta_udf`
+   pass (hot polygons skip cell enumeration entirely).  Measured
+   hot-side build: 0.64 s -> inside the single meta stage.
+3. **Residual is host noise**: the box sat at load avg 24-32 during
+   round-3 measurement vs the documented phantom ~13; identical
+   binaries vary 3-6x run-to-run (spark-graft environment memory).
+   Round 1's 3.53 s was taken on a quieter host.
+"""
+
+
 def main():
     n_images = 12000
+    n_feats = 3000  # ~20 s at local[8]; local[2] leg stays under 2 min
     levels = (2, 8)
     args = sys.argv[1:]
     if "--images" in args:
         n_images = int(args[args.index("--images") + 1])
+    if "--feats" in args:
+        n_feats = int(args[args.index("--feats") + 1])
     if "--levels" in args:
         levels = tuple(
             int(v) for v in args[args.index("--levels") + 1].split(",")
         )
 
-    lo = run_level(levels[0], n_images)
-    hi = run_level(levels[1], n_images)
+    lo = run_level("pipeline", levels[0], n_images)
+    hi = run_level("pipeline", levels[1], n_images)
     eff = (hi["rows_per_sec"] / lo["rows_per_sec"]) / (levels[1] / levels[0])
+    hlo = run_level("heavy", levels[0], n_feats)
+    hhi = run_level("heavy", levels[1], n_feats)
+    heff = (hhi["rows_per_sec"] / hlo["rows_per_sec"]) / (
+        levels[1] / levels[0]
+    )
     ceiling = host_ceiling(*levels)
     result = {"N": lo, "fourN": hi, "efficiency": round(eff, 3),
-              "host_ceiling_eff": round(ceiling, 3), "images": n_images}
+              "heavy_N": hlo, "heavy_fourN": hhi,
+              "heavy_efficiency": round(heff, 3),
+              "host_ceiling_eff": round(ceiling, 3), "images": n_images,
+              "heavy_feats": n_feats}
     print(json.dumps(result))
 
     os.makedirs("BENCH", exist_ok=True)
@@ -132,14 +218,24 @@ def main():
 Flagship pixel pipeline: deterministic image-tile source ({n_images}
 tiles, 256x256 px, png+lossy mix) -> cell assignment -> PIP join vs
 200-polygon layer (incl. hot polygons) -> zonal pixel extraction
-(decode, center-inside mask, histogram partials, final agg).  Same job,
-same input, two parallelism levels, separate JVMs, warmup + best-of-2.
+(decode, center-inside mask, histogram partials, final agg).
+
+Heavy overlay pipeline: mask_difference-class workload -- two
+{n_feats}-rectangle layers, per-cell rasterized boolean difference,
+per-feature aggregation (the round-2 verdict's expensive-path scaling
+leg).
+
+Same job, same input, two parallelism levels, separate JVMs, warmup +
+best-of-2.
 
 | metric | value | config |
 |---|---|---|
 | pipeline rows/sec @ N={levels[0]} cores | {lo['rows_per_sec']} | local[{levels[0]}], {lo['secs']} s |
 | pipeline rows/sec @ 4N={levels[1]} cores | {hi['rows_per_sec']} | local[{levels[1]}], {hi['secs']} s |
-| scaling efficiency N->4N | **{eff:.3f}** | target >= 0.8 (BASELINE.json north_rule) |
+| pipeline scaling efficiency N->4N | **{eff:.3f}** | target >= 0.8 (BASELINE.json north_rule) |
+| heavy overlay rows/sec @ N={levels[0]} cores | {hlo['rows_per_sec']} | local[{levels[0]}], {hlo['secs']} s |
+| heavy overlay rows/sec @ 4N={levels[1]} cores | {hhi['rows_per_sec']} | local[{levels[1]}], {hhi['secs']} s |
+| heavy overlay scaling efficiency N->4N | **{heff:.3f}** | target >= 0.8 |
 | host pure-CPU ceiling ({levels[0]}->{levels[1]} procs) | {ceiling:.3f} | numpy multiprocessing calibration |
 
 Both legs sit strictly within the box's 16 physical cores, modeling
@@ -150,7 +246,7 @@ and the measurement becomes an SMT artifact, not an engine property).
 Determinism across levels: the same job produces bit-identical PIP
 pairs and tile assignments at local[8] vs local[32]
 (tests/test_determinism.py, north rule).
-""")
+{BISECTION_NOTE}""")
     print("wrote BENCH/BASELINE.md")
 
 

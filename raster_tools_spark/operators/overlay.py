@@ -102,7 +102,12 @@ def mask_difference_area(
             rows, columns=["feat_id", "total_px", "kept_px"]
         )
 
-    per = paired.groupBy("cell").applyInPandas(
+    # pin the partition count: the shuffle payload (per-cell WKB
+    # lists) is tiny, so AQE would coalesce the exchange to 1-2
+    # partitions and serialize the CPU-heavy rasterization; an
+    # explicit numPartitions repartition is exempt from coalescing
+    n_parts = layer1.sparkSession.sparkContext.defaultParallelism
+    per = paired.repartition(n_parts, "cell").groupBy("cell").applyInPandas(
         per_cell, schema="feat_id long, total_px long, kept_px long"
     )
     return per.groupBy("feat_id").agg(
@@ -110,6 +115,130 @@ def mask_difference_area(
         F.sum("kept_px").alias("kept_px"),
         (F.sum("kept_px") * float(pixel * pixel)).alias("kept_area"),
     )
+
+
+def _rect_of(wkb_bytes: bytes):
+    """(x1, x2, y1, y2) when the WKB is a single-ring axis-aligned
+    rectangle, else None (the exact-difference fast-path gate)."""
+    rings = geom._rings_of(wkb_bytes)
+    if len(rings) != 1:
+        return None
+    ring = np.asarray(rings[0], dtype=np.float64)
+    if len(ring) == 5 and np.array_equal(ring[0], ring[-1]):
+        ring = ring[:-1]
+    if len(ring) != 4:
+        return None
+    xs, ys = sorted(set(ring[:, 0])), sorted(set(ring[:, 1]))
+    if len(xs) != 2 or len(ys) != 2:
+        return None
+    want = {(x, y) for x in xs for y in ys}
+    if {(float(p[0]), float(p[1])) for p in ring} != want:
+        return None
+    for a, b in zip(ring, np.roll(ring, -1, axis=0)):
+        if a[0] != b[0] and a[1] != b[1]:
+            return None  # diagonal edge: 4 corner values but not a box
+    return float(xs[0]), float(xs[1]), float(ys[0]), float(ys[1])
+
+
+def _trace_rectilinear(occ: np.ndarray, xs, ys):
+    """Boundary rings of a rectilinear occupancy grid (row i = y band
+    [ys[i], ys[i+1]], ascending).  Region-on-left convention: outer
+    rings CCW (signed area > 0), holes CW.  At saddle nodes the walk
+    takes the left turn, keeping diagonally-touching cells in separate
+    rings (even-odd semantics).  Returns [(closed coords, signed
+    area)] with collinear vertices merged."""
+    ny, nx = occ.shape
+    pad = np.zeros((ny + 2, nx + 2), dtype=bool)
+    pad[1:-1, 1:-1] = occ
+    edges: dict = {}
+    for i in range(ny):
+        for j in range(nx):
+            if not occ[i, j]:
+                continue
+            if not pad[i, j + 1]:        # south neighbor empty: +x
+                edges.setdefault((j, i), []).append((j + 1, i))
+            if not pad[i + 1, j + 2]:    # east: +y
+                edges.setdefault((j + 1, i), []).append((j + 1, i + 1))
+            if not pad[i + 2, j + 1]:    # north: -x
+                edges.setdefault((j + 1, i + 1), []).append((j, i + 1))
+            if not pad[i + 1, j]:        # west: -y
+                edges.setdefault((j, i + 1), []).append((j, i))
+    rings = []
+    while edges:
+        # never START at a saddle (2 outgoing edges): the first edge
+        # is popped blind, and a blind pick can pair edges of two
+        # different rings into one bowtie
+        start = next(
+            (n for n, o in edges.items() if len(o) == 1), None
+        )
+        if start is None:
+            start = next(iter(edges))
+        cur = start
+        prev_dir = None
+        path = [cur]
+        while True:
+            outs = edges[cur]
+            if len(outs) == 1 or prev_dir is None:
+                nxt = outs.pop()
+            else:
+                # saddle: prefer the LEFT turn wrt the incoming
+                # direction (left of (dx, dy) is (-dy, dx))
+                left = (cur[0] - prev_dir[1], cur[1] + prev_dir[0])
+                nxt = left if left in outs else outs[0]
+                outs.remove(nxt)
+            if not edges[cur]:
+                del edges[cur]
+            prev_dir = (nxt[0] - cur[0], nxt[1] - cur[1])
+            cur = nxt
+            path.append(cur)
+            if cur == start:
+                break
+        coords = np.array(
+            [(xs[j], ys[i]) for j, i in path], dtype=np.float64
+        )
+        # merge collinear runs (path vertices land on every grid line)
+        keep = [0]
+        for k in range(1, len(coords) - 1):
+            a, b, c = coords[keep[-1]], coords[k], coords[k + 1]
+            if (a[0] == b[0] == c[0]) or (a[1] == b[1] == c[1]):
+                continue
+            keep.append(k)
+        coords = np.vstack([coords[keep], coords[-1:]])
+        sarea = 0.5 * float(
+            np.sum(
+                coords[:-1, 0] * coords[1:, 1]
+                - coords[1:, 0] * coords[:-1, 1]
+            )
+        )
+        rings.append((coords, sarea))
+    return rings
+
+
+def _exact_rect_difference(rect, cutters):
+    """Exact remainder rings of an axis-aligned rectangle minus a
+    union of axis-aligned rectangles, by slab decomposition over the
+    coordinate-induced irregular grid (no rasterization, no chamfer:
+    the reference's GEOS-exact difference semantics,
+    difference.py:41-57, on the aligned subset)."""
+    x1, x2, y1, y2 = rect
+    xs = {x1, x2}
+    ys = {y1, y2}
+    clipped = []
+    for cx1, cx2, cy1, cy2 in cutters:
+        cx1, cx2 = max(cx1, x1), min(cx2, x2)
+        cy1, cy2 = max(cy1, y1), min(cy2, y2)
+        if cx1 >= cx2 or cy1 >= cy2:
+            continue
+        clipped.append((cx1, cx2, cy1, cy2))
+        xs.update((cx1, cx2))
+        ys.update((cy1, cy2))
+    xs, ys = sorted(xs), sorted(ys)
+    occ = np.ones((len(ys) - 1, len(xs) - 1), dtype=bool)
+    for cx1, cx2, cy1, cy2 in clipped:
+        j1, j2 = xs.index(cx1), xs.index(cx2)
+        i1, i2 = ys.index(cy1), ys.index(cy2)
+        occ[i1:i2, j1:j2] = False
+    return _trace_rectilinear(occ, xs, ys)
 
 
 def _ring_is_hole(ring, mask) -> bool:
@@ -179,6 +308,49 @@ def mask_difference_polygons(
 
     def per_feat(pdf: pd.DataFrame) -> pd.DataFrame:
         wkb1 = bytes(pdf["wkb1"].iloc[0])
+        cols = ["feat_id", "ring_id", "n_pts", "area", "is_hole",
+                "geom_wkb"]
+        # EXACT fast path: when the feature and every candidate cutter
+        # are axis-aligned rectangles (the reference oracle corpus),
+        # slab decomposition gives the GEOS-exact remainder -- no
+        # rasterization, no half-pixel chamfer.  Any non-rectangle
+        # falls through to the marching-squares general path.
+        rect1 = _rect_of(wkb1)
+        if rect1 is not None:
+            cutters = []
+            aligned = True
+            seen_c: set = set()
+            for lst in pdf["wkbs2"]:
+                if lst is None:
+                    continue
+                for b in lst:
+                    key = bytes(b)
+                    if key in seen_c:
+                        continue
+                    seen_c.add(key)
+                    r = _rect_of(key)
+                    if r is None:
+                        aligned = False
+                        break
+                    cutters.append(r)
+                if not aligned:
+                    break
+            if aligned:
+                rings = _exact_rect_difference(rect1, cutters)
+                # outer rings first, then holes, largest first
+                rings.sort(key=lambda t: (t[1] < 0, -abs(t[1])))
+                rows = [
+                    (
+                        int(pdf["feat_id"].iloc[0]),
+                        rid,
+                        int(len(coords)),
+                        abs(sarea),
+                        bool(sarea < 0),
+                        _wkb.polygon_wkb(coords),
+                    )
+                    for rid, (coords, sarea) in enumerate(rings)
+                ]
+                return pd.DataFrame(rows, columns=cols)
         env = geom.envelope(wkb1)
         j0 = _math.floor(env[0] / pixel)
         j1 = _math.ceil(env[1] / pixel)
@@ -237,7 +409,12 @@ def mask_difference_polygons(
                      "geom_wkb"],
         )
 
-    return paired.groupBy("feat_id").applyInPandas(
+    # explicit numPartitions: AQE must not coalesce the tiny shuffle
+    # under the CPU-heavy per-feature tracing (see mask_difference_area)
+    n_parts = layer1.sparkSession.sparkContext.defaultParallelism
+    return paired.repartition(n_parts, "feat_id").groupBy(
+        "feat_id"
+    ).applyInPandas(
         per_feat,
         schema=(
             "feat_id long, ring_id int, n_pts int, area double, "
@@ -267,7 +444,10 @@ def mask_union_area(
             union |= geom.rasterize_mask(bytes(b), gt, npx, npx)
         return pd.DataFrame({"px": [int(union.sum())]})
 
-    per = cells.groupBy("cell").applyInPandas(per_cell, schema="px long")
+    n_parts = layer.sparkSession.sparkContext.defaultParallelism
+    per = cells.repartition(n_parts, "cell").groupBy("cell").applyInPandas(
+        per_cell, schema="px long"
+    )
     return per.agg(
         F.sum("px").alias("union_px"),
         (F.sum("px") * float(pixel * pixel)).alias("union_area"),

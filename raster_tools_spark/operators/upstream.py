@@ -24,9 +24,16 @@ Semantics, re-expressed Spark-first:
   we burn that directly as two arithmetic predicates.  The half-disc is
   further intersected with the confining polygon (pixel-center
   rasterization).  The reference's MULTIPOLYGON nearest-piece
-  refinement (upstream.py:185-191) is NOT applied: every piece of the
-  intersection contributes (divergence documented; disconnected
-  polygon-cap intersections are rare and the fixtures avoid them).
+  refinement (upstream.py:185-191) IS applied: when the polygon ∩
+  half-disc mask is disconnected, the pairing stage resolves the
+  component nearest the sample (pure geometry, radius-bounded local
+  window) and ships it as a packed bitmask; the tile stage intersects
+  with it, so the cut is consistent across tiles.  Connected areas --
+  the common case and the whole oracle corpus -- carry a NULL bitmask
+  and take the untouched predicate path.  Nearest-piece distance is
+  min pixel-center distance (raster-space stand-in for GEOS
+  point-to-polygon distance; tests/test_upstream.py
+  TestNearestPieceRefinement).
 - **Radius** (upstream.py:169-172): max(distance, multiplier *
   dist(sample, polygon boundary)).
 - **Level** (upstream.py:193-199): the SECOND-smallest data pixel of
@@ -78,7 +85,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import codecs, geom, wkb as _wkb
-from ..grid import CELL_SIZE, JOIN_RES, RES_TILE, covering_cells
+from ..grid import (CELL_SIZE, JOIN_RES, RES_TILE, WORLD_TOP,
+                    covering_cells)
 from .tile import cell_col
 
 DIRECTED_SCHEMA = (
@@ -168,8 +176,56 @@ def _padded_cover_udf(res: int, pad: float):
 _PAIR_SCHEMA = (
     "line_id long, feat_id long, seq int, sx double, sy double, "
     "fdx double, fdy double, rdx double, rdy double, radius double, "
-    "geom_wkb binary"
+    "geom_wkb binary, wj0 long, wi0 long, ww int, wh int, "
+    "fbits binary, rbits binary"
 )
+
+
+def _label4(mask: np.ndarray) -> tuple:
+    """4-connected component labels of a small boolean window (pure
+    numpy BFS; windows are radius-bounded, a few thousand pixels)."""
+    labels = np.zeros(mask.shape, dtype=np.int32)
+    nxt = 0
+    h, w = mask.shape
+    for si in range(h):
+        for sj in range(w):
+            if not mask[si, sj] or labels[si, sj]:
+                continue
+            nxt += 1
+            stack = [(si, sj)]
+            labels[si, sj] = nxt
+            while stack:
+                i, j = stack.pop()
+                for ni, nj in ((i - 1, j), (i + 1, j),
+                               (i, j - 1), (i, j + 1)):
+                    if (0 <= ni < h and 0 <= nj < w
+                            and mask[ni, nj] and not labels[ni, nj]):
+                        labels[ni, nj] = nxt
+                        stack.append((ni, nj))
+    return labels, nxt
+
+
+def _nearest_piece_bits(mask, dx, dy):
+    """None when ``mask`` is one connected piece (the common case and
+    the whole oracle corpus -- the refinement must not perturb it);
+    otherwise the packed bitmask of the component nearest the sample
+    (min pixel-center distance), mirroring the reference's
+    MULTIPOLYGON nearest-piece rule (upstream.py:185-191) in raster
+    space."""
+    if not mask.any():
+        return None
+    labels, n = _label4(mask)
+    if n < 2:
+        return None
+    d2 = dx[None, :] * dx[None, :] + dy[:, None] * dy[:, None]
+    best_lab, best_d = 0, None
+    for lab in range(1, n + 1):
+        dmin = float(d2[labels == lab].min())
+        if best_d is None or dmin < best_d:
+            best_d, best_lab = dmin, lab
+    return np.packbits(
+        (labels == best_lab).ravel()
+    ).tobytes()
 
 
 def _pair_with_polygons(
@@ -226,9 +282,59 @@ def _pair_with_polygons(
                     "fdx", "fdy", "rdx", "rdy", "geom_wkb",
                 ]].copy()
                 out["radius"] = radius
+                # nearest-piece refinement (upstream.py:185-191): when
+                # polygon ∩ half-disc is DISCONNECTED, only the piece
+                # nearest the sample contributes.  Pieces are purely
+                # geometric (no raster data), so they are resolved HERE
+                # over the sample's own small window and shipped as a
+                # packed bitmask; NULL for the connected common case,
+                # which stays on the untouched predicate path.
+                wj0s, wi0s, wws, whs, fbs, rbs = [], [], [], [], [], []
+                for row, rr in zip(out.itertuples(), radius):
+                    sx, sy = row.sx, row.sy
+                    gj0 = int(math.floor((sx - rr) / CELL_SIZE)) - 1
+                    gj1 = int(math.ceil((sx + rr) / CELL_SIZE)) + 2
+                    gi0 = int(
+                        math.floor((WORLD_TOP - sy - rr) / CELL_SIZE)
+                    ) - 1
+                    gi1 = int(
+                        math.ceil((WORLD_TOP - sy + rr) / CELL_SIZE)
+                    ) + 2
+                    h, w = gi1 - gi0, gj1 - gj0
+                    gt = (gj0 * CELL_SIZE, CELL_SIZE, 0.0,
+                          WORLD_TOP - gi0 * CELL_SIZE, 0.0, -CELL_SIZE)
+                    m = geom.rasterize_mask_rings(rings, gt, h, w)
+                    cx = (np.arange(gj0, gj1) + 0.5) * CELL_SIZE
+                    cy = WORLD_TOP - (np.arange(gi0, gi1) + 0.5) * CELL_SIZE
+                    dx = cx - sx
+                    dy = cy - sy
+                    base = m & (
+                        (dx[None, :] * dx[None, :]
+                         + dy[:, None] * dy[:, None]) <= rr * rr
+                    )
+                    fb = _nearest_piece_bits(
+                        base & ((dx[None, :] * row.fdx
+                                 + dy[:, None] * row.fdy) >= 0.0),
+                        dx, dy,
+                    )
+                    rb = _nearest_piece_bits(
+                        base & ((dx[None, :] * row.rdx
+                                 + dy[:, None] * row.rdy) >= 0.0),
+                        dx, dy,
+                    )
+                    wj0s.append(gj0); wi0s.append(gi0)
+                    wws.append(w); whs.append(h)
+                    fbs.append(fb); rbs.append(rb)
+                out["wj0"] = wj0s
+                out["wi0"] = wi0s
+                out["ww"] = wws
+                out["wh"] = whs
+                out["fbits"] = fbs
+                out["rbits"] = rbs
                 outs.append(out[[
                     "line_id", "feat_id", "seq", "sx", "sy",
                     "fdx", "fdy", "rdx", "rdy", "radius", "geom_wkb",
+                    "wj0", "wi0", "ww", "wh", "fbits", "rbits",
                 ]])
             if outs:
                 yield pd.concat(outs, ignore_index=True)
@@ -301,6 +407,7 @@ def upstream_levels(
     scols = (
         "line_id", "feat_id", "seq", "sx", "sy",
         "fdx", "fdy", "rdx", "rdy", "radius", "geom_wkb",
+        "wj0", "wi0", "ww", "wh", "fbits", "rbits",
     )
     per_cell = (
         pairs.withColumn(
@@ -363,6 +470,38 @@ def upstream_levels(
                     rev = (
                         dx[None, :] * s["rdx"] + dy[:, None] * s["rdy"]
                     ) >= 0.0
+
+                    def clip_piece(orient_mask, bits):
+                        # disconnected area: keep only the nearest
+                        # piece (bits computed globally at pair time,
+                        # so the cut is consistent across tiles)
+                        if bits is None:
+                            return orient_mask
+                        wj0, wi0 = int(s["wj0"]), int(s["wi0"])
+                        ww, wh = int(s["ww"]), int(s["wh"])
+                        piece = np.unpackbits(
+                            np.frombuffer(bytes(bits), dtype=np.uint8),
+                            count=wh * ww,
+                        ).reshape(wh, ww).astype(bool)
+                        gj = int(round(x0 / CELL_SIZE))
+                        gi = int(round((WORLD_TOP - y_top) / CELL_SIZE))
+                        out = np.zeros_like(orient_mask)
+                        # overlap of tile window rows/cols with the
+                        # sample's piece window, in global indices
+                        ri0 = max(gi + i0, wi0)
+                        ri1 = min(gi + i1, wi0 + wh)
+                        rj0 = max(gj + j0, wj0)
+                        rj1 = min(gj + j1, wj0 + ww)
+                        if ri0 >= ri1 or rj0 >= rj1:
+                            return out
+                        out[ri0 - gi - i0:ri1 - gi - i0,
+                            rj0 - gj - j0:rj1 - gj - j0] = piece[
+                            ri0 - wi0:ri1 - wi0, rj0 - wj0:rj1 - wj0
+                        ]
+                        return orient_mask & out
+
+                    fwd = clip_piece(fwd, s["fbits"])
+                    rev = clip_piece(rev, s["rbits"])
                     win = px[i0:i1, j0:j1]
                     f0, f1, fc = _two_smallest(
                         win[base & fwd].astype(np.float64)

@@ -2115,13 +2115,16 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def difference_rings(spark, sf_dir):
-        """Geometry-out polygon difference, ORACLE-CHECKED: on
-        pixel-aligned rectangle layers the remainder rings have closed
-        forms -- a flush corner cut leaves an L with 2(a+b)+1 vertices
-        and (a*b - c*d - 0.5) px^2, an interior cut leaves the outer
-        ring plus an is_hole ring with 2(c+d)+1 vertices and
-        (c*d - 0.5) px^2 (marching-squares chamfer accounting).  The
-        world shoelace stays dyadic-exact, so areas compare raw."""
+        """Geometry-out polygon difference, ORACLE-CHECKED with EXACT
+        areas: both layers are axis-aligned rectangles, so the
+        operator's slab-decomposition fast path (overlay.py
+        _exact_rect_difference) produces GEOS-exact remainders
+        (difference.py:41-57 semantics) -- a flush corner cut leaves a
+        6-corner L of exactly (a*b - c*d) px^2, an interior cut leaves
+        the outer rectangle plus an is_hole ring of exactly c*d px^2.
+        No chamfer term: the closed forms are the true vector areas.
+        Non-rectangle inputs take the marching-squares general path
+        (kept oracle-covered by contour_rect)."""
         from .operators import overlay
 
         l1 = _nation_layer(spark, sf_dir, _diff_l1)
@@ -3273,14 +3276,15 @@ def oracle_sql() -> Dict[str, str]:
       FROM nation
     )
     SELECT k AS feat_id, CAST(0 AS INT) AS ring_id,
-           CAST(2 * (a + b) + 1 AS INT) AS n_pts,
+           CAST(CASE WHEN k % 2 = 0 THEN 7 ELSE 5 END AS INT)
+             AS n_pts,
            FALSE AS is_hole,
-           CAST(CASE WHEN k % 2 = 0 THEN (a*b - c*d - 0.5) * 16.0
-                     ELSE (a*b - 0.5) * 16.0 END AS DOUBLE) AS area
+           CAST(CASE WHEN k % 2 = 0 THEN (a*b - c*d) * 16.0
+                     ELSE a*b * 16.0 END AS DOUBLE) AS area
     FROM feats
     UNION ALL
-    SELECT k, CAST(1 AS INT), CAST(11 AS INT), TRUE,
-           CAST((3*2 - 0.5) * 16.0 AS DOUBLE)
+    SELECT k, CAST(1 AS INT), CAST(5 AS INT), TRUE,
+           CAST(2*3 * 16.0 AS DOUBLE)
     FROM feats WHERE k % 2 = 1
     """
 

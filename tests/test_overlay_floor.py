@@ -204,3 +204,74 @@ class TestDifferencePolygons:
         # net area = outer - hole ~= 100*100 - 20*20
         net = outer[0].area - holes[0].area
         assert abs(net - (100.0 * 100.0 - 20.0 * 20.0)) < 4.0 * 500
+
+
+class TestExactAlignedDifference:
+    def _layers(self, spark, l1_rows, l2_rows):
+        import pandas as pd
+
+        mk = lambda rows: spark.createDataFrame(
+            pd.DataFrame(rows, columns=["feat_id", "geom_wkb"]),
+            schema="feat_id long, geom_wkb binary",
+        )
+        return mk(l1_rows), mk(l2_rows)
+
+    def test_exact_l_shape(self, spark):
+        from raster_tools_spark.operators import overlay
+        from raster_tools_spark.grid import WORLD_TOP
+
+        top = WORLD_TOP
+        l1, l2 = self._layers(
+            spark,
+            [(1, wkb.box_wkb(100.0, top - 140.0, 180.0, top - 100.0))],
+            [(9, wkb.box_wkb(100.0, top - 120.0, 140.0, top - 100.0))],
+        )
+        rows = overlay.mask_difference_polygons(l1, l2).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        # EXACT: 80x40 minus flush 40x20 corner = 2400, 6-corner ring
+        assert r.area == 80.0 * 40.0 - 40.0 * 20.0
+        assert r.n_pts == 7 and not r.is_hole
+
+    def test_exact_split_into_two(self, spark):
+        from raster_tools_spark.operators import overlay
+        from raster_tools_spark.grid import WORLD_TOP
+
+        top = WORLD_TOP
+        l1, l2 = self._layers(
+            spark,
+            [(1, wkb.box_wkb(100.0, top - 140.0, 180.0, top - 100.0))],
+            [(9, wkb.box_wkb(130.0, top - 150.0, 150.0, top - 90.0))],
+        )
+        rows = overlay.mask_difference_polygons(l1, l2).collect()
+        assert len(rows) == 2
+        assert sorted(r.area for r in rows) == [30.0 * 40.0,
+                                                30.0 * 40.0]
+        assert all(r.n_pts == 5 and not r.is_hole for r in rows)
+
+    def test_non_rect_falls_back_to_pixel_path(self, spark):
+        """A pentagon feature must take the marching-squares path and
+        still produce a sane remainder (band-tolerance area)."""
+        import numpy as np
+
+        from raster_tools_spark.operators import overlay
+        from raster_tools_spark.grid import WORLD_TOP
+
+        top = WORLD_TOP
+        pent = wkb.polygon_wkb(np.array([
+            (100.0, top - 140.0), (180.0, top - 140.0),
+            (180.0, top - 110.0), (140.0, top - 100.0),
+            (100.0, top - 110.0), (100.0, top - 140.0),
+        ]))
+        l1, l2 = self._layers(
+            spark,
+            [(1, pent)],
+            [(9, wkb.box_wkb(100.0, top - 140.0, 120.0, top - 120.0))],
+        )
+        rows = overlay.mask_difference_polygons(
+            l1, l2, pixel=4.0
+        ).collect()
+        assert len(rows) >= 1
+        # pentagon ~= 80*40 - 2*(40*10/2) = 2800; cut 20x20 = 400
+        net = sum(r.area * (-1 if r.is_hole else 1) for r in rows)
+        assert abs(net - 2400.0) < 4.0 * 300

@@ -229,3 +229,65 @@ def test_partitioning_invariance(spark, result):
         for r in out.collect()
     )
     assert again == result
+
+
+class TestNearestPieceRefinement:
+    def test_disconnected_halfdisc_keeps_nearest_arm(self, spark):
+        """Reference upstream.py:185-191: when polygon ∩ half-disc is a
+        MULTIPOLYGON, only the piece nearest the sample contributes.
+        A U-polygon whose connector lies outside the search radius
+        splits the disc into two arms; levels must come from the
+        sample's own (high-valued) arm, never the far (low-valued)
+        arm."""
+        import pandas as pd
+        import zlib
+        from raster_tools_spark import codecs
+        from raster_tools_spark.grid import pack_cell
+
+        top = WORLD_TOP
+        # U: arms x[4,6] and x[12,14] over y[top-20, top-1], connector
+        # y[top-20, top-19] -- 19+ m from the samples, radius is 8
+        ring = [
+            (4.0, top - 20.0), (14.0, top - 20.0), (14.0, top - 1.0),
+            (12.0, top - 1.0), (12.0, top - 19.0), (6.0, top - 19.0),
+            (6.0, top - 1.0), (4.0, top - 1.0), (4.0, top - 20.0),
+        ]
+        polys = spark.createDataFrame(
+            pd.DataFrame(
+                [(1, wkb.polygon_wkb(np.array(ring)))],
+                columns=["feat_id", "geom_wkb"],
+            ),
+            schema="feat_id long, geom_wkb binary",
+        )
+        lines = spark.createDataFrame(
+            pd.DataFrame(
+                [(1, wkb.linestring_wkb(np.array(
+                    [(5.0, top - 12.0), (5.0, top - 6.0)]
+                )))],
+                columns=["line_id", "geom_wkb"],
+            ),
+            schema="line_id long, geom_wkb binary",
+        )
+        px = np.full((256, 256), 200, dtype=np.uint8)
+        px[:, 8:12] = 60    # left arm x[4,6): high values
+        px[:, 24:28] = 5    # right arm x[12,14): low values
+        tiles = spark.createDataFrame(
+            pd.DataFrame(
+                [(int(pack_cell(10, 0, 0)), codecs.png_encode(px),
+                  "png", 0.0, float(top))],
+                columns=["cell_id", "bytes", "fmt", "x0", "y_top"],
+            ),
+            schema=(
+                "cell_id long, bytes binary, fmt string, "
+                "x0 double, y_top double"
+            ),
+        )
+        rows = op_up.upstream_levels(
+            lines, polys, tiles,
+            separation=3.0, distance=8.0, multiplier=0.0,
+            nodata=255,
+        ).collect()
+        assert len(rows) > 0
+        # every level from the near arm (60/200 domain, never 5)
+        for r in rows:
+            assert r.height >= 60.0, rows

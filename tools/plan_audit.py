@@ -220,6 +220,48 @@ def main():
         ],
     )
 
+    # 5j. jdbc dim source (S6): the attribute filter must be pushed
+    # into the remote query (PostGIS pushdown semantics on Derby)
+    audit(
+        "jdbc_pushdown",
+        qcat["jdbc_reclass"](spark, SF),
+        [
+            ("JDBC relation scanned", lambda p: "JDBCRelation" in p),
+            ("filter pushed to the database",
+             lambda p: "LessThanOrEqual(hi,60)" in p),
+            ("dim side broadcast", lambda p: "BroadcastNestedLoopJoin"
+             in p or "BroadcastHashJoin" in p),
+        ],
+    )
+
+    # 5k. mask_difference: layer 2 pre-aggregated to one list-row per
+    # cell BEFORE the join (round-2 verdict's |l1|x|l2| blowup fix) --
+    # the join emits one row per (feature, cell), never per candidate
+    audit(
+        "mask_difference_preagg",
+        qcat["mask_difference"](spark, SF),
+        [
+            ("layer-2 collected per cell pre-join",
+             lambda p: "collect_list" in p),
+            ("no cartesian product",
+             lambda p: "CartesianProduct" not in p),
+        ],
+    )
+
+    # 5l. pip phase N: the envelope predicate rides the cell equi-join
+    # JVM-side, so boundary-cell candidates are dropped before the
+    # Arrow refine stage ever sees them
+    audit(
+        "pip_bbox_prefilter",
+        qcat["pip_rect"](spark, SF),
+        [
+            ("envelope predicate in the join",
+             lambda p: "_ex1" in p and "_ey1" in p),
+            ("no cartesian product",
+             lambda p: "CartesianProduct" not in p),
+        ],
+    )
+
     # 6. mosaic merge: single hash agg pair (partial+final), no window
     audit(
         "mosaic_merge_hashagg",
