@@ -181,27 +181,54 @@ _PAIR_SCHEMA = (
 )
 
 
+def _is_convex(rings) -> bool:
+    """True when the polygon is a single convex ring (no holes): the
+    half-disc is convex (circle ∩ half-plane), so convex ∩ convex is
+    connected and the nearest-piece analysis can be skipped for EVERY
+    sample of the feature without rasterizing anything."""
+    if len(rings) != 1:
+        return False
+    ring = np.asarray(rings[0], dtype=np.float64)
+    if len(ring) >= 2 and np.array_equal(ring[0], ring[-1]):
+        ring = ring[:-1]
+    if len(ring) < 3:
+        return False
+    a = np.roll(ring, -1, axis=0) - ring
+    b = np.roll(a, -1, axis=0)
+    cross = a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]
+    return bool((cross >= 0).all() or (cross <= 0).all())
+
+
+def _flood4(mask: np.ndarray, seed) -> np.ndarray:
+    """Vectorized 4-connected flood fill from ``seed``: dilate-and-mask
+    until the frontier stops growing.  O(diameter) numpy passes over a
+    radius-bounded window -- no per-pixel Python."""
+    reach = np.zeros_like(mask)
+    reach[seed] = True
+    while True:
+        grown = reach.copy()
+        grown[1:, :] |= reach[:-1, :]
+        grown[:-1, :] |= reach[1:, :]
+        grown[:, 1:] |= reach[:, :-1]
+        grown[:, :-1] |= reach[:, 1:]
+        grown &= mask
+        if (grown == reach).all():
+            return reach
+        reach = grown
+
+
 def _label4(mask: np.ndarray) -> tuple:
-    """4-connected component labels of a small boolean window (pure
-    numpy BFS; windows are radius-bounded, a few thousand pixels)."""
+    """4-connected component labels via repeated vectorized floods
+    (component counts are tiny -- 2 or 3 pieces at most in practice)."""
     labels = np.zeros(mask.shape, dtype=np.int32)
+    rest = mask.copy()
     nxt = 0
-    h, w = mask.shape
-    for si in range(h):
-        for sj in range(w):
-            if not mask[si, sj] or labels[si, sj]:
-                continue
-            nxt += 1
-            stack = [(si, sj)]
-            labels[si, sj] = nxt
-            while stack:
-                i, j = stack.pop()
-                for ni, nj in ((i - 1, j), (i + 1, j),
-                               (i, j - 1), (i, j + 1)):
-                    if (0 <= ni < h and 0 <= nj < w
-                            and mask[ni, nj] and not labels[ni, nj]):
-                        labels[ni, nj] = nxt
-                        stack.append((ni, nj))
+    while rest.any():
+        seed = np.unravel_index(int(np.argmax(rest)), rest.shape)
+        comp = _flood4(rest, seed)
+        nxt += 1
+        labels[comp] = nxt
+        rest &= ~comp
     return labels, nxt
 
 
@@ -213,6 +240,12 @@ def _nearest_piece_bits(mask, dx, dy):
     MULTIPOLYGON nearest-piece rule (upstream.py:185-191) in raster
     space."""
     if not mask.any():
+        return None
+    # cheap connected check first: ONE vectorized flood from any seed;
+    # full labeling only for the rare disconnected case
+    seed = np.unravel_index(int(np.argmax(mask)), mask.shape)
+    reach = _flood4(mask, seed)
+    if (reach == mask).all():
         return None
     labels, n = _label4(mask)
     if n < 2:
@@ -258,6 +291,7 @@ def _pair_with_polygons(
 
     def filt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ring_cache: dict = {}
+        convex_cache: dict = {}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -288,7 +322,25 @@ def _pair_with_polygons(
                 # geometric (no raster data), so they are resolved HERE
                 # over the sample's own small window and shipped as a
                 # packed bitmask; NULL for the connected common case,
-                # which stays on the untouched predicate path.
+                # which stays on the untouched predicate path.  Convex
+                # polygons (cached per feature) skip the analysis for
+                # every sample: convex ∩ convex half-disc is connected.
+                if fid not in convex_cache:
+                    convex_cache[fid] = _is_convex(rings)
+                if convex_cache[fid]:
+                    out["wj0"] = 0
+                    out["wi0"] = 0
+                    out["ww"] = 0
+                    out["wh"] = 0
+                    out["fbits"] = None
+                    out["rbits"] = None
+                    outs.append(out[[
+                        "line_id", "feat_id", "seq", "sx", "sy",
+                        "fdx", "fdy", "rdx", "rdy", "radius",
+                        "geom_wkb",
+                        "wj0", "wi0", "ww", "wh", "fbits", "rbits",
+                    ]])
+                    continue
                 wj0s, wi0s, wws, whs, fbs, rbs = [], [], [], [], [], []
                 for row, rr in zip(out.itertuples(), radius):
                     sx, sy = row.sx, row.sy
