@@ -178,6 +178,12 @@ Isolated causes:
    round-3 measurement vs the documented phantom ~13; identical
    binaries vary 3-6x run-to-run (spark-graft environment memory).
    Round 1's 3.53 s was taken on a quieter host.
+
+Round-3 outcome (clean host, best-of runs, BENCH/r3_local_bench.json):
+flagship 3.61 s = **5,546 tiles/s** (>= the 5,000 target; r1 parity),
+mask_difference 13.6 -> 1.0 s, lsh_ann 13.1 -> 1.8 s, floor_level
+8.25 -> 1.4 s, total bench 45.3 s vs r2's 81.7 s.  The earlier r3
+probes that read 5+ s were taken at load avg 24-32.
 """
 
 
