@@ -266,11 +266,30 @@ def _centroid_sims_udf(centroids: np.ndarray):
     return sims
 
 
+def derive_n_centroids(n_rows: int, min_centroids: int = 8,
+                       max_centroids: int = 65536) -> int:
+    """IVF list count ~ sqrt(n) (the standard IVF sizing): expected
+    list length and probe cost are then both O(sqrt(n)) -- total work
+    per query nprobe * n / n_centroids = O(sqrt(n)) instead of O(n).
+    The centroid table itself stays collectable on the driver
+    (sqrt(10^12) ~= 10^6 rows of a 64-dim vector ~= 256 MB at the
+    extreme; cap and shard beyond that)."""
+    import math
+
+    if n_rows <= min_centroids * min_centroids:
+        return min_centroids
+    return max(
+        min_centroids,
+        min(max_centroids, int(math.isqrt(n_rows))),
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     k: int = 5,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     nprobe: int = 2,
+    n_rows: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -280,7 +299,13 @@ def ivf_topk(
     ranks candidates by exact cosine.  The probe/list join is an
     equi-join on the cluster id -- the IVF shape that scales (shuffle
     by list, never all-pairs); recall < 1 by construction, raise
-    ``nprobe`` to trade cost for recall."""
+    ``nprobe`` to trade cost for recall.  ``n_centroids=None`` derives
+    sqrt(n) lists (derive_n_centroids); pass ``n_rows`` to skip the
+    sizing count."""
+    if n_centroids is None:
+        n_centroids = derive_n_centroids(
+            n_rows if n_rows is not None else vectors.count()
+        )
     cents_rows = (
         vectors.select(F.col(id_col).alias("cid_c"),
                        F.col(vec_col).alias("cv"))

@@ -56,6 +56,34 @@ def read_table(spark: SparkSession, url: str, table: str,
     )
 
 
+def read_table_partitioned(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str,
+    lower: int,
+    upper: int,
+    num_partitions: int,
+    driver: str = DERBY_DRIVER,
+) -> DataFrame:
+    """Partitioned JDBC scan for LARGE remote tables: Spark issues
+    ``num_partitions`` range-predicated queries in parallel, one per
+    stride of [lower, upper] on ``partition_column`` (the standard
+    production shape when the remote table exceeds one task).  Filters
+    and pruning still push per-partition."""
+    return (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", driver)
+        .option("partitionColumn", partition_column)
+        .option("lowerBound", str(lower))
+        .option("upperBound", str(upper))
+        .option("numPartitions", str(num_partitions))
+        .load()
+    )
+
+
 def pushed_filters(df: DataFrame) -> str:
     """The PushedFilters/ReadSchema clause of the JDBC scan node --
     empty string when nothing was pushed (the plan-audit hook)."""

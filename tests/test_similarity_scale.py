@@ -44,3 +44,20 @@ def test_matches_oracle_sql_formula():
                    CAST(ceil(log2({n} / 1024.0)) AS INT))) END"""
         ).fetchone()[0]
         assert got == derive_n_planes(n), n
+
+
+def test_ivf_centroids_scale_as_sqrt():
+    from raster_tools_spark.functions.similarity import derive_n_centroids
+
+    assert derive_n_centroids(0) == 8
+    assert derive_n_centroids(64) == 8
+    assert derive_n_centroids(10_000) == 100
+    assert derive_n_centroids(10**6) == 1000
+    # cap: the centroid table must stay driver-collectable
+    assert derive_n_centroids(10**12) == 65536
+    # per-query candidate work nprobe * n / n_centroids stays O(sqrt n)
+    for exp in range(8, 36, 4):
+        n = 2**exp
+        c = derive_n_centroids(n)
+        if c < 65536:
+            assert n / c <= 2 * (n ** 0.5) + 8
