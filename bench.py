@@ -120,6 +120,8 @@ def run_bench(spark, sf_dir: str, n_images: int = 20000,
         "jdbc_reclass",
         "shadow_march_towers",
         "difference_rings",
+        "contamination",
+        "pack_sequences",
     ):
         fn = qcat[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())

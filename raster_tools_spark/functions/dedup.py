@@ -219,3 +219,55 @@ def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
             * F.lit(1 << i).cast("long")
         )
     return per_doc.select("doc_id", sim.alias("simhash"))
+
+
+def contamination(
+    train: DataFrame, eval_docs: DataFrame, n: int = N_SHINGLE,
+) -> DataFrame:
+    """Benchmark-contamination screen: per training document, the
+    fraction of its DISTINCT word n-grams that occur anywhere in the
+    evaluation corpus (the decontamination pass every training
+    pipeline runs before SFT/eval; production uses longer n-grams,
+    e.g. 13-grams -- ``n`` is free).
+
+    Scale shape: the eval corpus is benchmark-sized (small), so its
+    distinct-shingle set is BROADCAST and the screen is a map-side
+    hash join over the training shingles -- the 100 TB side is never
+    shuffled.  Returns (doc_id, n_grams, n_hits, frac) with frac
+    floor-scaled to 6 dp (cross-engine safe).
+    """
+    def sh_of(docs):
+        return (
+            docs.select(
+                "doc_id", F.split(F.col("text"), " ").alias("_w")
+            )
+            .filter(F.size("_w") >= n)
+            .select(
+                "doc_id",
+                F.explode(
+                    shingles_of_words(F.col("_w"), n)
+                ).alias("shingle"),
+            )
+        )
+
+    tsh = sh_of(train)
+    esh = sh_of(eval_docs).select("shingle").distinct()
+    totals = tsh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    hits = (
+        tsh.join(F.broadcast(esh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    joined = totals.join(hits, "doc_id", "left").select(
+        "doc_id", "n_grams",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+    )
+    return joined.withColumn(
+        "frac",
+        F.floor(
+            F.col("n_hits").cast("double") / F.col("n_grams")
+            * 1000000.0
+        ) / 1000000.0,
+    )

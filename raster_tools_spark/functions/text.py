@@ -179,3 +179,46 @@ def stratified_sample(
     # filter on the expression directly: materializing a named column
     # would clobber any caller column that happens to share the name
     return docs.filter(draw < quota)
+
+
+def pack_sequences(
+    docs, budget: int, n_shards: int = 8,
+    id_col: str = "doc_id", text_col: str = "text",
+):
+    """Greedy sequential sequence packing (the pre-training batching
+    op): walk each shard's documents in id order, filling packs of at
+    most ``budget`` whitespace tokens; a document that would overflow
+    starts the next pack (oversized documents get a pack of their
+    own).  Sharding makes the inherently-sequential walk parallel --
+    the order-sensitive state never crosses a shard, so the operator
+    scales by raising ``n_shards`` with the corpus.  Returns (doc_id,
+    shard, n_tokens, pack_id); oracle = per-shard recursive CTE."""
+    from pyspark.sql import functions as F
+
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(id_col) % n_shards).alias("shard"),
+        F.size(F.split(F.col(text_col), " ")).cast("long")
+        .alias("n_tokens"),
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        ids = []
+        fill = None
+        cur = -1
+        for nt in pdf["n_tokens"]:
+            nt = int(nt)
+            if fill is None or fill + nt > budget:
+                cur += 1
+                fill = nt
+            else:
+                fill += nt
+            ids.append(cur)
+        pdf["pack_id"] = ids
+        return pdf[["doc_id", "shard", "n_tokens", "pack_id"]]
+
+    return d.groupBy("shard").applyInPandas(
+        pack,
+        schema="doc_id long, shard long, n_tokens long, pack_id int",
+    )

@@ -2003,6 +2003,31 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["jdbc_reclass"] = jdbc_reclass
 
+    def contamination(spark, sf_dir):
+        """Benchmark-contamination screen (training-data pipeline):
+        per training doc, the fraction of its distinct word 3-grams
+        found anywhere in the held-out eval slice (doc_id % 97 == 0).
+        The eval shingle set is broadcast -- the training side is
+        never shuffled for the screen."""
+        from .functions import dedup as fdedup
+
+        docs = _t(spark, sf_dir, "documents")
+        train = docs.filter(F.col("doc_id") % 97 != 0)
+        ev = docs.filter(F.col("doc_id") % 97 == 0)
+        return fdedup.contamination(train, ev)
+
+    q["contamination"] = contamination
+
+    def pack_sequences(spark, sf_dir):
+        """Greedy sequential sequence packing into 128-token packs,
+        sharded by doc_id % 8 (training-batch construction); the
+        order-sensitive walk parallelizes across shards."""
+        return ftext.pack_sequences(
+            _t(spark, sf_dir, "documents"), budget=128, n_shards=8
+        )
+
+    q["pack_sequences"] = pack_sequences
+
     def fill_voids_flat(spark, sf_dir):
         """G6 multi-res void fill, oracle-checked on the constant
         invariant: a constant tile with sprinkled voids must come back
@@ -2337,7 +2362,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_depressions_f4", "fill_voids_flat", "vectorize_streams",
         "shadow_march_towers", "shadow_march_flat", "upstream_levels",
         "grid_linear_tiles", "remote_extract", "stratified_sample",
-        "jdbc_reclass",
+        "jdbc_reclass", "contamination", "pack_sequences",
     ]
     hard = set(oracle_sql())
     ordered = {k: q[k] for k in head if k in q and k in hard}
@@ -3193,6 +3218,58 @@ def oracle_sql() -> Dict[str, str]:
                     * tan(radians(45.0)) * 1.0)) > c
            THEN 0 ELSE 255 END AS lit
     FROM spx
+    """
+
+    o["contamination"] = """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS lst FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2] AS s
+      FROM t, LATERAL (SELECT unnest(
+             generate_series(1, len(lst) - 2)) AS i)
+    ),
+    e AS (SELECT DISTINCT s FROM g WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id, s FROM g WHERE doc_id % 97 != 0),
+    tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM tr GROUP BY doc_id),
+    hit AS (
+      SELECT tr.doc_id, COUNT(*) AS n_hits
+      FROM tr JOIN e USING (s) GROUP BY tr.doc_id
+    )
+    SELECT t2.doc_id, t2.n_grams,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           floor(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / t2.n_grams
+                 * 1000000.0) / 1000000.0 AS frac
+    FROM tot t2 LEFT JOIN hit h USING (doc_id)
+    """
+
+    o["pack_sequences"] = """
+    WITH RECURSIVE d AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    r AS (
+      SELECT shard, doc_id, n_tokens,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id)
+               AS rn
+      FROM d
+    ),
+    walk AS (
+      SELECT shard, rn, doc_id, n_tokens,
+             0 AS pack_id, n_tokens AS fill
+      FROM r WHERE rn = 1
+      UNION ALL
+      SELECT r.shard, r.rn, r.doc_id, r.n_tokens,
+        CASE WHEN w.fill + r.n_tokens <= 128 THEN w.pack_id
+             ELSE w.pack_id + 1 END,
+        CASE WHEN w.fill + r.n_tokens <= 128
+             THEN w.fill + r.n_tokens ELSE r.n_tokens END
+      FROM walk w JOIN r ON r.shard = w.shard AND r.rn = w.rn + 1
+    )
+    SELECT doc_id, shard, n_tokens, CAST(pack_id AS INT) AS pack_id
+    FROM walk
     """
 
     o["jdbc_reclass"] = """
