@@ -547,15 +547,21 @@ def zonal_stats(
 
     # candidate pairs; pair dedup happens inside the streaming UDF --
     # an image/polygon pair can arise from up to 4 shared corner cells.
-    # The JVM-side envelope-overlap predicate (closed comparisons: a
-    # strict superset of "mask non-empty") drops boundary-cell pairs
-    # whose tile never touches the polygon bbox BEFORE they pay a
-    # decode+rasterize in the pandas stage.
+    # The JVM-side predicate drops pairs BEFORE they pay a decode +
+    # rasterize in the pandas stage.  It tests the PIXEL-CENTER
+    # lattice against the envelope, not raw tile bounds: mask pixels
+    # are center-inside, and centers sit CELL_SIZE/2 inside the tile
+    # edge, so a tile merely TOUCHING the bbox (the closed-bottom
+    # cover row, edge-adjacent tiles) can never contribute a pixel and
+    # is dropped exactly, while any tile with a center inside the bbox
+    # passes (closed comparisons keep boundary-center ties).
+    half = CELL_SIZE * 0.5
     overlap = (
-        (F.col("x0") <= F.col("_ex2"))
-        & (F.col("x0") + F.col("w") * CELL_SIZE >= F.col("_ex1"))
-        & (F.col("y_top") - F.col("h") * CELL_SIZE <= F.col("_ey2"))
-        & (F.col("y_top") >= F.col("_ey1"))
+        (F.col("x0") + half <= F.col("_ex2"))
+        & (F.col("x0") + F.col("w") * CELL_SIZE - half >= F.col("_ex1"))
+        & (F.col("y_top") - F.col("h") * CELL_SIZE + half
+           <= F.col("_ey2"))
+        & (F.col("y_top") - half >= F.col("_ey1"))
     )
     if broadcast_polygons:
         cand = img.join(
