@@ -51,14 +51,6 @@ def _covering_udf(res: int):
     return cover
 
 
-def _ncover_udf(res: int):
-    @F.pandas_udf(T.IntegerType())
-    def ncov(wkb_s: pd.Series) -> pd.Series:
-        return wkb_s.map(lambda b: n_covering(geom.envelope(bytes(b)), res))
-
-    return ncov
-
-
 @F.pandas_udf(T.ArrayType(T.DoubleType()))
 def _envelope_udf(wkb_s: pd.Series) -> pd.Series:
     return wkb_s.map(lambda b: list(geom.envelope(bytes(b))))

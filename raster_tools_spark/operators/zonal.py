@@ -533,16 +533,18 @@ def zonal_stats(
         ),
     ).select("image_id", "bytes", "fmt", "x0", "y_top", "w", "h", "icell")
 
-    from .pip import _covering_udf, _envelope_udf  # same generators
+    # one Python pass for envelope + covering cells (the pip operator's
+    # consolidated meta UDF; hot_cover unbounded -- zonal has no
+    # broadcast hot phase, every polygon enumerates its cells)
+    from .pip import _poly_meta_udf
 
     pcells = polygons.withColumn(
-        "env", _envelope_udf(F.col("geom_wkb"))
-    ).withColumn(
-        "pcell", F.explode(_covering_udf(join_res)(F.col("geom_wkb")))
+        "_pm", _poly_meta_udf(join_res, 1 << 30)(F.col("geom_wkb"))
     ).select(
-        "feat_id", "geom_wkb", "pcell",
-        F.col("env")[0].alias("_ex1"), F.col("env")[1].alias("_ex2"),
-        F.col("env")[2].alias("_ey1"), F.col("env")[3].alias("_ey2"),
+        "feat_id", "geom_wkb",
+        F.explode("_pm.cells").alias("pcell"),
+        F.col("_pm.ex1").alias("_ex1"), F.col("_pm.ex2").alias("_ex2"),
+        F.col("_pm.ey1").alias("_ey1"), F.col("_pm.ey2").alias("_ey2"),
     )
 
     # candidate pairs; pair dedup happens inside the streaming UDF --
