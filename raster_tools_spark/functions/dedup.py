@@ -271,3 +271,51 @@ def contamination(
             * 1000000.0
         ) / 1000000.0,
     )
+
+
+def simhash_near_dup(
+    docs: DataFrame, max_hamming: int = 3, bits: int = 60,
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-duplicate pairs at scale: band the ``bits``-bit
+    fingerprint into ``n_bands`` equal slices; by pigeonhole, any pair
+    within ``max_hamming <= n_bands - 1`` bit flips shares at least
+    one identical band, so candidates come from an EQUI-join on
+    (band, slice) -- never an all-pairs scan -- and the exact
+    ``bit_count(xor)`` filter runs JVM-side on candidates only.
+    Returns (doc_a, doc_b, hamming)."""
+    assert max_hamming <= n_bands - 1, "pigeonhole needs bands > flips"
+    width = bits // n_bands
+    sig = simhash(docs, bits=bits)
+    mask = (1 << width) - 1
+    banded = sig.select(
+        "doc_id", "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit(mask))
+                for b in range(n_bands)
+            ])
+        ).alias("band", "key"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"),
+        "band", "key",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"),
+        "band", "key",
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+            ).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

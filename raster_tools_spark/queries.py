@@ -2028,6 +2028,16 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pack_sequences"] = pack_sequences
 
+    def simhash_near_dup(spark, sf_dir):
+        """Banded SimHash near-dup pairs (hamming <= 3 over 60 bits,
+        4x15-bit pigeonhole bands): the candidate join is an equi-join
+        on (band, slice), exact popcount filter JVM-side."""
+        return fdedup.simhash_near_dup(
+            _t(spark, sf_dir, "documents"), max_hamming=3
+        )
+
+    q["simhash_near_dup"] = simhash_near_dup
+
     def fill_voids_flat(spark, sf_dir):
         """G6 multi-res void fill, oracle-checked on the constant
         invariant: a constant tile with sprinkled voids must come back
@@ -3242,6 +3252,45 @@ def oracle_sql() -> Dict[str, str]:
            floor(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / t2.n_grams
                  * 1000000.0) / 1000000.0 AS frac
     FROM tot t2 LEFT JOIN hit h USING (doc_id)
+    """
+
+    o["simhash_near_dup"] = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, gb.b AS bit,
+             SUM(CASE WHEN (h >> gb.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h, LATERAL (SELECT unnest(generate_series(0, 59)) AS b) gb
+      GROUP BY 1, 2
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+                           ELSE 0 END) AS BIGINT) AS sh
+      FROM votes GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, sh, gb.b AS band,
+             (sh >> (gb.b * 15)) & 32767 AS key
+      FROM sig, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) gb
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sh AS sh_a, b.sh AS sh_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a, sh_b)) <= 3
     """
 
     o["pack_sequences"] = """

@@ -50,3 +50,37 @@ def test_default_max_df_heuristic():
 
     assert default_max_df(10) == 16   # floor for tiny corpora
     assert default_max_df(1000) == 500
+
+
+def test_simhash_banding_has_full_recall(spark):
+    """Pigeonhole property: banded candidates must find EVERY pair
+    within max_hamming -- compare against a brute-force popcount over
+    all pairs of signatures."""
+    from itertools import combinations
+
+    from raster_tools_spark.functions import dedup
+
+    rows = [
+        (i, " ".join(
+            f"tok{(i * 13 + j * 7) % 23}" for j in range(30)
+        ))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]),
+        schema="doc_id long, text string",
+    )
+    sigs = {
+        r.doc_id: r.simhash for r in dedup.simhash(docs).collect()
+    }
+    want = {
+        (a, b)
+        for a, b in combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.simhash_near_dup(docs, max_hamming=3).collect()
+    }
+    assert got == want
+    assert len(want) > 0  # the fixture must actually contain pairs
