@@ -251,18 +251,19 @@ def contamination(
         )
 
     tsh = sh_of(train)
-    esh = sh_of(eval_docs).select("shingle").distinct()
-    totals = tsh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_grams")
+    esh = sh_of(eval_docs).select("shingle").distinct().withColumn(
+        "hit", F.lit(1)
     )
-    hits = (
-        tsh.join(F.broadcast(esh), "shingle")
+    # ONE pass over the (100 TB) training shingles: the broadcast
+    # left-join marks hits in place, and a single aggregation yields
+    # both the total and the hit count
+    joined = (
+        tsh.join(F.broadcast(esh), "shingle", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    joined = totals.join(hits, "doc_id", "left").select(
-        "doc_id", "n_grams",
-        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+        )
     )
     return joined.withColumn(
         "frac",

@@ -150,28 +150,6 @@ def lsh_band_sigs_udf(n_planes: int, dim: int, n_bands: int):
     return sigs
 
 
-def lsh_signature_udf(n_planes: int, dim: int):
-    planes = _plane_matrix(n_planes, dim)
-
-    @F.pandas_udf(T.LongType())
-    def sig(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy()).astype(np.float64)
-        # accumulate in EXPLICIT dimension order (d = 0..dim-1), not
-        # BLAS matmul: identical op order -> bit-identical doubles in
-        # any engine that sums the same way (the oracle's list_sum is
-        # left-to-right), so the sign/bucket never flips cross-engine
-        n = len(m)
-        out = np.zeros(n, dtype=np.int64)
-        for p in range(n_planes):
-            acc = np.zeros(n, dtype=np.float64)
-            for d in range(planes.shape[1]):
-                acc += m[:, d] * planes[p, d]
-            out |= (acc > 0).astype(np.int64) << p
-        return pd.Series(out)
-
-    return sig
-
-
 def lsh_topk(
     vectors: DataFrame,
     k: int = 5,

@@ -459,12 +459,23 @@ def _driver_tail(spark, state: DataFrame, records,
     """Finish the boundary fixpoint on the driver: route the remaining
     (cell, px, qty) records hop by hop, fetching each newly touched
     tile's pointer state once.  Returns every routed inflow event
-    (the final replay applies them all)."""
+    (the final replay applies them all).
+
+    Cycle guard: each while-iteration advances EVERY in-flight record
+    one tile hop, and an acyclic D8 path never revisits a pixel, so a
+    sound field drains within (touched tiles) * (pixels per tile)
+    iterations -- a per-record progress bound, not a volume cap (a
+    volume cap would spuriously flag large-but-sound DEMs as cyclic).
+    Driver memory holds the in-flight records plus one decoded pointer
+    array per touched tile; the caller's tail_threshold keeps the
+    normal path small, and the round-exhaustion path accepts the cost
+    in exchange for never truncating."""
     n = tile_px * tile_px
     cache: dict = {}
     events: list = []
-    guard = 0
-    while records and guard < 1_000_000:
+    hops = 0
+    while records:
+        hops += 1
         needed = sorted(
             {c for c, _, _ in records} - set(cache.keys())
         )
@@ -482,6 +493,14 @@ def _driver_tail(spark, state: DataFrame, records,
                 )
             for c in needed:
                 cache.setdefault(c, None)  # absent tile: drop flow
+        if hops > (len(cache) + 1) * n:
+            raise RuntimeError(
+                f"flow-accumulation driver tail made {hops} tile hops "
+                f"over {len(cache)} tiles with {len(records)} records "
+                "still in flight -- an acyclic D8 field drains within "
+                "tiles*pixels hops; refusing to drop in-flight flow "
+                "(cyclic direction field?)"
+            )
         nxt = []
         for cell, px, qty in records:
             st = cache.get(cell)
@@ -498,19 +517,9 @@ def _driver_tail(spark, state: DataFrame, records,
                     nxt.append((exit_cell[e], exit_px[e], qty))
                     break
                 cur = p
-            guard += 1
         if nxt:
             events.extend(nxt)
         records = nxt
-    if records:
-        # never return truncated accumulation: by this point the flow
-        # graph must contain a routing cycle (sound D8 fields are
-        # acyclic, so legitimate flow drains within |pixels| steps)
-        raise RuntimeError(
-            f"flow-accumulation driver tail exceeded {guard} route "
-            f"steps with {len(records)} records still in flight; "
-            "refusing to drop in-flight flow (cyclic direction field?)"
-        )
     return events
 
 

@@ -193,9 +193,19 @@ def _trace_rectilinear(occ: np.ndarray, xs, ys):
             path.append(cur)
             if cur == start:
                 break
-        coords = np.array(
-            [(xs[j], ys[i]) for j, i in path], dtype=np.float64
-        )
+        pts = [(xs[j], ys[i]) for j, i in path[:-1]]  # open ring
+        # rotate so the ring STARTS at a true corner: a walk may begin
+        # mid-edge (hole rings seeded at a slab-split node), and the
+        # collinear merge below never re-examines its own start vertex
+        m = len(pts)
+        for s in range(m):
+            a = pts[(s - 1) % m]
+            b = pts[s]
+            c = pts[(s + 1) % m]
+            if not ((a[0] == b[0] == c[0]) or (a[1] == b[1] == c[1])):
+                pts = pts[s:] + pts[:s]
+                break
+        coords = np.array(pts + [pts[0]], dtype=np.float64)
         # merge collinear runs (path vertices land on every grid line)
         keep = [0]
         for k in range(1, len(coords) - 1):

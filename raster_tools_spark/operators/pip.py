@@ -51,11 +51,6 @@ def _covering_udf(res: int):
     return cover
 
 
-@F.pandas_udf(T.ArrayType(T.DoubleType()))
-def _envelope_udf(wkb_s: pd.Series) -> pd.Series:
-    return wkb_s.map(lambda b: list(geom.envelope(bytes(b))))
-
-
 _POLY_META_SCHEMA = T.StructType([
     T.StructField("n_cover", T.IntegerType()),
     T.StructField("ex1", T.DoubleType()),
@@ -181,9 +176,10 @@ def pip_join(
         ).select("feat_id", "geom_wkb", "cover_cell", *env_cols,
                  *[c for c in poly_cols if c != "feat_id"])
 
-    # same bbox convention as phase H (points_in_wkb counts x==xmin /
-    # y==ymin / y==ymax as inside, x==xmax as outside): anything the
-    # predicate drops, the exact refine would also drop
+    # same closed-comparison bbox as phase H: a conservative SUPERSET
+    # of containment (the even-odd ray cast's boundary behavior varies
+    # by edge; closed bounds never drop a point the refine would keep,
+    # they only admit boundary candidates the refine then rejects)
     def _bbox_pred(left):
         return (
             (left["cx"] >= F.col("_ex1"))

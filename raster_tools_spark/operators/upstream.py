@@ -199,10 +199,14 @@ def _is_convex(rings) -> bool:
     return bool((cross >= 0).all() or (cross <= 0).all())
 
 
-def _flood4(mask: np.ndarray, seed) -> np.ndarray:
-    """Vectorized 4-connected flood fill from ``seed``: dilate-and-mask
+def _flood8(mask: np.ndarray, seed) -> np.ndarray:
+    """Vectorized 8-connected flood fill from ``seed``: dilate-and-mask
     until the frontier stops growing.  O(diameter) numpy passes over a
-    radius-bounded window -- no per-pixel Python."""
+    radius-bounded window -- no per-pixel Python.  8-connectivity, not
+    4: one connected GEOMETRIC piece (a thin diagonal arm) can
+    rasterize to a staircase of diagonally-adjacent pixels, and the
+    piece test must match the reference's vector-space connectivity,
+    never split it."""
     reach = np.zeros_like(mask)
     reach[seed] = True
     while True:
@@ -211,21 +215,25 @@ def _flood4(mask: np.ndarray, seed) -> np.ndarray:
         grown[:-1, :] |= reach[1:, :]
         grown[:, 1:] |= reach[:, :-1]
         grown[:, :-1] |= reach[:, 1:]
+        grown[1:, 1:] |= reach[:-1, :-1]
+        grown[1:, :-1] |= reach[:-1, 1:]
+        grown[:-1, 1:] |= reach[1:, :-1]
+        grown[:-1, :-1] |= reach[1:, 1:]
         grown &= mask
         if (grown == reach).all():
             return reach
         reach = grown
 
 
-def _label4(mask: np.ndarray) -> tuple:
-    """4-connected component labels via repeated vectorized floods
+def _label8(mask: np.ndarray) -> tuple:
+    """8-connected component labels via repeated vectorized floods
     (component counts are tiny -- 2 or 3 pieces at most in practice)."""
     labels = np.zeros(mask.shape, dtype=np.int32)
     rest = mask.copy()
     nxt = 0
     while rest.any():
         seed = np.unravel_index(int(np.argmax(rest)), rest.shape)
-        comp = _flood4(rest, seed)
+        comp = _flood8(rest, seed)
         nxt += 1
         labels[comp] = nxt
         rest &= ~comp
@@ -244,10 +252,10 @@ def _nearest_piece_bits(mask, dx, dy):
     # cheap connected check first: ONE vectorized flood from any seed;
     # full labeling only for the rare disconnected case
     seed = np.unravel_index(int(np.argmax(mask)), mask.shape)
-    reach = _flood4(mask, seed)
+    reach = _flood8(mask, seed)
     if (reach == mask).all():
         return None
-    labels, n = _label4(mask)
+    labels, n = _label8(mask)
     if n < 2:
         return None
     d2 = dx[None, :] * dx[None, :] + dy[:, None] * dy[:, None]

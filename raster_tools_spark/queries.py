@@ -1982,7 +1982,11 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             schema="lo int, hi int, cls string",
         )
-        url = jdbc_src.derby_url("/tmp/rts_jdbc_dim")
+        import os as _os
+
+        # per-process path: Derby's embedded lock is single-JVM, and a
+        # fixed shared path would collide across concurrent drivers
+        url = jdbc_src.derby_url(f"/tmp/rts_jdbc_dim_{_os.getpid()}")
         jdbc_src.write_table(lut, url, "size_lut")
         dim = (
             jdbc_src.read_table(spark, url, "size_lut")

@@ -275,3 +275,24 @@ class TestExactAlignedDifference:
         # pentagon ~= 80*40 - 2*(40*10/2) = 2800; cut 20x20 = 400
         net = sum(r.area * (-1 if r.is_hole else 1) for r in rows)
         assert abs(net - 2400.0) < 4.0 * 300
+
+
+def test_exact_rings_never_carry_collinear_start():
+    """Review regression: a hole ring whose walk starts at a mid-edge
+    node (slab split by another cutter) must still come out with the
+    minimal vertex set -- rectangular holes are 5-point rings."""
+    from raster_tools_spark.operators.overlay import (
+        _exact_rect_difference)
+
+    rings = _exact_rect_difference(
+        (0, 40, 0, 40), [(10, 20, 10, 20), (12, 16, 30, 38)]
+    )
+    for coords, sarea in rings:
+        # every ring here is a rectangle: exactly 4 corners + closure
+        assert len(coords) == 5, (len(coords), sarea)
+        # and genuinely no collinear triple survives
+        for k in range(1, len(coords) - 1):
+            a, b, c = coords[k - 1], coords[k], coords[k + 1]
+            assert not (
+                (a[0] == b[0] == c[0]) or (a[1] == b[1] == c[1])
+            )
