@@ -262,6 +262,33 @@ def main():
         ],
     )
 
+    # 5m. contamination: the eval shingle set is broadcast -- the
+    # (100 TB) training side is hash-joined map-side and aggregated
+    # once; no shuffle of raw shingles
+    audit(
+        "contamination_broadcast",
+        qcat["contamination"](spark, SF),
+        [
+            ("eval side broadcast", lambda p: "BroadcastHashJoin" in p),
+            ("no cartesian product",
+             lambda p: "CartesianProduct" not in p),
+        ],
+    )
+
+    # 5n. simhash_near_dup: banded candidates via equi-join on
+    # (band, slice); popcount filter JVM-side, never all-pairs
+    audit(
+        "simhash_band_equijoin",
+        qcat["simhash_near_dup"](spark, SF),
+        [
+            ("no cartesian product",
+             lambda p: "CartesianProduct" not in p),
+            ("equi-join candidates",
+             lambda p: "SortMergeJoin" in p or "HashJoin" in p),
+            ("no python UDF", lambda p: "EvalPython" not in p),
+        ],
+    )
+
     # 6. mosaic merge: single hash agg pair (partial+final), no window
     audit(
         "mosaic_merge_hashagg",
