@@ -28,7 +28,36 @@ pairs = sorted(
     .select("image_id", "feat_id")
     .collect()
 )
-print(json.dumps({"assign": assign, "pairs": pairs}))
+
+# round-3 training-data ops: stateful/banded paths must also be
+# partitioning-invariant
+import pandas as pd
+from raster_tools_spark.functions import dedup, text as ftext
+
+docs = spark.createDataFrame(
+    pd.DataFrame(
+        [(i, " ".join(f"tok{(i * 13 + j * 7) % 23}" for j in range(30)))
+         for i in range(60)],
+        columns=["doc_id", "text"],
+    ),
+    schema="doc_id long, text string",
+).repartition(cpus)
+packs = sorted(
+    (r.doc_id, r.shard, r.pack_id)
+    for r in ftext.pack_sequences(docs, budget=64, n_shards=4).collect()
+)
+near = sorted(
+    (r.doc_a, r.doc_b, r.hamming)
+    for r in dedup.simhash_near_dup(docs, max_hamming=3).collect()
+)
+contam = sorted(
+    (r.doc_id, r.n_grams, r.n_hits)
+    for r in dedup.contamination(
+        docs.filter("doc_id % 7 != 0"), docs.filter("doc_id % 7 = 0")
+    ).collect()
+)
+print(json.dumps({"assign": assign, "pairs": pairs, "packs": packs,
+                  "near": near, "contam": contam}))
 spark.stop()
 """
 
@@ -50,3 +79,6 @@ def test_bit_identical_across_parallelism():
     assert a["assign"] == b["assign"]
     assert a["pairs"] == b["pairs"]
     assert len(a["pairs"]) > 0
+    assert a["packs"] == b["packs"] and len(a["packs"]) == 60
+    assert a["near"] == b["near"]
+    assert a["contam"] == b["contam"] and len(a["contam"]) > 0
