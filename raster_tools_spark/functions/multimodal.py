@@ -149,3 +149,110 @@ def sample_video_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
         "mapInPandas(videos[video_id, bytes], schema='video_id string, "
         "frame_no int, bytes binary')"
     )
+
+
+def _dct2_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (the JPEG/pHash transform), built from
+    the textbook definition -- no scipy in this container."""
+    k = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    m = np.cos(np.pi * (2 * x + 1) * k / (2.0 * n))
+    m[0] *= np.sqrt(1.0 / n)
+    m[1:] *= np.sqrt(2.0 / n)
+    return m
+
+
+def perceptual_hash(
+    images: DataFrame, hash_px: int = 32, keep: int = 8,
+) -> DataFrame:
+    """64-bit DCT perceptual hash per image (classic pHash): decode,
+    box-downsample to ``hash_px`` squared, 2-D DCT, keep the
+    ``keep`` x ``keep`` low-frequency block, threshold against its
+    median (DC excluded).  Visually-similar images differ in few bits;
+    pairing is a banded Hamming join downstream.  Returns (image_id,
+    phash64).  Pure numpy per Arrow batch -- one decode per image."""
+    dct = _dct2_matrix(hash_px)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples():
+                px = codecs.decode(bytes(t.bytes), t.fmt)
+                if px.ndim == 3:  # RGB -> luma (ITU-R 601)
+                    px = (0.299 * px[..., 0] + 0.587 * px[..., 1]
+                          + 0.114 * px[..., 2])
+                px = px.astype(np.float64)
+                h, w = px.shape
+                # box-downsample via block means (pad to a multiple)
+                bh = max(h // hash_px, 1)
+                bw = max(w // hash_px, 1)
+                px = px[: bh * hash_px, : bw * hash_px]
+                if px.shape[0] < hash_px or px.shape[1] < hash_px:
+                    # tiny image: nearest-neighbor upsample first
+                    yi = (np.arange(hash_px) * px.shape[0]) // hash_px
+                    xi = (np.arange(hash_px) * px.shape[1]) // hash_px
+                    small = px[np.ix_(yi, xi)]
+                else:
+                    small = px.reshape(
+                        hash_px, bh, hash_px, bw
+                    ).mean(axis=(1, 3))
+                freq = dct @ small @ dct.T
+                low = freq[:keep, :keep].ravel()
+                med = np.median(low[1:])  # DC excluded
+                bits = (low > med).astype(np.uint64)
+                val = np.uint64(0)
+                for i, b in enumerate(bits):
+                    val |= np.uint64(b) << np.uint64(i)
+                rows.append((t.image_id, int(val & np.uint64(0x7FFFFFFFFFFFFFFF))))
+            if rows:
+                yield pd.DataFrame(rows, columns=["image_id", "phash64"])
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        extract, schema="image_id string, phash64 long"
+    )
+
+
+def image_near_dup(
+    images: DataFrame, max_hamming: int = 6, n_bands: int = 8,
+) -> DataFrame:
+    """Perceptual-hash image near-duplicates: banded Hamming pairing
+    over the 64-bit pHash (pigeonhole: any pair within
+    ``max_hamming <= n_bands - 1`` flips shares a band), exact
+    popcount filter JVM-side.  The image-dedup pass of a multimodal
+    training pipeline -- candidates from an equi-join, never
+    all-pairs.  Returns (id_a, id_b, hamming)."""
+    assert max_hamming <= n_bands - 1
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    sig = perceptual_hash(images)
+    banded = sig.select(
+        "image_id", "phash64",
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("phash64"), b * width)
+                .bitwiseAND(F.lit(mask))
+                for b in range(n_bands)
+            ])
+        ).alias("band", "key"),
+    )
+    a = banded.select(
+        F.col("image_id").alias("id_a"), F.col("phash64").alias("h_a"),
+        "band", "key",
+    )
+    b = banded.select(
+        F.col("image_id").alias("id_b"), F.col("phash64").alias("h_b"),
+        "band", "key",
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("h_a").bitwiseXOR(F.col("h_b"))
+            ).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

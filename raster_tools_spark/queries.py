@@ -2042,6 +2042,42 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["simhash_near_dup"] = simhash_near_dup
 
+    def image_near_dup_phash(spark, sf_dir):
+        """Image-dedup pass over pixels (rows-only: the DCT hash has
+        no SQL mirror; recall/invariance are property-tested in
+        tests/test_phash.py): each synthetic base image gets a
+        +1-brightness twin, and the banded pHash pairing must marry
+        the twins without an all-pairs join."""
+        from .functions import multimodal
+
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for k in pdf["id"]:
+                    k = int(k)
+                    base = synth.linear_pixels(k, 64, 64)
+                    twin = np.clip(
+                        base.astype(np.int32) + 1, 0, 255
+                    ).astype(np.uint8)
+                    rows.append(
+                        (f"img_{k:04d}a",
+                         codecs_mod.png_encode(base), "png")
+                    )
+                    rows.append(
+                        (f"img_{k:04d}b",
+                         codecs_mod.png_encode(twin), "png")
+                    )
+                yield pd.DataFrame(
+                    rows, columns=["image_id", "bytes", "fmt"]
+                )
+
+        images = spark.range(0, 40, 1, 8).mapInPandas(
+            gen, "image_id string, bytes binary, fmt string"
+        )
+        return multimodal.image_near_dup(images, max_hamming=6)
+
+    q["image_near_dup_phash"] = image_near_dup_phash
+
     def fill_voids_flat(spark, sf_dir):
         """G6 multi-res void fill, oracle-checked on the constant
         invariant: a constant tile with sprinkled voids must come back
