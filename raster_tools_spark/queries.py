@@ -2078,6 +2078,44 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_near_dup_phash"] = image_near_dup_phash
 
+    def curation_pipeline(spark, sf_dir):
+        """END-TO-END corpus curation, the composition a training
+        pipeline actually runs, as ONE oracle-hard query: exact dedup
+        (keep min doc_id per content hash) -> decontaminate against
+        the held-out eval slice (doc_id % 97 == 0 excluded from the
+        corpus; 3-gram overlap fraction > 0.05 dropped; gramless short
+        docs kept) -> token-count quality gate [15, 80] -> md5-quota
+        stratified mixing (en 40%, zh 60%, es 80%) -> greedy 128-token
+        sequence packing over 8 shards.  Every stage is an existing
+        oracle-proven operator; the oracle chains their SQL mirrors."""
+        docs = _t(spark, sf_dir, "documents")
+        ev = docs.filter(F.col("doc_id") % 97 == 0)
+        corpus = docs.filter(F.col("doc_id") % 97 != 0)
+        reps = (
+            corpus.select("doc_id", F.md5("text").alias("fp"))
+            .groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        kept = corpus.join(reps, "doc_id")
+        cont = fdedup.contamination(kept, ev).select("doc_id", "frac")
+        clean = (
+            kept.join(cont, "doc_id", "left")
+            .filter(F.coalesce(F.col("frac"), F.lit(0.0)) <= 0.05)
+            .withColumn("n_tokens", F.size(F.split(F.col("text"), " ")))
+            .filter(
+                (F.col("n_tokens") >= 15) & (F.col("n_tokens") <= 80)
+            )
+        )
+        mixed = ftext.stratified_sample(
+            clean, quotas={"en": 40, "zh": 60, "es": 80}
+        )
+        packed = ftext.pack_sequences(mixed, budget=128, n_shards=8)
+        return packed.join(
+            mixed.select("doc_id", "lang"), "doc_id"
+        ).select("doc_id", "lang", "shard", "n_tokens", "pack_id")
+
+    q["curation_pipeline"] = curation_pipeline
+
     def fill_voids_flat(spark, sf_dir):
         """G6 multi-res void fill, oracle-checked on the constant
         invariant: a constant tile with sprinkled voids must come back
@@ -2413,6 +2451,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shadow_march_towers", "shadow_march_flat", "upstream_levels",
         "grid_linear_tiles", "remote_extract", "stratified_sample",
         "jdbc_reclass", "contamination", "pack_sequences",
+        "curation_pipeline",
     ]
     hard = set(oracle_sql())
     ordered = {k: q[k] for k in head if k in q and k in hard}
@@ -3331,6 +3370,73 @@ def oracle_sql() -> Dict[str, str]:
            CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
     FROM cand
     WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """
+
+    o["curation_pipeline"] = """
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, lang, text FROM documents WHERE doc_id % 97 != 0
+    ),
+    reps AS (
+      SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY md5(text)
+    ),
+    kept AS (SELECT c.* FROM corpus c JOIN reps USING (doc_id)),
+    t AS (
+      SELECT doc_id, string_split(text, ' ') AS lst FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2] AS s
+      FROM t, LATERAL (SELECT unnest(
+             generate_series(1, len(lst) - 2)) AS i)
+    ),
+    e AS (SELECT DISTINCT s FROM g WHERE doc_id % 97 = 0),
+    tr AS (
+      SELECT g.doc_id, g.s FROM g JOIN kept k ON k.doc_id = g.doc_id
+    ),
+    fr AS (
+      SELECT tr.doc_id,
+             floor(CAST(SUM(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0
+                                 END) AS DOUBLE)
+                   / COUNT(*) * 1000000.0) / 1000000.0 AS frac
+      FROM tr LEFT JOIN e USING (s) GROUP BY tr.doc_id
+    ),
+    clean AS (
+      SELECT k.doc_id, k.lang,
+             CAST(len(string_split(k.text, ' ')) AS BIGINT) AS n_tokens
+      FROM kept k LEFT JOIN fr f USING (doc_id)
+      WHERE COALESCE(f.frac, 0.0) <= 0.05
+        AND len(string_split(k.text, ' ')) BETWEEN 15 AND 80
+    ),
+    mixed AS (
+      SELECT doc_id, lang, n_tokens FROM (
+        SELECT *, CAST('0x' || substring(
+                 md5('strat1' || CAST(doc_id AS VARCHAR)), 1, 8)
+                 AS BIGINT) % 100 AS draw
+        FROM clean)
+      WHERE draw < CASE lang WHEN 'en' THEN 40 WHEN 'zh' THEN 60
+                             WHEN 'es' THEN 80 ELSE 100 END
+    ),
+    r AS (
+      SELECT doc_id, lang, n_tokens, doc_id % 8 AS shard,
+             row_number() OVER (PARTITION BY doc_id % 8
+                                ORDER BY doc_id) AS rn
+      FROM mixed
+    ),
+    walk AS (
+      SELECT shard, rn, doc_id, lang, n_tokens,
+             0 AS pack_id, n_tokens AS fill
+      FROM r WHERE rn = 1
+      UNION ALL
+      SELECT r.shard, r.rn, r.doc_id, r.lang, r.n_tokens,
+        CASE WHEN w.fill + r.n_tokens <= 128 THEN w.pack_id
+             ELSE w.pack_id + 1 END,
+        CASE WHEN w.fill + r.n_tokens <= 128
+             THEN w.fill + r.n_tokens ELSE r.n_tokens END
+      FROM walk w JOIN r ON r.shard = w.shard AND r.rn = w.rn + 1
+    )
+    SELECT doc_id, lang, shard, n_tokens,
+           CAST(pack_id AS INT) AS pack_id
+    FROM walk
     """
 
     o["pack_sequences"] = """
