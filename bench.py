@@ -122,6 +122,7 @@ def run_bench(spark, sf_dir: str, n_images: int = 20000,
         "difference_rings",
         "contamination",
         "pack_sequences",
+        "curation_pipeline",
     ):
         fn = qcat[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())
