@@ -2,11 +2,13 @@
 columns with typed metadata, processed in Arrow-batched mapInPandas.
 
 The image path is REAL end-to-end in this repo (codecs.py decodes
-png/dctq).  Audio decode and video frame-sampling are STUBS behind
-deterministic fakes / NotImplementedError -- the codec libraries are
-not in this container -- but the Spark-side plumbing (schemas,
-partitioning, UDF signatures, batch shapes) is real and tested, which
-is the contract for this environment.
+png/dctq), including the DCT perceptual hash + banded image near-dup.
+The audio path is REAL for raw PCM (numpy FFT spectral features +
+dominant-band fingerprint; no codec needed); only COMPRESSED audio
+decode and video frame-sampling are stubs -- the codec libraries are
+not in this container -- with the Spark-side plumbing (schemas,
+partitioning, UDF signatures, batch shapes) real and tested, which is
+the contract for this environment.
 """
 
 from __future__ import annotations
@@ -255,4 +257,85 @@ def image_near_dup(
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def audio_spectral_features(
+    clips: DataFrame, sr: int = 16000, frame: int = 1024,
+) -> DataFrame:
+    """REAL spectral analysis over raw-PCM audio columns (int16 LE):
+    framewise FFT magnitude -> spectral centroid, 85% rolloff,
+    bandwidth, flatness, dominant-bin histogram fingerprint.  No codec
+    needed for raw PCM -- only COMPRESSED audio decode remains stubbed
+    in this container.  Returns (clip_id, centroid_hz, rolloff_hz,
+    bandwidth_hz, flatness, fp64): ``fp64`` is a 64-bit
+    dominant-frequency-band fingerprint (one bit per coarse band,
+    set when the band dominates any frame) for banded near-dup
+    joins, same shape as the image pHash pairing."""
+    nyq = sr / 2.0
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples():
+                pcm = np.frombuffer(bytes(t.bytes), dtype="<i2").astype(
+                    np.float64
+                )
+                n_fr = pcm.size // frame
+                if n_fr == 0:
+                    rows.append((t.clip_id, 0.0, 0.0, 0.0, 0.0, 0))
+                    continue
+                x = pcm[: n_fr * frame].reshape(n_fr, frame)
+                win = np.hanning(frame)
+                mag = np.abs(np.fft.rfft(x * win, axis=1))[:, 1:]
+                freqs = np.fft.rfftfreq(frame, 1.0 / sr)[1:]
+                power = mag.sum(axis=1)
+                ok = power > 0
+                if not ok.any():
+                    rows.append((t.clip_id, 0.0, 0.0, 0.0, 0.0, 0))
+                    continue
+                m = mag[ok]
+                p = power[ok]
+                cent = (m * freqs).sum(axis=1) / p
+                cum = np.cumsum(m, axis=1)
+                ridx = (cum >= 0.85 * p[:, None]).argmax(axis=1)
+                roll = freqs[ridx]
+                bw = np.sqrt(
+                    (m * (freqs - cent[:, None]) ** 2).sum(axis=1) / p
+                )
+                gm = np.exp(np.log(m + 1e-12).mean(axis=1))
+                am = m.mean(axis=1)
+                flat = gm / am
+                # fingerprint: 64 log-ish bands over [0, nyquist); set
+                # a band's bit when it holds any frame's peak bin
+                peak = freqs[m.argmax(axis=1)]
+                bands = np.minimum(
+                    (peak / nyq * 64).astype(np.int64), 63
+                )
+                fp = 0
+                for b in set(bands.tolist()):
+                    fp |= 1 << int(b)
+                rows.append(
+                    (
+                        t.clip_id,
+                        float(cent.mean()),
+                        float(roll.mean()),
+                        float(bw.mean()),
+                        float(flat.mean()),
+                        int(fp & 0x7FFFFFFFFFFFFFFF),
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["clip_id", "centroid_hz", "rolloff_hz",
+                             "bandwidth_hz", "flatness", "fp64"],
+                )
+
+    return clips.select("clip_id", "bytes").mapInPandas(
+        extract,
+        schema=(
+            "clip_id string, centroid_hz double, rolloff_hz double, "
+            "bandwidth_hz double, flatness double, fp64 long"
+        ),
     )

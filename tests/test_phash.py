@@ -79,3 +79,53 @@ def test_banded_pairing_full_recall(spark):
     }
     assert got == want
     assert len(want) >= 6  # each noisy twin pairs with its base
+
+
+class TestAudioSpectral:
+    def _clips(self, spark, signals, sr=16000):
+        rows = [
+            (f"clip_{i}", (np.clip(s, -1, 1) * 32000).astype("<i2")
+             .tobytes())
+            for i, s in enumerate(signals)
+        ]
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["clip_id", "bytes"]),
+            schema="clip_id string, bytes binary",
+        )
+
+    def test_pure_tones_localize(self, spark):
+        """A pure tone's spectral centroid must sit at its frequency
+        (within one FFT bin) and a higher tone must rank higher."""
+        sr = 16000
+        t = np.arange(sr) / sr  # 1 s
+        clips = self._clips(
+            spark,
+            [np.sin(2 * np.pi * 440 * t),
+             np.sin(2 * np.pi * 3000 * t)],
+            sr,
+        )
+        rows = {r.clip_id: r for r in
+                multimodal.audio_spectral_features(clips).collect()}
+        assert abs(rows["clip_0"].centroid_hz - 440) < 32
+        assert abs(rows["clip_1"].centroid_hz - 3000) < 32
+        # a pure tone is spectrally peaked: near-zero flatness
+        assert rows["clip_0"].flatness < 0.1
+        # fingerprints differ (different dominant bands)
+        assert rows["clip_0"].fp64 != rows["clip_1"].fp64
+
+    def test_noise_is_flat_and_wide(self, spark):
+        rng = np.random.default_rng(7)
+        clips = self._clips(spark, [rng.normal(0, 0.2, 16000)])
+        r = multimodal.audio_spectral_features(clips).collect()[0]
+        assert r.flatness > 0.3        # white noise ~ flat spectrum
+        assert r.bandwidth_hz > 1500   # energy spread wide
+
+    def test_identical_clips_fingerprint_equal(self, spark):
+        t = np.arange(16000) / 16000.0
+        s = np.sin(2 * np.pi * 440 * t) + 0.5 * np.sin(
+            2 * np.pi * 1200 * t
+        )
+        rows = multimodal.audio_spectral_features(
+            self._clips(spark, [s, s.copy()])
+        ).collect()
+        assert rows[0].fp64 == rows[1].fp64
