@@ -310,13 +310,16 @@ def simhash_near_dup(
     return (
         a.join(b, ["band", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
         .withColumn(
             "hamming",
             F.bit_count(
                 F.col("sh_a").bitwiseXOR(F.col("sh_b"))
             ).cast("int"),
         )
+        # cheap JVM popcount filter BEFORE the dedup shuffle, so the
+        # exchange carries only true near-dups, not every multi-band
+        # candidate collision
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", "hamming")
     )

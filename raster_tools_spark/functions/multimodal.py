@@ -122,9 +122,12 @@ def audio_features(clips: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for t in pdf.itertuples():
-                pcm = np.frombuffer(bytes(t.bytes), dtype="<i2").astype(
-                    np.float64
-                )
+                buf = bytes(t.bytes)
+                # malformed odd-length clip: drop the trailing byte
+                # instead of failing the whole Arrow batch
+                pcm = np.frombuffer(
+                    buf[: len(buf) & ~1], dtype="<i2"
+                ).astype(np.float64)
                 if pcm.size == 0:
                     rows.append((t.clip_id, 0.0, 0))
                     continue
@@ -205,7 +208,10 @@ def perceptual_hash(
                 val = np.uint64(0)
                 for i, b in enumerate(bits):
                     val |= np.uint64(b) << np.uint64(i)
-                rows.append((t.image_id, int(val & np.uint64(0x7FFFFFFFFFFFFFFF))))
+                # full 64 bits as a signed long (bit 63 = sign); the
+                # arithmetic shiftright + band mask downstream handles
+                # negative longs exactly
+                rows.append((t.image_id, int(val.astype(np.int64))))
             if rows:
                 yield pd.DataFrame(rows, columns=["image_id", "phash64"])
 
@@ -248,14 +254,17 @@ def image_near_dup(
     return (
         a.join(b, ["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn(
             "hamming",
             F.bit_count(
                 F.col("h_a").bitwiseXOR(F.col("h_b"))
             ).cast("int"),
         )
+        # cheap JVM popcount filter BEFORE the dedup shuffle, so the
+        # exchange carries only true near-dups, not every multi-band
+        # candidate collision
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
 
@@ -278,9 +287,12 @@ def audio_spectral_features(
         for pdf in batches:
             rows = []
             for t in pdf.itertuples():
-                pcm = np.frombuffer(bytes(t.bytes), dtype="<i2").astype(
-                    np.float64
-                )
+                buf = bytes(t.bytes)
+                # malformed odd-length clip: drop the trailing byte
+                # instead of failing the whole Arrow batch
+                pcm = np.frombuffer(
+                    buf[: len(buf) & ~1], dtype="<i2"
+                ).astype(np.float64)
                 n_fr = pcm.size // frame
                 if n_fr == 0:
                     rows.append((t.clip_id, 0.0, 0.0, 0.0, 0.0, 0))
@@ -322,7 +334,9 @@ def audio_spectral_features(
                         float(roll.mean()),
                         float(bw.mean()),
                         float(flat.mean()),
-                        int(fp & 0x7FFFFFFFFFFFFFFF),
+                        # full 64 bits as a signed long (band 63 is
+                        # the sign bit; banded joins mask it back out)
+                        int(np.uint64(fp).astype(np.int64)),
                     )
                 )
             if rows:

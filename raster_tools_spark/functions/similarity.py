@@ -85,6 +85,20 @@ def cosine_topk(
     )
 
 
+def _ensure_sized(vectors: DataFrame, n_rows: int | None):
+    """Sizing count without a second source scan: when the caller
+    does not pass ``n_rows``, persist the input before counting so
+    the count and the downstream pipeline share one materialization
+    (otherwise a 100-TB corpus is scanned twice -- once by the eager
+    count hidden in plan construction, once at execution).
+    Large-scale callers should pass ``n_rows`` (e.g. from table
+    stats) and skip the count entirely."""
+    if n_rows is not None:
+        return vectors, n_rows
+    vectors = vectors.persist()
+    return vectors, vectors.count()
+
+
 TARGET_BUCKET_ROWS = 1024
 MIN_PLANES = 8
 MAX_PLANES = 32
@@ -173,9 +187,8 @@ def lsh_topk(
     (shuffle by bucket, no cross join).
     """
     if n_planes is None:
-        n_planes = derive_n_planes(
-            n_rows if n_rows is not None else vectors.count()
-        )
+        vectors, n = _ensure_sized(vectors, n_rows)
+        n_planes = derive_n_planes(n)
     sigs = lsh_band_sigs_udf(n_planes, dim, n_bands)
     v = vectors.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
@@ -281,9 +294,8 @@ def ivf_topk(
     sqrt(n) lists (derive_n_centroids); pass ``n_rows`` to skip the
     sizing count."""
     if n_centroids is None:
-        n_centroids = derive_n_centroids(
-            n_rows if n_rows is not None else vectors.count()
-        )
+        vectors, n = _ensure_sized(vectors, n_rows)
+        n_centroids = derive_n_centroids(n)
     cents_rows = (
         vectors.select(F.col(id_col).alias("cid_c"),
                        F.col(vec_col).alias("cv"))
@@ -361,9 +373,8 @@ def embedding_near_dup(
     """Embedding-cosine near-duplicate pairs via banded LSH buckets
     (corpus-scaled plane count, same shape as lsh_topk)."""
     if n_planes is None:
-        n_planes = derive_n_planes(
-            n_rows if n_rows is not None else vectors.count()
-        )
+        vectors, n = _ensure_sized(vectors, n_rows)
+        n_planes = derive_n_planes(n)
     sigs = lsh_band_sigs_udf(n_planes, dim, n_bands)
     v = vectors.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")

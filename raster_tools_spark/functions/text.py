@@ -181,8 +181,34 @@ def stratified_sample(
     return docs.filter(draw < quota)
 
 
+TARGET_DOCS_PER_SHARD = 1_000_000
+MIN_SHARDS = 8
+
+
+def derive_n_shards(
+    n_docs: int,
+    target_docs_per_shard: int = TARGET_DOCS_PER_SHARD,
+    min_shards: int = MIN_SHARDS,
+) -> int:
+    """Corpus-scaled shard count for the sequential packing walk:
+    enough shards that the EXPECTED shard holds <=
+    ``target_docs_per_shard`` documents, so each ``applyInPandas``
+    group stays executor-memory-sized and the per-shard serial Python
+    walk stays bounded (a fixed shard count puts n/const rows in one
+    group -- OOM at 10^12 docs).  Mirrors similarity.derive_n_planes;
+    the formula is mirrored verbatim in the DuckDB oracle SQL
+    (GREATEST/ceil), so the derived count is a hard cross-engine
+    check."""
+    import math
+
+    if n_docs <= target_docs_per_shard * min_shards:
+        return min_shards
+    return max(min_shards, math.ceil(n_docs / target_docs_per_shard))
+
+
 def pack_sequences(
-    docs, budget: int, n_shards: int = 8,
+    docs, budget: int, n_shards: int | None = None,
+    n_rows: int | None = None,
     id_col: str = "doc_id", text_col: str = "text",
 ):
     """Greedy sequential sequence packing (the pre-training batching
@@ -191,9 +217,21 @@ def pack_sequences(
     starts the next pack (oversized documents get a pack of their
     own).  Sharding makes the inherently-sequential walk parallel --
     the order-sensitive state never crosses a shard, so the operator
-    scales by raising ``n_shards`` with the corpus.  Returns (doc_id,
-    shard, n_tokens, pack_id); oracle = per-shard recursive CTE."""
+    scales with the corpus: ``n_shards=None`` (the default) derives
+    the shard count from the corpus size (``derive_n_shards``, target
+    ~1e6 docs/shard).  Pass ``n_rows`` to skip the sizing count when
+    the caller already knows it (large-scale callers should).
+    Returns (doc_id, shard, n_tokens, pack_id); oracle = per-shard
+    recursive CTE with the shard formula mirrored in SQL."""
     from pyspark.sql import functions as F
+
+    if n_shards is None:
+        if n_rows is None:
+            # persist before the sizing count so the corpus is
+            # materialized once, not scanned twice (count + pack)
+            docs = docs.persist()
+            n_rows = docs.count()
+        n_shards = derive_n_shards(n_rows)
 
     d = docs.select(
         F.col(id_col).alias("doc_id"),

@@ -32,6 +32,7 @@ tiles:
 
 from __future__ import annotations
 
+import logging
 import zlib
 from typing import Iterator, List, Tuple
 
@@ -49,6 +50,8 @@ from ..grid import (CELL_SIZE, cell_bounds, cell_edge, pack_cell,
 
 TILE_PX = 256
 NODATA = 255
+
+log = logging.getLogger(__name__)
 
 # ---------------------------------------------------------------------------
 # staged depression fill
@@ -322,8 +325,7 @@ def _halo_dir_parts(batches: Iterator[pd.DataFrame]
     return _emit_parts(batches, margin=1)
 
 
-def _build_state(pdf: pd.DataFrame, tile_px: int = TILE_PX
-                 ) -> pd.DataFrame:
+def _build_state(pdf: pd.DataFrame, tile_px: int) -> pd.DataFrame:
     """Assemble the padded direction for one tile, derive the local
     pointer array (in-tile flat target, _SINK, or exit id >= size),
     run the local accumulation, record initial boundary outflows."""
@@ -455,7 +457,8 @@ def _route(pdf: pd.DataFrame, qty_col: str = "qty",
 
 
 def _driver_tail(spark, state: DataFrame, records,
-                 tile_px: int = TILE_PX) -> list:
+                 tile_px: int = TILE_PX,
+                 max_tiles: int | None = None) -> list:
     """Finish the boundary fixpoint on the driver: route the remaining
     (cell, px, qty) records hop by hop, fetching each newly touched
     tile's pointer state once.  Returns every routed inflow event
@@ -469,7 +472,9 @@ def _driver_tail(spark, state: DataFrame, records,
     Driver memory holds the in-flight records plus one decoded pointer
     array per touched tile; the caller's tail_threshold keeps the
     normal path small, and the round-exhaustion path accepts the cost
-    in exchange for never truncating."""
+    in exchange for never truncating.  ``max_tiles`` bounds the
+    pointer-array cache (~tile_px^2 * 8 bytes per tile) -- above it
+    the tail raises a clear driver-memory error instead of OOMing."""
     n = tile_px * tile_px
     cache: dict = {}
     events: list = []
@@ -479,6 +484,19 @@ def _driver_tail(spark, state: DataFrame, records,
         needed = sorted(
             {c for c, _, _ in records} - set(cache.keys())
         )
+        if (
+            max_tiles is not None
+            and len(cache) + len(needed) > max_tiles
+        ):
+            raise RuntimeError(
+                "flow-accumulation driver tail would cache "
+                f"{len(cache) + len(needed)} tile pointer arrays "
+                f"(~{(len(cache) + len(needed)) * tile_px * tile_px * 8 // 2**20} MiB) "
+                f"with {len(records)} records in flight, above the "
+                f"max_tiles={max_tiles} driver-memory bound; raise "
+                "driver_tail_max_tiles or max_rounds so more routing "
+                "happens distributed"
+            )
         if needed:
             got = state.filter(
                 F.col("cell_id").isin([int(x) for x in needed])
@@ -525,12 +543,33 @@ def _driver_tail(spark, state: DataFrame, records,
 
 def accumulate_tiles(
     dir_tiles: DataFrame, max_rounds: int = 64,
-    tail_threshold: int = 1024, tile_px: int = TILE_PX,
+    tail_threshold: int = 1024, tile_px: int | None = None,
+    driver_tail_max_records: int = 1_000_000,
+    driver_tail_max_tiles: int = 1024,
 ) -> DataFrame:
     """Global flow accumulation over direction tiles (cell_id, bytes,
     fmt).  Returns (cell_id, acc binary: zlib int64[65536]) -- equal to
-    flow.accumulate on the stitched array."""
+    flow.accumulate on the stitched array.
+
+    The driver-tail finish (small remainders and round exhaustion) is
+    bounded: it raises a clear error instead of OOMing the driver when
+    the remainder exceeds ``driver_tail_max_records`` in-flight records
+    or touches more than ``driver_tail_max_tiles`` tile pointer arrays
+    (~tile_px^2 * 8 bytes each); raise ``max_rounds`` (more distributed
+    routing) or the bounds to proceed.
+
+    ``tile_px=None`` (the default) derives the tile edge from the
+    tiles' own cell resolution, same as fill_depressions_tiles and
+    vectorize_streams_tiles -- no module-constant tile size in the
+    operator path."""
     spark = dir_tiles.sparkSession
+    if tile_px is None:
+        res = int(
+            dir_tiles.select(
+                F.shiftright("cell_id", 56).alias("r")
+            ).first().r
+        )
+        tile_px = int(round(cell_edge(res) / CELL_SIZE))
     parts = dir_tiles.select("cell_id", "bytes", "fmt").mapInPandas(
         _halo_dir_parts, schema=(
             "target long, src_dy int, src_dx int, payload binary, "
@@ -574,15 +613,30 @@ def accumulate_tiles(
 
     all_inflows = None
 
-    def _finish_on_driver(inflows):
+    def _finish_on_driver(inflows, n_records):
         """Route the remaining records to completion on the driver and
-        append the generated inflow events (raises rather than drop)."""
+        append the generated inflow events (raises rather than drop;
+        bounded by driver_tail_max_records/_tiles rather than OOM)."""
         nonlocal all_inflows
+        if n_records > driver_tail_max_records:
+            raise RuntimeError(
+                f"flow-accumulation driver tail asked to collect "
+                f"{n_records} in-flight records, above the "
+                f"driver_tail_max_records={driver_tail_max_records} "
+                "driver-memory bound; raise max_rounds (more "
+                "distributed routing) or the bound to proceed"
+            )
+        log.info(
+            "flow-accumulation driver tail: collecting %d in-flight "
+            "records (tile cache bound %d tiles)",
+            n_records, driver_tail_max_tiles,
+        )
         events = _driver_tail(
             spark, state,
             [(int(r.cell_id), int(r.px), int(r.qty))
              for r in inflows.collect()],
             tile_px=tile_px,
+            max_tiles=driver_tail_max_tiles,
         )
         if events:
             tail_df = spark.createDataFrame(
@@ -614,7 +668,7 @@ def accumulate_tiles(
             # (lazily, as the flow reaches new tiles) and finish the
             # fixpoint in numpy, then append the generated inflow
             # events in one createDataFrame.
-            _finish_on_driver(inflows)
+            _finish_on_driver(inflows, n_in)
             break
         routed = inflows.join(state, "cell_id").groupBy("cell_id").applyInPandas(
             lambda pdf: _route(pdf, tile_px=tile_px), schema=_FLOW_SCHEMA
@@ -630,12 +684,13 @@ def accumulate_tiles(
             F.sum("qty").alias("qty")
         )
         inflows = inflows.localCheckpoint(eager=True)
-        if inflows.count() > 0:
+        n_left = inflows.count()
+        if n_left > 0:
             all_inflows = (
                 inflows if all_inflows is None
                 else all_inflows.unionByName(inflows)
             )
-            _finish_on_driver(inflows)
+            _finish_on_driver(inflows, n_left)
 
     # final: replay every inflow along its path, adding to local acc
     def finalize(pdf: pd.DataFrame) -> pd.DataFrame:

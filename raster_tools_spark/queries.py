@@ -2024,10 +2024,12 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def pack_sequences(spark, sf_dir):
         """Greedy sequential sequence packing into 128-token packs,
-        sharded by doc_id % 8 (training-batch construction); the
-        order-sensitive walk parallelizes across shards."""
+        sharded by doc_id % derive_n_shards(corpus) (training-batch
+        construction); the order-sensitive walk parallelizes across
+        shards and the shard count scales with the corpus (~1e6
+        docs/shard target), mirrored in the oracle SQL."""
         return ftext.pack_sequences(
-            _t(spark, sf_dir, "documents"), budget=128, n_shards=8
+            _t(spark, sf_dir, "documents"), budget=128
         )
 
     q["pack_sequences"] = pack_sequences
@@ -2086,7 +2088,8 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus; 3-gram overlap fraction > 0.05 dropped; gramless short
         docs kept) -> token-count quality gate [15, 80] -> md5-quota
         stratified mixing (en 40%, zh 60%, es 80%) -> greedy 128-token
-        sequence packing over 8 shards.  Every stage is an existing
+        sequence packing over derive_n_shards(|mixed|) corpus-scaled
+        shards.  Every stage is an existing
         oracle-proven operator; the oracle chains their SQL mirrors."""
         docs = _t(spark, sf_dir, "documents")
         ev = docs.filter(F.col("doc_id") % 97 == 0)
@@ -2108,8 +2111,11 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         mixed = ftext.stratified_sample(
             clean, quotas={"en": 40, "zh": 60, "es": 80}
-        )
-        packed = ftext.pack_sequences(mixed, budget=128, n_shards=8)
+        ).persist()
+        # persist: the shard-count derivation inside pack_sequences
+        # counts `mixed`, and the final lang join reads it again --
+        # without the cache the 5-stage chain would run three times
+        packed = ftext.pack_sequences(mixed, budget=128)
         return packed.join(
             mixed.select("doc_id", "lang"), "doc_id"
         ).select("doc_id", "lang", "shard", "n_tokens", "pack_id")
@@ -3416,9 +3422,18 @@ def oracle_sql() -> Dict[str, str]:
       WHERE draw < CASE lang WHEN 'en' THEN 40 WHEN 'zh' THEN 60
                              WHEN 'es' THEN 80 ELSE 100 END
     ),
+    ns AS (
+      -- mirrors text.derive_n_shards on the mixed corpus
+      SELECT CASE WHEN COUNT(*) <= 8000000 THEN 8
+                  ELSE GREATEST(8, CAST(ceil(CAST(COUNT(*) AS DOUBLE)
+                                             / 1000000.0) AS BIGINT))
+             END AS k
+      FROM mixed
+    ),
     r AS (
-      SELECT doc_id, lang, n_tokens, doc_id % 8 AS shard,
-             row_number() OVER (PARTITION BY doc_id % 8
+      SELECT doc_id, lang, n_tokens,
+             doc_id % (SELECT k FROM ns) AS shard,
+             row_number() OVER (PARTITION BY doc_id % (SELECT k FROM ns)
                                 ORDER BY doc_id) AS rn
       FROM mixed
     ),
@@ -3440,8 +3455,16 @@ def oracle_sql() -> Dict[str, str]:
     """
 
     o["pack_sequences"] = """
-    WITH RECURSIVE d AS (
-      SELECT doc_id, doc_id % 8 AS shard,
+    WITH RECURSIVE ns AS (
+      -- mirrors text.derive_n_shards: ~1e6 docs per shard, min 8
+      SELECT CASE WHEN COUNT(*) <= 8000000 THEN 8
+                  ELSE GREATEST(8, CAST(ceil(CAST(COUNT(*) AS DOUBLE)
+                                             / 1000000.0) AS BIGINT))
+             END AS k
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, doc_id % (SELECT k FROM ns) AS shard,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
       FROM documents
     ),

@@ -333,6 +333,81 @@ class TestSeamZigzag:
         assert expected.max() > 300  # the zigzag accumulates deep
         assert np.array_equal(got, expected)
 
+    def test_res12_64px_accumulate_derives_tile_px(self, spark):
+        """tile_px=None derives the tile edge from the cell res (64 px
+        at res 12) -- no module-constant tile size in the accumulate
+        path; result equals the global kernel on the stitched array."""
+        t = 64
+        size = 2 * t
+        ii, jj = np.meshgrid(
+            np.arange(size), np.arange(size), indexing="ij"
+        )
+        arr = np.clip(
+            np.round(np.abs(ii - 70) * 0.5 + (size - jj) * 0.05),
+            0, 254,
+        ).astype(np.uint8)
+        dem = arr.astype(np.float64).copy()
+        flow.fill_simple_depressions(dem)
+        d = flow.calculate_flow_direction(dem)
+        rows = []
+        for ty in range(2):
+            for tx in range(2):
+                sub = d[ty * t:(ty + 1) * t, tx * t:(tx + 1) * t]
+                rows.append(
+                    (
+                        int(pack_cell(12, 40 + tx, 70 + ty)),
+                        codecs.png_encode(sub),
+                        "png",
+                    )
+                )
+        tiles = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["cell_id", "bytes", "fmt"]),
+            schema="cell_id long, bytes binary, fmt string",
+        )
+        out = flow_op.accumulate_tiles(tiles).collect()
+        canvas = np.zeros((size, size), dtype=np.int64)
+        for r in out:
+            res, ix, iy = (int(v) for v in unpack_cell(int(r.cell_id)))
+            ty, tx = iy - 70, ix - 40
+            px = np.frombuffer(
+                zlib.decompress(bytes(r.acc)), dtype=np.int64
+            ).reshape(t, t)
+            canvas[ty * t:(ty + 1) * t, tx * t:(tx + 1) * t] = px
+        expected = flow.accumulate(d).astype(np.int64)
+        assert expected.max() > t  # streams cross the seams
+        assert np.array_equal(canvas, expected)
+
+    def test_driver_tail_record_bound_raises(self, spark):
+        """The driver tail refuses to collect more in-flight records
+        than driver_tail_max_records (clear error, not an OOM)."""
+        import pytest
+
+        size = 2 * TILE
+        d = np.zeros((size, size), dtype=np.uint8)
+        E = 2
+        d[:, :-1] = E  # everything flows east across the seam
+        rows = []
+        for ty in range(2):
+            for tx in range(2):
+                sub = d[ty * TILE:(ty + 1) * TILE,
+                        tx * TILE:(tx + 1) * TILE]
+                rows.append(
+                    (
+                        int(pack_cell(10, 4 + tx, 7 + ty)),
+                        codecs.png_encode(sub),
+                        "png",
+                    )
+                )
+        tiles = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["cell_id", "bytes", "fmt"]),
+            schema="cell_id long, bytes binary, fmt string",
+        )
+        with pytest.raises(RuntimeError, match="driver_tail_max_records"):
+            flow_op.accumulate_tiles(
+                tiles, tail_threshold=10**9,
+                driver_tail_max_records=3,
+            ).collect()
+
     def test_round_cap_exhaustion_is_exact(self, spark):
         """A stream whose boundary flow needs more rounds than
         max_rounds, with tail_threshold=0 so the in-loop driver tail

@@ -35,6 +35,45 @@ def test_budget_invariant_and_order(spark):
         assert packs == sorted(packs)
 
 
+def test_derive_n_shards_scales_with_corpus():
+    """The applyInPandas group size is bounded by the derivation:
+    expected docs/shard <= target at any corpus size (the 10^12-doc
+    guard -- a fixed shard count would put n/8 rows in one group)."""
+    from raster_tools_spark.functions.text import (
+        MIN_SHARDS, TARGET_DOCS_PER_SHARD, derive_n_shards)
+
+    for n in (0, 1, 500, 8 * TARGET_DOCS_PER_SHARD):
+        assert derive_n_shards(n) == MIN_SHARDS
+    for n in (10**7, 10**9, 10**12):
+        k = derive_n_shards(n)
+        assert n / k <= TARGET_DOCS_PER_SHARD
+        assert k >= MIN_SHARDS
+    # derivation is monotone (more docs never means fewer shards)
+    ks = [derive_n_shards(n) for n in (10**6, 10**7, 10**8, 10**12)]
+    assert ks == sorted(ks)
+
+
+def test_default_shards_derived_and_bounded(spark):
+    """n_shards=None derives the count; every shard group stays under
+    the target and the budget invariant still holds."""
+    from raster_tools_spark.functions.text import derive_n_shards
+
+    rows = [(i, " ".join(["w"] * (5 + (i * 7) % 40))) for i in range(60)]
+    out = ftext.pack_sequences(_docs(spark, rows), budget=64).collect()
+    assert len(out) == 60
+    k = derive_n_shards(60)
+    assert {r.shard for r in out} <= set(range(k))
+    # forcing a tiny target proves the multi-shard path end-to-end:
+    # 60 docs / target 8 -> >= 8 shards, each group <= target-ish
+    out2 = ftext.pack_sequences(
+        _docs(spark, rows), budget=64,
+        n_shards=derive_n_shards(60, target_docs_per_shard=8),
+    ).collect()
+    from collections import Counter
+    per_shard = Counter(r.shard for r in out2)
+    assert max(per_shard.values()) <= 8 + 1  # % sharding is near-even
+
+
 def test_oversized_doc_gets_own_pack(spark):
     rows = [(0, " ".join(["w"] * 10)), (1, " ".join(["w"] * 200)),
             (2, " ".join(["w"] * 10))]
