@@ -251,6 +251,318 @@ def _exact_rect_difference(rect, cutters):
     return _trace_rectilinear(occ, xs, ys)
 
 
+def _convex_ring_of(wkb_bytes: bytes):
+    """CCW open ring when the WKB is a single-ring STRICTLY convex
+    polygon (no holes, no collinear vertices), else None -- the gate
+    of the exact convex-difference fast path."""
+    rings = geom._rings_of(wkb_bytes)
+    if len(rings) != 1:
+        return None
+    ring = np.asarray(rings[0], dtype=np.float64)
+    if len(ring) >= 2 and np.array_equal(ring[0], ring[-1]):
+        ring = ring[:-1]
+    if len(ring) < 3:
+        return None
+    area2 = float(
+        np.sum(
+            ring[:, 0] * np.roll(ring[:, 1], -1)
+            - np.roll(ring[:, 0], -1) * ring[:, 1]
+        )
+    )
+    if area2 == 0.0:
+        return None
+    if area2 < 0.0:
+        ring = ring[::-1]
+    v1 = np.roll(ring, -1, axis=0) - ring
+    v2 = np.roll(v1, -1, axis=0)
+    cross = v1[:, 0] * v2[:, 1] - v1[:, 1] * v2[:, 0]
+    if np.any(cross <= 0.0):
+        return None
+    return ring
+
+
+def _signed_area(ring) -> float:
+    """Shoelace signed area of an OPEN ring."""
+    x, y = ring[:, 0], ring[:, 1]
+    return 0.5 * float(
+        np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+    )
+
+
+def _pt_in_ring(pt, ring) -> bool:
+    """Even-odd ray cast of one point against an open ring."""
+    x, y = float(pt[0]), float(pt[1])
+    inside = False
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        if (y1 > y) != (y2 > y):
+            xc = x1 + (y - y1) / (y2 - y1) * (x2 - x1)
+            if x < xc:
+                inside = not inside
+    return inside
+
+
+def _sh_clip(subject, clip_convex):
+    """Sutherland-Hodgman: subject ring (any simple) clipped to a
+    CONVEX CCW ring.  Returns the (possibly empty) open result ring."""
+    out = [tuple(p) for p in subject]
+    m = len(clip_convex)
+    for k in range(m):
+        if not out:
+            return []
+        cx1, cy1 = clip_convex[k]
+        cx2, cy2 = clip_convex[(k + 1) % m]
+        ex, ey = cx2 - cx1, cy2 - cy1
+        inp = out
+        out = []
+        prev = inp[-1]
+        prev_in = (
+            ex * (prev[1] - cy1) - ey * (prev[0] - cx1)
+        ) >= 0.0
+        for cur in inp:
+            cur_in = (
+                ex * (cur[1] - cy1) - ey * (cur[0] - cx1)
+            ) >= 0.0
+            if cur_in != prev_in:
+                # edge crosses the clip line: interpolate
+                d1 = ex * (prev[1] - cy1) - ey * (prev[0] - cx1)
+                d2 = ex * (cur[1] - cy1) - ey * (cur[0] - cx1)
+                t = d1 / (d1 - d2)
+                out.append(
+                    (
+                        prev[0] + t * (cur[0] - prev[0]),
+                        prev[1] + t * (cur[1] - prev[1]),
+                    )
+                )
+            if cur_in:
+                out.append(cur)
+            prev, prev_in = cur, cur_in
+    return out
+
+
+def _proper_crossings(A, B):
+    """All strictly-interior edge crossings between open rings A and B:
+    [(ia, ta, ib, tb, (x, y))].  eps-interior so shared vertices /
+    tangencies read as 'not general position' (caller falls back)."""
+    eps = 1e-9
+    hits = []
+    na, nb = len(A), len(B)
+    for ia in range(na):
+        p1, p2 = A[ia], A[(ia + 1) % na]
+        rx, ry = p2[0] - p1[0], p2[1] - p1[1]
+        for ib in range(nb):
+            q1, q2 = B[ib], B[(ib + 1) % nb]
+            sx, sy = q2[0] - q1[0], q2[1] - q1[1]
+            den = rx * sy - ry * sx
+            if den == 0.0:
+                continue
+            qpx, qpy = q1[0] - p1[0], q1[1] - p1[1]
+            t = (qpx * sy - qpy * sx) / den
+            u = (qpx * ry - qpy * rx) / den
+            if eps < t < 1 - eps and eps < u < 1 - eps:
+                hits.append(
+                    (ia, t, ib, u,
+                     (p1[0] + t * rx, p1[1] + t * ry))
+                )
+    return hits
+
+
+def _touches_boundary(pts, ring, eps: float = 1e-9) -> bool:
+    """True when any vertex of ``pts`` lies within ``eps`` of an edge
+    of ``ring`` -- the shared-vertex / vertex-on-edge degeneracies the
+    difference walk must not attempt."""
+    n = len(ring)
+    for p in pts:
+        px, py = float(p[0]), float(p[1])
+        for i in range(n):
+            ax, ay = ring[i]
+            bx, by = ring[(i + 1) % n]
+            dx, dy = bx - ax, by - ay
+            L2 = dx * dx + dy * dy
+            if L2 == 0.0:
+                continue
+            t = ((px - ax) * dx + (py - ay) * dy) / L2
+            t = min(1.0, max(0.0, t))
+            qx, qy = ax + t * dx, ay + t * dy
+            if (px - qx) ** 2 + (py - qy) ** 2 < eps * eps:
+                return True
+    return False
+
+
+def _gh_difference(A, B):
+    """Exact boundary rings of simple CCW polygon A minus simple CCW
+    polygon B (Greiner-Hormann-style walk: A forward outside B, B
+    backward inside A), GENERAL POSITION ONLY -- every crossing
+    strictly interior to both edges, no shared vertices.  Returns
+    [(closed coords, signed area)] with outers CCW (>0), holes CW
+    (<0); returns None when the walk cannot complete (caller must
+    fall back to the raster path)."""
+    if _touches_boundary(B, A) or _touches_boundary(A, B):
+        return None                        # tangency: not general pos.
+    hits = _proper_crossings(A, B)
+    if not hits:
+        if _pt_in_ring(A[0], B):
+            return []                      # A swallowed by B
+        if _pt_in_ring(B[0], A):
+            rev = np.asarray(B[::-1], dtype=np.float64)
+            return [
+                (np.vstack([A, A[:1]]).astype(np.float64),
+                 _signed_area(np.asarray(A))),
+                (np.vstack([rev, rev[:1]]), -_signed_area(
+                    np.asarray(B))),
+            ]                              # B is an interior hole
+        return [
+            (np.vstack([A, A[:1]]).astype(np.float64),
+             _signed_area(np.asarray(A)))
+        ]                                  # disjoint
+    if len(hits) % 2 != 0:
+        return None
+    # cyclic node lists: polygon vertices with crossings spliced in
+    na, nb = len(A), len(B)
+    nodesA: list = []
+    nodesB: list = []
+    for ia in range(na):
+        nodesA.append(("v", tuple(A[ia])))
+        for h in sorted(
+            (h for h in range(len(hits)) if hits[h][0] == ia),
+            key=lambda h: hits[h][1],
+        ):
+            nodesA.append(("x", h))
+    for ib in range(nb):
+        nodesB.append(("v", tuple(B[ib])))
+        for h in sorted(
+            (h for h in range(len(hits)) if hits[h][2] == ib),
+            key=lambda h: hits[h][3],
+        ):
+            nodesB.append(("x", h))
+    idxA = {v: i for i, (k, v) in enumerate(nodesA) if k == "x"}
+    idxB = {v: i for i, (k, v) in enumerate(nodesB) if k == "x"}
+    # exit nodes: the A-walk leaves B here (the point immediately
+    # after the crossing along A is outside B)
+    exits = []
+    for h in range(len(hits)):
+        i = (idxA[h] + 1) % len(nodesA)
+        kind, val = nodesA[i]
+        probe = val if kind == "v" else hits[val][4]
+        mid = (
+            0.5 * (hits[h][4][0] + probe[0]),
+            0.5 * (hits[h][4][1] + probe[1]),
+        )
+        if not _pt_in_ring(mid, B):
+            exits.append(h)
+    if not exits or len(exits) * 2 != len(hits):
+        return None
+    used: set = set()
+    rings = []
+    for start in exits:
+        if start in used:
+            continue
+        pts: list = []
+        cur = start
+        guard = 0
+        while True:
+            guard += 1
+            if guard > len(hits) + 2:
+                return None
+            # A-forward leg: from exit `cur` to the next crossing
+            used.add(cur)
+            pts.append(hits[cur][4])
+            i = idxA[cur]
+            while True:
+                i = (i + 1) % len(nodesA)
+                kind, val = nodesA[i]
+                if kind == "v":
+                    pts.append(val)
+                else:
+                    entry = val
+                    break
+            if entry == start:
+                break
+            if entry in used:
+                return None
+            # B-backward leg: from `entry` to the next crossing
+            used.add(entry)
+            pts.append(hits[entry][4])
+            j = idxB[entry]
+            while True:
+                j = (j - 1) % len(nodesB)
+                kind, val = nodesB[j]
+                if kind == "v":
+                    pts.append(val)
+                else:
+                    cur = val
+                    break
+            if cur == start:
+                break
+            if cur in used:
+                return None
+        ring = np.asarray(pts, dtype=np.float64)
+        rings.append(
+            (np.vstack([ring, ring[:1]]), _signed_area(ring))
+        )
+    return rings
+
+
+def _convex_difference_rings(subject_ring, cutter_rings):
+    """Exact remainder rings of a convex subject minus convex cutters
+    whose in-subject parts are PAIRWISE DISJOINT; None when the gate
+    or an internal consistency check fails (caller falls back to the
+    raster path).  The area identity sum(outer) - sum(holes) ==
+    area(S) - sum(area(S n Ci)) is verified, so a walk gone wrong can
+    never ship a wrong answer."""
+    s_area = _signed_area(subject_ring)
+    clipped = []
+    for c in cutter_rings:
+        p = _sh_clip(c, subject_ring)
+        if len(p) >= 3:
+            a = _signed_area(np.asarray(p))
+            if a > 1e-9:
+                clipped.append((c, p, a))
+    # pairwise disjoint in-subject parts (convex n convex via SH)
+    for i in range(len(clipped)):
+        for j in range(i + 1, len(clipped)):
+            inter = _sh_clip(clipped[i][1],
+                             np.asarray(clipped[j][0]))
+            if len(inter) >= 3 and abs(
+                _signed_area(np.asarray(inter))
+            ) > 1e-9:
+                return None
+    outers = [np.asarray(subject_ring, dtype=np.float64)]
+    holes = []
+    for c, _p, _a in clipped:
+        affected = []
+        rest = []
+        for o in outers:
+            touches = (
+                _proper_crossings(o, c)
+                or _pt_in_ring(c[0], o)
+                or _pt_in_ring(o[0], c)
+            )
+            (affected if touches else rest).append(o)
+        new_outers = list(rest)
+        for o in affected:
+            res = _gh_difference([tuple(x) for x in o],
+                                 [tuple(x) for x in c])
+            if res is None:
+                return None
+            for coords, sarea in res:
+                if sarea > 0:
+                    new_outers.append(coords[:-1])
+                else:
+                    holes.append((coords, sarea))
+        outers = new_outers
+    rings = [
+        (np.vstack([o, o[:1]]), _signed_area(o)) for o in outers
+    ] + holes
+    got = sum(a for _, a in rings)
+    want = s_area - sum(a for _, _, a in clipped)
+    if abs(got - want) > 1e-6 * max(1.0, abs(s_area)):
+        return None
+    return rings
+
+
 def _ring_is_hole(ring, mask) -> bool:
     """A ring is a HOLE iff the pixel center it encloses next to its
     first vertex is False.  The first vertex sits on the edge between
@@ -320,47 +632,57 @@ def mask_difference_polygons(
         wkb1 = bytes(pdf["wkb1"].iloc[0])
         cols = ["feat_id", "ring_id", "n_pts", "area", "is_hole",
                 "geom_wkb"]
-        # EXACT fast path: when the feature and every candidate cutter
-        # are axis-aligned rectangles (the reference oracle corpus),
-        # slab decomposition gives the GEOS-exact remainder -- no
-        # rasterization, no half-pixel chamfer.  Any non-rectangle
-        # falls through to the marching-squares general path.
+        cutter_bytes: list = []
+        seen_c: set = set()
+        for lst in pdf["wkbs2"]:
+            if lst is None:
+                continue
+            for b in lst:
+                key = bytes(b)
+                if key in seen_c:
+                    continue
+                seen_c.add(key)
+                cutter_bytes.append(key)
+
+        def _emit(rings):
+            # outer rings first, then holes, largest first
+            rings.sort(key=lambda t: (t[1] < 0, -abs(t[1])))
+            rows = [
+                (
+                    int(pdf["feat_id"].iloc[0]),
+                    rid,
+                    int(len(coords)),
+                    abs(sarea),
+                    bool(sarea < 0),
+                    _wkb.polygon_wkb(coords),
+                )
+                for rid, (coords, sarea) in enumerate(rings)
+            ]
+            return pd.DataFrame(rows, columns=cols)
+
+        # EXACT fast path 1: feature and every candidate cutter are
+        # axis-aligned rectangles (the reference oracle corpus) --
+        # slab decomposition gives the GEOS-exact remainder, no
+        # rasterization, no half-pixel chamfer, overlapping cutters
+        # welcome.
         rect1 = _rect_of(wkb1)
         if rect1 is not None:
-            cutters = []
-            aligned = True
-            seen_c: set = set()
-            for lst in pdf["wkbs2"]:
-                if lst is None:
-                    continue
-                for b in lst:
-                    key = bytes(b)
-                    if key in seen_c:
-                        continue
-                    seen_c.add(key)
-                    r = _rect_of(key)
-                    if r is None:
-                        aligned = False
-                        break
-                    cutters.append(r)
-                if not aligned:
-                    break
-            if aligned:
-                rings = _exact_rect_difference(rect1, cutters)
-                # outer rings first, then holes, largest first
-                rings.sort(key=lambda t: (t[1] < 0, -abs(t[1])))
-                rows = [
-                    (
-                        int(pdf["feat_id"].iloc[0]),
-                        rid,
-                        int(len(coords)),
-                        abs(sarea),
-                        bool(sarea < 0),
-                        _wkb.polygon_wkb(coords),
-                    )
-                    for rid, (coords, sarea) in enumerate(rings)
-                ]
-                return pd.DataFrame(rows, columns=cols)
+            cutters = [_rect_of(k) for k in cutter_bytes]
+            if all(r is not None for r in cutters):
+                return _emit(_exact_rect_difference(rect1, cutters))
+        # EXACT fast path 2: strictly convex feature and cutters in
+        # general position with pairwise-disjoint in-feature parts --
+        # Sutherland-Hodgman + a difference walk give the GEOS-exact
+        # remainder (difference.py:41-57 semantics on the convex
+        # subset); an internal area identity guards the walk, and any
+        # gate failure falls through to marching squares.
+        conv1 = _convex_ring_of(wkb1)
+        if conv1 is not None:
+            convs = [_convex_ring_of(k) for k in cutter_bytes]
+            if all(c is not None for c in convs):
+                rings = _convex_difference_rings(conv1, convs)
+                if rings is not None:
+                    return _emit(rings)
         env = geom.envelope(wkb1)
         j0 = _math.floor(env[0] / pixel)
         j1 = _math.ceil(env[1] / pixel)

@@ -2255,6 +2255,60 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["difference_rings"] = difference_rings
 
+    def _conv_base(n: int):
+        tx, ty = (n * 7) % 16, (n * 13) % 16
+        off = 64.0 * (n // 16)  # keep anchor-sharing features apart
+        cx = tx * 128.0 + 64.0 + off
+        cy = WORLD_TOP - ty * 128.0 - 64.0 - off
+        return cx, cy, float(8 + n % 5)
+
+    def _conv_l1(n: int) -> bytes:
+        cx, cy, r = _conv_base(n)
+        return wkb.polygon_wkb(
+            [(cx + r, cy), (cx, cy + r), (cx - r, cy), (cx, cy - r)]
+        )
+
+    def _conv_l2(n: int) -> bytes:
+        cx, cy, r = _conv_base(n)
+        if n % 3 == 0:
+            # half-space-like rectangle: cuts the right nib beyond
+            # x = cx + r/2 -> remainder area 7r^2/4, 5-corner ring
+            return wkb.box_wkb(
+                cx + r / 2.0, cy - 3.0 * r, cx + 3.0 * r, cy + 3.0 * r
+            )
+        if n % 3 == 1:
+            # small diamond over the right vertex (s = 4): removes the
+            # lens s^2/8 = 2 -> remainder area 2r^2 - 2, 6-corner ring
+            s = 4.0
+            c0 = cx + r + s / 2.0
+            return wkb.polygon_wkb(
+                [(c0 + s, cy), (c0, cy + s), (c0 - s, cy),
+                 (c0, cy - s)]
+            )
+        # strictly interior 4x4 square -> outer diamond + hole ring
+        return wkb.box_wkb(cx - 2.0, cy - 2.0, cx + 2.0, cy + 2.0)
+
+    def difference_convex(spark, sf_dir):
+        """Geometry-out polygon difference on ROTATED-CONVEX inputs,
+        ORACLE-CHECKED with EXACT closed-form areas: diamond subjects
+        (45-degree squares, area 2r^2) against a half-plane-like
+        rectangle cut (remainder 7r^2/4), a vertex-lens diamond cut
+        (remainder 2r^2 - 2), and a strictly interior square (outer
+        2r^2 + is_hole ring of 16).  Exercises the Sutherland-Hodgman
+        + difference-walk exact path (overlay._convex_difference_rings
+        -- the GEOS-exact difference.py:41-57 semantics beyond the
+        axis-aligned subset); no chamfer terms anywhere."""
+        from .operators import overlay
+
+        l1 = _nation_layer(spark, sf_dir, _conv_l1)
+        l2 = _nation_layer(spark, sf_dir, _conv_l2)
+        out = overlay.mask_difference_polygons(l1, l2, pixel=4.0)
+        return out.select(
+            "feat_id", "ring_id", "n_pts", "is_hole", "area"
+        )
+
+    q["difference_convex"] = difference_convex
+
     def stratified_sample(spark, sf_dir):
         """Language-balanced deterministic corpus downsampling
         (training-data mixing): md5-derived per-doc uniform draw vs
@@ -3581,6 +3635,26 @@ def oracle_sql() -> Dict[str, str]:
     SELECT k, CAST(1 AS INT), CAST(5 AS INT), TRUE,
            CAST(2*3 * 16.0 AS DOUBLE)
     FROM feats WHERE k % 2 = 1
+    """
+
+    o["difference_convex"] = """
+    WITH feats AS (
+      SELECT n_nationkey AS k,
+             CAST(8 + n_nationkey % 5 AS DOUBLE) AS r
+      FROM nation
+    )
+    SELECT k AS feat_id, CAST(0 AS INT) AS ring_id,
+           CAST(CASE k % 3 WHEN 0 THEN 6 WHEN 1 THEN 7 ELSE 5 END
+                AS INT) AS n_pts,
+           FALSE AS is_hole,
+           CAST(CASE k % 3 WHEN 0 THEN 7.0 * r * r / 4.0
+                           WHEN 1 THEN 2.0 * r * r - 2.0
+                           ELSE 2.0 * r * r END AS DOUBLE) AS area
+    FROM feats
+    UNION ALL
+    SELECT k, CAST(1 AS INT), CAST(5 AS INT), TRUE,
+           CAST(16.0 AS DOUBLE)
+    FROM feats WHERE k % 3 = 2
     """
 
     o["stratified_sample"] = """

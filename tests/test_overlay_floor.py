@@ -296,3 +296,118 @@ def test_exact_rings_never_carry_collinear_start():
             assert not (
                 (a[0] == b[0] == c[0]) or (a[1] == b[1] == c[1])
             )
+
+
+class TestConvexExactDifference:
+    """Sutherland-Hodgman + difference-walk exact path: closed forms
+    on rotated fixtures, Monte Carlo membership on random ellipses,
+    and the tangency fallback."""
+
+    @staticmethod
+    def _diamond(cx, cy, r):
+        import numpy as np
+
+        return np.array(
+            [(cx + r, cy), (cx, cy + r), (cx - r, cy), (cx, cy - r)],
+            dtype=float,
+        )
+
+    @staticmethod
+    def _ellipse(cx, cy, a, b, phase, n=9):
+        """Strictly convex ring: n distinct points on an ellipse."""
+        import numpy as np
+
+        th = phase + np.linspace(0.0, 2 * np.pi, n, endpoint=False)
+        return np.column_stack(
+            [cx + a * np.cos(th), cy + b * np.sin(th)]
+        )
+
+    def test_closed_forms(self):
+        import numpy as np
+
+        from raster_tools_spark.operators.overlay import (
+            _convex_difference_rings)
+
+        S = self._diamond(0.0, 0.0, 8.0)
+        # half-plane cut: remainder 7r^2/4
+        rect = np.array(
+            [(4.0, -24.0), (24.0, -24.0), (24.0, 24.0), (4.0, 24.0)]
+        )
+        rings = _convex_difference_rings(S, [rect])
+        assert [round(a, 9) for _, a in rings] == [112.0]
+        # vertex lens: remainder 2r^2 - s^2/8
+        lens = self._diamond(10.0, 0.0, 4.0)
+        rings = _convex_difference_rings(S, [lens])
+        assert [round(a, 9) for _, a in rings] == [126.0]
+        # interior hole: outer + CW hole
+        hole = np.array(
+            [(-2.0, -2.0), (2.0, -2.0), (2.0, 2.0), (-2.0, 2.0)]
+        )
+        rings = _convex_difference_rings(S, [hole])
+        assert sorted(round(a, 9) for _, a in rings) == [-16.0, 128.0]
+        # splitting band: two 36-area triangles
+        band = np.array(
+            [(-2.0, -24.0), (2.0, -24.0), (2.0, 24.0), (-2.0, 24.0)]
+        )
+        rings = _convex_difference_rings(S, [band])
+        assert sorted(round(a, 9) for _, a in rings) == [36.0, 36.0]
+
+    def test_monte_carlo_membership(self):
+        """Random convex subject/cutter pairs: a random point is in
+        the remainder rings (even-odd over outers+holes) iff it is in
+        S and not in C -- the walk's output is the true difference."""
+        import numpy as np
+
+        from raster_tools_spark.operators.overlay import (
+            _convex_difference_rings, _pt_in_ring)
+
+        rng = np.random.default_rng(7)
+        done = 0
+        for trial in range(40):
+            S = self._ellipse(
+                0.0, 0.0, 10.0 + rng.random() * 6, 7.0 + rng.random() * 6,
+                rng.random(), n=int(rng.integers(5, 11)),
+            )
+            C = self._ellipse(
+                float(rng.uniform(-12, 12)), float(rng.uniform(-9, 9)),
+                3.0 + rng.random() * 6, 2.0 + rng.random() * 6,
+                rng.random(), n=int(rng.integers(5, 11)),
+            )
+            rings = _convex_difference_rings(S, [C])
+            if rings is None:
+                continue  # degenerate draw fell back; fine
+            done += 1
+            for _ in range(120):
+                p = (float(rng.uniform(-18, 18)),
+                     float(rng.uniform(-15, 15)))
+                want = _pt_in_ring(p, S) and not _pt_in_ring(p, C)
+                got = False
+                for coords, _a in rings:
+                    if _pt_in_ring(p, coords[:-1]):
+                        got = not got  # even-odd across outers/holes
+                assert got == want, (trial, p)
+        assert done >= 30  # the path must actually engage
+
+    def test_tangency_falls_back(self):
+        """A cutter vertex ON the subject boundary is not general
+        position: the exact path must refuse (None), not guess."""
+        import numpy as np
+
+        from raster_tools_spark.operators.overlay import (
+            _convex_difference_rings)
+
+        S = self._diamond(0.0, 0.0, 8.0)
+        # cutter vertex exactly on the subject's right vertex with its
+        # body INSIDE the subject: zero proper crossings, nonzero
+        # overlap -- the area-identity guard must refuse
+        C = np.array(
+            [(8.0, 0.0), (-2.0, 3.0), (-2.0, -3.0)], dtype=float
+        )
+        assert _convex_difference_rings(S, [C]) is None
+        # point-touch with NO overlap is fine: remainder == subject
+        C2 = np.array(
+            [(8.0, 0.0), (14.0, -4.0), (14.0, 4.0)], dtype=float
+        )
+        rings = _convex_difference_rings(S, [C2])
+        assert rings is not None
+        assert [round(a, 9) for _, a in rings] == [128.0]
