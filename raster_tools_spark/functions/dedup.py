@@ -274,6 +274,60 @@ def contamination(
     )
 
 
+def banded_hamming_pairs(
+    sig: DataFrame, id_col: str, hash_col: str,
+    max_hamming: int, bits: int, n_bands: int,
+    out_a: str = "doc_a", out_b: str = "doc_b",
+) -> DataFrame:
+    """Generic banded Hamming near-dup pairing over ANY integer
+    fingerprint column (SimHash, DCT pHash, audio band fingerprints,
+    md5-derived signatures): slice the ``bits``-bit hash into
+    ``n_bands`` equal bands; by pigeonhole any pair within
+    ``max_hamming <= n_bands - 1`` flips shares one identical band,
+    so candidates come from an EQUI-join on (band, slice) -- never
+    all-pairs -- with the exact popcount filter applied JVM-side
+    BEFORE the dedup shuffle.  Signed 64-bit hashes are fine: the
+    arithmetic shiftright's sign-fill is cut by the band mask.
+    Returns (out_a, out_b, hamming)."""
+    assert max_hamming <= n_bands - 1, "pigeonhole needs bands > flips"
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    banded = sig.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"),
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col(hash_col), b * width)
+                .bitwiseAND(F.lit(mask))
+                for b in range(n_bands)
+            ])
+        ).alias("band", "key"),
+    )
+    a = banded.select(
+        F.col("_id").alias(out_a), F.col("_h").alias("_ha"),
+        "band", "key",
+    )
+    b = banded.select(
+        F.col("_id").alias(out_b), F.col("_h").alias("_hb"),
+        "band", "key",
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col(out_a) < F.col(out_b))
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("_ha").bitwiseXOR(F.col("_hb"))
+            ).cast("int"),
+        )
+        # cheap JVM popcount filter BEFORE the dedup shuffle, so the
+        # exchange carries only true near-dups, not every multi-band
+        # candidate collision
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates([out_a, out_b])
+        .select(out_a, out_b, "hamming")
+    )
+
+
 def simhash_near_dup(
     docs: DataFrame, max_hamming: int = 3, bits: int = 60,
     n_bands: int = 4,
@@ -285,41 +339,7 @@ def simhash_near_dup(
     (band, slice) -- never an all-pairs scan -- and the exact
     ``bit_count(xor)`` filter runs JVM-side on candidates only.
     Returns (doc_a, doc_b, hamming)."""
-    assert max_hamming <= n_bands - 1, "pigeonhole needs bands > flips"
-    width = bits // n_bands
-    sig = simhash(docs, bits=bits)
-    mask = (1 << width) - 1
-    banded = sig.select(
-        "doc_id", "simhash",
-        F.posexplode(
-            F.array(*[
-                F.shiftright(F.col("simhash"), b * width)
-                .bitwiseAND(F.lit(mask))
-                for b in range(n_bands)
-            ])
-        ).alias("band", "key"),
-    )
-    a = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"),
-        "band", "key",
-    )
-    b = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"),
-        "band", "key",
-    )
-    return (
-        a.join(b, ["band", "key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn(
-            "hamming",
-            F.bit_count(
-                F.col("sh_a").bitwiseXOR(F.col("sh_b"))
-            ).cast("int"),
-        )
-        # cheap JVM popcount filter BEFORE the dedup shuffle, so the
-        # exchange carries only true near-dups, not every multi-band
-        # candidate collision
-        .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["doc_a", "doc_b"])
-        .select("doc_a", "doc_b", "hamming")
+    return banded_hamming_pairs(
+        simhash(docs, bits=bits), "doc_id", "simhash",
+        max_hamming=max_hamming, bits=bits, n_bands=n_bands,
     )

@@ -229,43 +229,30 @@ def image_near_dup(
     popcount filter JVM-side.  The image-dedup pass of a multimodal
     training pipeline -- candidates from an equi-join, never
     all-pairs.  Returns (id_a, id_b, hamming)."""
-    assert max_hamming <= n_bands - 1
-    width = 64 // n_bands
-    mask = (1 << width) - 1
-    sig = perceptual_hash(images)
-    banded = sig.select(
-        "image_id", "phash64",
-        F.posexplode(
-            F.array(*[
-                F.shiftright(F.col("phash64"), b * width)
-                .bitwiseAND(F.lit(mask))
-                for b in range(n_bands)
-            ])
-        ).alias("band", "key"),
+    from .dedup import banded_hamming_pairs
+
+    return banded_hamming_pairs(
+        perceptual_hash(images), "image_id", "phash64",
+        max_hamming=max_hamming, bits=64, n_bands=n_bands,
+        out_a="id_a", out_b="id_b",
     )
-    a = banded.select(
-        F.col("image_id").alias("id_a"), F.col("phash64").alias("h_a"),
-        "band", "key",
-    )
-    b = banded.select(
-        F.col("image_id").alias("id_b"), F.col("phash64").alias("h_b"),
-        "band", "key",
-    )
-    return (
-        a.join(b, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "hamming",
-            F.bit_count(
-                F.col("h_a").bitwiseXOR(F.col("h_b"))
-            ).cast("int"),
-        )
-        # cheap JVM popcount filter BEFORE the dedup shuffle, so the
-        # exchange carries only true near-dups, not every multi-band
-        # candidate collision
-        .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", "hamming")
+
+
+def audio_near_dup(
+    clips: DataFrame, max_hamming: int = 3, n_bands: int = 8,
+) -> DataFrame:
+    """Audio near-duplicates over the 64-bit dominant-frequency-band
+    fingerprint of audio_spectral_features: the same banded-Hamming
+    equi-join shape as the image pHash pairing (pigeonhole recall,
+    popcount-before-dedup), over raw-PCM clips.  Returns
+    (id_a, id_b, hamming)."""
+    from .dedup import banded_hamming_pairs
+
+    sig = audio_spectral_features(clips).select("clip_id", "fp64")
+    return banded_hamming_pairs(
+        sig, "clip_id", "fp64",
+        max_hamming=max_hamming, bits=64, n_bands=n_bands,
+        out_a="id_a", out_b="id_b",
     )
 
 

@@ -2080,6 +2080,106 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_near_dup_phash"] = image_near_dup_phash
 
+    def audio_near_dup(spark, sf_dir):
+        """Audio-dedup pass over raw PCM (rows-only: the FFT band
+        fingerprint has no SQL mirror; recall is property-tested in
+        test_phash.py): planted same-tone twins must marry through
+        the banded fp64 Hamming join without an all-pairs scan."""
+        from .functions import multimodal
+
+        sr = 16000
+
+        def gen(batches):
+            t = np.arange(sr) / sr
+            for pdf in batches:
+                rows = []
+                for k in pdf["id"]:
+                    k = int(k)
+                    f = (2 * (k % 24) + 5 + 0.5) * (sr / 2.0) / 64.0
+                    base = np.sin(2 * np.pi * f * t)
+                    # deterministic micro-jitter for the twin
+                    jit = 0.004 * np.sin(2 * np.pi * 7901.0 * t + k)
+                    for suf, s in (("a", base), ("b", base + jit)):
+                        rows.append(
+                            (f"clip_{k:04d}{suf}",
+                             (np.clip(s, -1, 1) * 32000)
+                             .astype("<i2").tobytes())
+                        )
+                yield pd.DataFrame(rows, columns=["clip_id", "bytes"])
+
+        clips = spark.range(0, 24, 1, 8).mapInPandas(
+            gen, "clip_id string, bytes binary"
+        )
+        return multimodal.audio_near_dup(clips, max_hamming=1)
+
+    q["audio_near_dup"] = audio_near_dup
+
+    def multimodal_curation(spark, sf_dir):
+        """END-TO-END multimodal curation as ONE oracle-hard query:
+        every document row doubles as a multimodal record carrying a
+        60-bit image perceptual hash and a 60-bit audio fingerprint
+        (md5-derived so DuckDB rebuilds them bit-identically -- the
+        DCT/FFT extractors themselves are property-tested and proven
+        on the rows-only twins queries).  Planted twins (doc_id%10==0,
+        1-bit image flip, 2-bit audio flip) must be caught by BOTH
+        banded-Hamming near-dup stages (the image pHash pairing and
+        the audio fp64 pairing run the same banded_hamming_pairs
+        machinery being mirrored here); survivors aggregate per
+        language with a value checksum."""
+        docs = _t(spark, sf_dir, "documents")
+
+        def h15(prefix):
+            return F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(prefix),
+                                   F.col("doc_id").cast("string"))),
+                    1, 15,
+                ), 16, 10,
+            ).cast("long")
+
+        base = docs.select(
+            "doc_id", "lang",
+            h15("img").alias("phash"), h15("aud").alias("afp"),
+        )
+        tw = docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            "lang",
+            h15("img").bitwiseXOR(
+                F.expr("shiftleft(CAST(1 AS BIGINT), "
+                       "CAST(doc_id % 60 AS INT))")
+            ).alias("phash"),
+            h15("aud").bitwiseXOR(
+                F.expr("shiftleft(CAST(1 AS BIGINT), "
+                       "CAST(doc_id % 58 AS INT))")
+            ).bitwiseXOR(
+                F.expr("shiftleft(CAST(1 AS BIGINT), "
+                       "CAST(doc_id % 58 AS INT) + 1)")
+            ).alias("afp"),
+        )
+        recs = base.unionByName(tw)
+        img_pairs = fdedup.banded_hamming_pairs(
+            recs.select("doc_id", "phash"), "doc_id", "phash",
+            max_hamming=3, bits=60, n_bands=4,
+        )
+        aud_pairs = fdedup.banded_hamming_pairs(
+            recs.select("doc_id", "afp"), "doc_id", "afp",
+            max_hamming=3, bits=60, n_bands=4,
+        )
+        drops = (
+            img_pairs.select(F.col("doc_b").alias("doc_id"))
+            .unionByName(
+                aud_pairs.select(F.col("doc_b").alias("doc_id"))
+            )
+            .distinct()
+        )
+        surv = recs.join(drops, "doc_id", "left_anti")
+        return surv.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("phash") % 1000003).alias("chk"),
+        )
+
+    q["multimodal_curation"] = multimodal_curation
+
     def curation_pipeline(spark, sf_dir):
         """END-TO-END corpus curation, the composition a training
         pipeline actually runs, as ONE oracle-hard query: exact dedup
@@ -2309,6 +2409,47 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["difference_convex"] = difference_convex
 
+    def _srs_l1(n: int) -> bytes:
+        x1, y1 = n * 3.0, n * 2.0
+        x2, y2 = x1 + 4 + n % 3, y1 + 5 + n % 4
+        if n % 2 == 0:
+            return wkb.box_wkb(x1, y1, x2, y2)
+        return wkb.multipolygon_wkb([
+            wkb.box_wkb(x1, y1, x2, y2),
+            wkb.box_wkb(x1 + 20.0, y1 + 10.0, x2 + 20.0, y2 + 10.0),
+        ])
+
+    def srs_transform(spark, sf_dir):
+        """Planar CRS-to-CRS reprojection of a vector layer
+        (extract.py:574-580 semantics, planar frames): geometries
+        authored in a rotated/scaled/offset source frame are
+        transformed into a shrunk/offset destination frame via the
+        exact affine composition inv(dst) o src, in ONE shuffle-free
+        pandas UDF.  Oracle: closed-form transformed envelopes --
+        src (x,y) -> world (-2y+1000, 2x+500) -> dst (-4y+1980,
+        4x+960); mixed Polygon / MultiPolygon rows exercise both WKB
+        branches."""
+        from .operators import srs
+
+        src = (0.0, -2.0, 1000.0, 2.0, 0.0, 500.0)
+        dst = (0.5, 0.0, 10.0, 0.0, 0.5, 20.0)
+        layer = _nation_layer(spark, sf_dir, _srs_l1)
+        out = srs.transform_layer(layer, src=src, dst=dst)
+
+        @F.pandas_udf("array<double>")
+        def env(col: pd.Series) -> pd.Series:
+            return col.map(lambda b: list(wkb.envelope(bytes(b))))
+
+        return out.select(
+            "feat_id", env("geom_wkb").alias("e")
+        ).select(
+            "feat_id",
+            F.col("e")[0].alias("minx"), F.col("e")[1].alias("maxx"),
+            F.col("e")[2].alias("miny"), F.col("e")[3].alias("maxy"),
+        )
+
+    q["srs_transform"] = srs_transform
+
     def stratified_sample(spark, sf_dir):
         """Language-balanced deterministic corpus downsampling
         (training-data mixing): md5-derived per-doc uniform draw vs
@@ -2499,19 +2640,36 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["image_resize"] = image_resize
 
     # The driver's correctness gate inspects only the FIRST 50 registry
-    # entries: order the registry (1) a curated head of the strongest
-    # oracle-hard stencil/fill/flow/interp/remote queries, (2) the
+    # entries: order the registry (1) a curated head, (2) the
     # remaining oracle-backed queries in registration order, (3) the
     # rows-only Philox/realistic variants of machinery that is
     # oracle-proven elsewhere.  Derived from oracle_sql() so the
     # ordering self-corrects as oracles are added.
+    #
+    # ROUND-4 ROTATION (VERDICT r3 #1): the head now leads with the 32
+    # oracle-backed queries that sat beyond the round-3 window (so the
+    # union of round-3 + round-4 driver-green rows covers every
+    # SURVEY 2 operator), then this round's new/changed queries, then
+    # 13 round-3-proven anchors to fill the window.
     head = [
-        "hillshade_f4", "flow_direction_f4", "flow_accumulation_f4",
-        "fill_depressions_f4", "fill_voids_flat", "vectorize_streams",
-        "shadow_march_towers", "shadow_march_flat", "upstream_levels",
-        "grid_linear_tiles", "remote_extract", "stratified_sample",
-        "jdbc_reclass", "contamination", "pack_sequences",
-        "curation_pipeline",
+        # -- the 32 beyond-window r3 queries, driver-checked now --
+        "lsh_ann", "image_features", "retile_tiles", "floor_level",
+        "mask_difference", "union_area", "xyz_bin", "nodata_audit",
+        "area_guard", "rgb_zonal", "zonal_f4", "embedding_near_dup",
+        "sessionize", "ivf_ann", "token_regex", "rolling_fp",
+        "json_props", "line_carpet", "green_factor",
+        "grid_interpolate", "grid_idw", "zonal_expr", "line_drape",
+        "grid_linear", "fix_nodata", "streaming_dedup", "dedup_apply",
+        "simhash_near_dup", "contour_rect", "difference_rings",
+        "streaming_parity", "image_resize",
+        # -- new / changed in round 4 --
+        "difference_convex", "srs_transform", "multimodal_curation",
+        "pack_sequences", "curation_pipeline",
+        # -- round-3-proven anchors --
+        "pip_rect", "zonal_rect", "knn_grid", "dedup_clusters",
+        "minhash_lsh", "cosine_topk", "jdbc_reclass", "contamination",
+        "flow_accumulation_f4", "fill_depressions_f4",
+        "vectorize_streams", "shadow_march_towers", "hillshade_f4",
     ]
     hard = set(oracle_sql())
     ordered = {k: q[k] for k in head if k in q and k in hard}
@@ -3655,6 +3813,77 @@ def oracle_sql() -> Dict[str, str]:
     SELECT k, CAST(1 AS INT), CAST(5 AS INT), TRUE,
            CAST(16.0 AS DOUBLE)
     FROM feats WHERE k % 3 = 2
+    """
+
+    o["multimodal_curation"] = """
+    WITH recs AS (
+      SELECT doc_id, lang,
+        CAST('0x' || substring(md5('img' || CAST(doc_id AS VARCHAR)),
+             1, 15) AS BIGINT) AS phash,
+        CAST('0x' || substring(md5('aud' || CAST(doc_id AS VARCHAR)),
+             1, 15) AS BIGINT) AS afp
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, lang,
+        xor(CAST('0x' || substring(md5('img' ||
+              CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+            CAST(1 AS BIGINT) << CAST(doc_id % 60 AS INT)),
+        xor(CAST('0x' || substring(md5('aud' ||
+              CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+            (CAST(1 AS BIGINT) << CAST(doc_id % 58 AS INT))
+            | (CAST(1 AS BIGINT) << (CAST(doc_id % 58 AS INT) + 1)))
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    ib AS (
+      SELECT doc_id, phash, gb.b AS band,
+             (phash >> (gb.b * 15)) & 32767 AS key
+      FROM recs, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) gb
+    ),
+    ip AS (
+      SELECT DISTINCT b.doc_id AS doc_id
+      FROM ib a JOIN ib b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    ),
+    ab AS (
+      SELECT doc_id, afp, gb.b AS band,
+             (afp >> (gb.b * 15)) & 32767 AS key
+      FROM recs, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) gb
+    ),
+    ap AS (
+      SELECT DISTINCT b.doc_id AS doc_id
+      FROM ab a JOIN ab b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.afp, b.afp)) <= 3
+    ),
+    drops AS (SELECT doc_id FROM ip UNION SELECT doc_id FROM ap)
+    SELECT lang, COUNT(*) AS n,
+           CAST(SUM(phash % 1000003) AS BIGINT) AS chk
+    FROM recs WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+    GROUP BY lang
+    """
+
+    o["srs_transform"] = """
+    WITH feats AS (
+      SELECT n_nationkey AS k,
+             CAST(n_nationkey * 3 AS DOUBLE) AS x1,
+             CAST(n_nationkey * 2 AS DOUBLE) AS y1,
+             CAST(n_nationkey * 3 + 4 + n_nationkey % 3 AS DOUBLE)
+               AS x2,
+             CAST(n_nationkey * 2 + 5 + n_nationkey % 4 AS DOUBLE)
+               AS y2,
+             CASE WHEN n_nationkey % 2 = 1 THEN 20.0 ELSE 0.0 END
+               AS mx,
+             CASE WHEN n_nationkey % 2 = 1 THEN 10.0 ELSE 0.0 END
+               AS my
+      FROM nation
+    )
+    SELECT k AS feat_id,
+           CAST(-4.0 * (y2 + my) + 1980.0 AS DOUBLE) AS minx,
+           CAST(-4.0 * y1 + 1980.0 AS DOUBLE) AS maxx,
+           CAST(4.0 * x1 + 960.0 AS DOUBLE) AS miny,
+           CAST(4.0 * (x2 + mx) + 960.0 AS DOUBLE) AS maxy
+    FROM feats
     """
 
     o["stratified_sample"] = """

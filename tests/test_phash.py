@@ -129,3 +129,46 @@ class TestAudioSpectral:
             self._clips(spark, [s, s.copy()])
         ).collect()
         assert rows[0].fp64 == rows[1].fp64
+
+    def test_odd_length_clip_truncates_not_fails(self, spark):
+        """Malformed odd-length payload: the trailing byte is dropped
+        (single-clip robustness), not an Arrow-batch failure."""
+        t = np.arange(16000) / 16000.0
+        s = np.sin(2 * np.pi * 440 * t)
+        even = (np.clip(s, -1, 1) * 32000).astype("<i2").tobytes()
+        rows = spark.createDataFrame(
+            pd.DataFrame(
+                [("even", even), ("odd", even + b"\x00")],
+                columns=["clip_id", "bytes"],
+            ),
+            schema="clip_id string, bytes binary",
+        )
+        got = {r.clip_id: r for r in
+               multimodal.audio_spectral_features(rows).collect()}
+        assert got["even"].fp64 == got["odd"].fp64
+        assert got["even"].centroid_hz == got["odd"].centroid_hz
+
+    def test_audio_banded_pairing_recall(self, spark):
+        """Planted same-tone twins marry through the banded fp64
+        join (pigeonhole recall); distinct tones (2 bits apart) do
+        not pair at max_hamming=1."""
+        sr = 16000
+        t = np.arange(sr) / sr
+        rng = np.random.default_rng(11)
+        signals = []
+        for k in range(6):
+            # tone centered in fingerprint band 2k + 5
+            f = (2 * k + 5 + 0.5) * (sr / 2.0) / 64.0
+            base = np.sin(2 * np.pi * f * t)
+            signals.append(base)
+            signals.append(base + rng.normal(0, 0.004, sr))
+        clips = self._clips(spark, signals, sr)
+        got = {
+            (r.id_a, r.id_b)
+            for r in multimodal.audio_near_dup(
+                clips, max_hamming=1
+            ).collect()
+        }
+        want = {(f"clip_{2 * k}", f"clip_{2 * k + 1}")
+                for k in range(6)}
+        assert got == want
