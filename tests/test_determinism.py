@@ -56,8 +56,46 @@ contam = sorted(
         docs.filter("doc_id % 7 != 0"), docs.filter("doc_id % 7 = 0")
     ).collect()
 )
+# round-4 ops: exact convex difference and the planar SRS transform
+import numpy as np
+from raster_tools_spark import wkb
+from raster_tools_spark.operators import overlay, srs
+
+def _diamond(cx, cy, r):
+    return wkb.polygon_wkb(
+        [(cx + r, cy), (cx, cy + r), (cx - r, cy), (cx, cy - r)]
+    )
+
+l1 = spark.createDataFrame(
+    pd.DataFrame(
+        [(k, _diamond(k * 200.0 + 64.0, 500.0, 8.0 + k % 4))
+         for k in range(12)],
+        columns=["feat_id", "geom_wkb"],
+    )
+).repartition(cpus)
+l2 = spark.createDataFrame(
+    pd.DataFrame(
+        [(k, wkb.box_wkb(k * 200.0 + 64.0 + 2.0, 480.0,
+                         k * 200.0 + 120.0, 520.0))
+         for k in range(12)],
+        columns=["feat_id", "geom_wkb"],
+    )
+).repartition(cpus)
+diffs = sorted(
+    (r.feat_id, r.ring_id, r.n_pts, round(r.area, 9), r.is_hole)
+    for r in overlay.mask_difference_polygons(l1, l2, pixel=4.0)
+    .collect()
+)
+tf = sorted(
+    (r.feat_id, bytes(r.geom_wkb).hex())
+    for r in srs.transform_layer(
+        l1, src=(0.0, -2.0, 1000.0, 2.0, 0.0, 500.0),
+        dst=(0.5, 0.0, 10.0, 0.0, 0.5, 20.0),
+    ).collect()
+)
 print(json.dumps({"assign": assign, "pairs": pairs, "packs": packs,
-                  "near": near, "contam": contam}))
+                  "near": near, "contam": contam, "diffs": diffs,
+                  "tf": tf}))
 spark.stop()
 """
 
@@ -82,3 +120,5 @@ def test_bit_identical_across_parallelism():
     assert a["packs"] == b["packs"] and len(a["packs"]) == 60
     assert a["near"] == b["near"]
     assert a["contam"] == b["contam"] and len(a["contam"]) > 0
+    assert a["diffs"] == b["diffs"] and len(a["diffs"]) >= 12
+    assert a["tf"] == b["tf"] and len(a["tf"]) == 12

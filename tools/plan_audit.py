@@ -289,6 +289,57 @@ def main():
         ],
     )
 
+    # 5o. srs_transform: the layer reprojection is ONE Arrow-batched
+    # UDF over the scan -- zero exchanges before the envelope project
+    from raster_tools_spark.operators import srs as op_srs
+    from raster_tools_spark import wkb as wkbmod
+    import pandas as pd
+
+    layer = spark.createDataFrame(
+        pd.DataFrame(
+            [(k, wkbmod.box_wkb(k * 10.0, 0.0, k * 10.0 + 4.0, 4.0))
+             for k in range(16)],
+            columns=["feat_id", "geom_wkb"],
+        )
+    )
+    audit(
+        "srs_transform_no_shuffle",
+        op_srs.transform_layer(
+            layer, src=(0.0, -2.0, 1000.0, 2.0, 0.0, 500.0)
+        ),
+        [
+            ("no exchange at all", lambda p: "Exchange" not in p),
+            ("one Arrow UDF stage", lambda p: "ArrowEvalPython" in p),
+        ],
+    )
+
+    # 5p. banded hamming joins (image/audio/multimodal shape): the
+    # popcount filter must sit BELOW the final dedup aggregate, so the
+    # dedup exchange carries only true near-dups
+    audit(
+        "banded_hamming_filter_before_dedup",
+        qcat["multimodal_curation"](spark, SF),
+        [
+            ("no cartesian product",
+             lambda p: "CartesianProduct" not in p),
+            ("popcount filter in plan", lambda p: "bit_count" in p),
+            ("no python UDF", lambda p: "EvalPython" not in p),
+        ],
+    )
+
+    # 5q. convex exact difference rides the same pinned-repartition
+    # applyInPandas shape as the rect path (AQE must not serialize it)
+    audit(
+        "difference_convex_pinned_parts",
+        qcat["difference_convex"](spark, SF),
+        [
+            ("layer-2 collected per cell pre-join",
+             lambda p: "collect_list" in p),
+            ("no cartesian product",
+             lambda p: "CartesianProduct" not in p),
+        ],
+    )
+
     # 6. mosaic merge: single hash agg pair (partial+final), no window
     audit(
         "mosaic_merge_hashagg",
