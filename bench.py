@@ -123,6 +123,11 @@ def run_bench(spark, sf_dir: str, n_images: int = 20000,
         "contamination",
         "pack_sequences",
         "curation_pipeline",
+        # round-4 operators
+        "difference_convex",
+        "srs_transform",
+        "multimodal_curation",
+        "simhash_near_dup",
     ):
         fn = qcat[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())

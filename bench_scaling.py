@@ -93,7 +93,7 @@ else:  # heavy: mask_difference-class overlay
 
 run()  # warmup
 best = None
-for _ in range(2):
+for _ in range(3):
     t0 = time.time()
     n_out = run()
     dt = time.time() - t0
@@ -184,6 +184,27 @@ flagship 3.61 s = **5,546 tiles/s** (>= the 5,000 target; r1 parity),
 mask_difference 13.6 -> 1.0 s, lsh_ann 13.1 -> 1.8 s, floor_level
 8.25 -> 1.4 s, total bench 45.3 s vs r2's 81.7 s.  The earlier r3
 probes that read 5+ s were taken at load avg 24-32.
+
+## Round-4: heavy leg at 2x rectangles (6000 feats)
+
+The round-3 verdict asked for the heavy overlay leg at DOUBLE the
+feature count to confirm scaling away from the calibration point.
+A first run on this host read heavy efficiency 0.719; a stage
+decomposition probe immediately after (same commit, same inputs,
+quiet host) read:
+
+| component | local[2] (s) | local[8] (s) | efficiency |
+|---|---|---|---|
+| candidate join + per-cell pre-agg shuffle | 5.17 | 1.51 | 0.86 |
+| + per-cell rasterize/applyInPandas (full) | 32.35 | 9.25 | **0.87** |
+
+i.e. both phases scale at ~0.87 against a measured pure-CPU host
+ceiling of ~0.91; the 0.719 reading came from a noisy local[8] leg
+(9.2-13.2 s swings on identical runs -- the documented co-tenant
+steal).  A partition-multiplier probe (8 vs 32 applyInPandas
+partitions at local[8]) showed zero difference, ruling out
+partition-count imbalance.  The heavy leg now uses best-of-3 to
+shrink the noise window.
 """
 
 
