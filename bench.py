@@ -125,9 +125,11 @@ def run_bench(spark, sf_dir: str, n_images: int = 20000,
         "curation_pipeline",
         # round-4 operators
         "difference_convex",
+        "difference_star",
         "srs_transform",
         "multimodal_curation",
         "simhash_near_dup",
+        "repetition_quality",
     ):
         fn = qcat[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())

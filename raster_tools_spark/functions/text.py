@@ -149,6 +149,62 @@ def rolling_fingerprints(
     )
 
 
+def repetition_metrics(docs: DataFrame, text_col: str = "text"
+                       ) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/MassiveText rule
+    family: boilerplate and spam show up as n-gram repetition): per
+    document, the fraction of word-bigram occurrences taken by the
+    single most frequent bigram, and the fraction of word-trigram
+    occurrences that are duplicates (non-first occurrences).  Pure
+    JVM expressions (split -> transform -> explode -> two-level agg),
+    floor-scaled to 6 dp so the DuckDB oracle is exact; only
+    documents with >= 3 words qualify.  Returns (doc_id,
+    top_bigram_frac, dup_trigram_frac)."""
+    words = F.split(F.col(text_col), " ")
+    d = docs.select("doc_id", words.alias("w")).filter(
+        F.size("w") >= 3
+    )
+
+    def grams(n):
+        return F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - n),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at("w", i + j + 1) for j in range(n)],
+                ),
+            )
+        )
+
+    bstat = (
+        d.select("doc_id", grams(2).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.floor(
+                    F.max("c").cast("double") / F.sum("c")
+                    * 1000000.0
+                ) / 1000000.0
+            ).alias("top_bigram_frac")
+        )
+    )
+    tstat = (
+        d.select("doc_id", grams(3).alias("g"))
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.floor(
+                    (F.count(F.lit(1)) - F.countDistinct("g"))
+                    .cast("double") / F.count(F.lit(1)) * 1000000.0
+                ) / 1000000.0
+            ).alias("dup_trigram_frac")
+        )
+    )
+    return bstat.join(tstat, "doc_id")
+
+
 def stratified_sample(
     docs: DataFrame,
     quotas: dict,

@@ -251,10 +251,11 @@ def _exact_rect_difference(rect, cutters):
     return _trace_rectilinear(occ, xs, ys)
 
 
-def _convex_ring_of(wkb_bytes: bytes):
-    """CCW open ring when the WKB is a single-ring STRICTLY convex
-    polygon (no holes, no collinear vertices), else None -- the gate
-    of the exact convex-difference fast path."""
+def _single_ring_of(wkb_bytes: bytes):
+    """CCW open ring when the WKB is a single-ring polygon with
+    nonzero area (no holes), else None.  Simplicity is not verified
+    here -- the exact path's area-identity guard catches
+    self-intersecting input by construction."""
     rings = geom._rings_of(wkb_bytes)
     if len(rings) != 1:
         return None
@@ -273,6 +274,17 @@ def _convex_ring_of(wkb_bytes: bytes):
         return None
     if area2 < 0.0:
         ring = ring[::-1]
+    return ring
+
+
+def _convex_ring_of(wkb_bytes: bytes):
+    """CCW open ring when the WKB is a single-ring STRICTLY convex
+    polygon (no holes, no collinear vertices), else None -- the gate
+    for exact-path CUTTERS (they serve as Sutherland-Hodgman clip
+    regions, which must be convex)."""
+    ring = _single_ring_of(wkb_bytes)
+    if ring is None:
+        return None
     v1 = np.roll(ring, -1, axis=0) - ring
     v2 = np.roll(v1, -1, axis=0)
     cross = v1[:, 0] * v2[:, 1] - v1[:, 1] * v2[:, 0]
@@ -506,16 +518,22 @@ def _gh_difference(A, B):
 
 
 def _convex_difference_rings(subject_ring, cutter_rings):
-    """Exact remainder rings of a convex subject minus convex cutters
-    whose in-subject parts are PAIRWISE DISJOINT; None when the gate
-    or an internal consistency check fails (caller falls back to the
-    raster path).  The area identity sum(outer) - sum(holes) ==
-    area(S) - sum(area(S n Ci)) is verified, so a walk gone wrong can
-    never ship a wrong answer."""
+    """Exact remainder rings of ANY simple single-ring subject minus
+    STRICTLY CONVEX cutters whose in-subject parts are PAIRWISE
+    DISJOINT; None when the gate or an internal consistency check
+    fails (caller falls back to the raster path).  The cutters are
+    the Sutherland-Hodgman clip regions (hence must be convex); the
+    subject may be arbitrary -- the difference walk handles nonconvex
+    outers, and SH output area is exact for any simple subject even
+    when the clipped region is degenerate.  The area identity
+    sum(outer) - sum(holes) == area(S) - sum(area(S n Ci)) is
+    verified, so a walk gone wrong can never ship a wrong answer."""
     s_area = _signed_area(subject_ring)
     clipped = []
     for c in cutter_rings:
-        p = _sh_clip(c, subject_ring)
+        # S n C with the CONVEX cutter as the clip region, so the
+        # subject is unrestricted
+        p = _sh_clip(subject_ring, c)
         if len(p) >= 3:
             a = _signed_area(np.asarray(p))
             if a > 1e-9:
@@ -670,17 +688,18 @@ def mask_difference_polygons(
             cutters = [_rect_of(k) for k in cutter_bytes]
             if all(r is not None for r in cutters):
                 return _emit(_exact_rect_difference(rect1, cutters))
-        # EXACT fast path 2: strictly convex feature and cutters in
-        # general position with pairwise-disjoint in-feature parts --
-        # Sutherland-Hodgman + a difference walk give the GEOS-exact
-        # remainder (difference.py:41-57 semantics on the convex
-        # subset); an internal area identity guards the walk, and any
-        # gate failure falls through to marching squares.
-        conv1 = _convex_ring_of(wkb1)
-        if conv1 is not None:
+        # EXACT fast path 2: ANY simple single-ring feature vs
+        # strictly convex cutters in general position with
+        # pairwise-disjoint in-feature parts -- Sutherland-Hodgman +
+        # a difference walk give the GEOS-exact remainder
+        # (difference.py:41-57 semantics); an internal area identity
+        # guards the walk, and any gate failure falls through to
+        # marching squares.
+        ring1 = _single_ring_of(wkb1)
+        if ring1 is not None:
             convs = [_convex_ring_of(k) for k in cutter_bytes]
             if all(c is not None for c in convs):
-                rings = _convex_difference_rings(conv1, convs)
+                rings = _convex_difference_rings(ring1, convs)
                 if rings is not None:
                     return _emit(rings)
         env = geom.envelope(wkb1)

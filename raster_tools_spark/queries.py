@@ -2180,6 +2180,15 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_curation"] = multimodal_curation
 
+    def repetition_quality(spark, sf_dir):
+        """Gopher-family repetition quality screen: per-document
+        top-bigram occupancy and duplicate-trigram fraction (pure JVM
+        n-gram aggs), the boilerplate/spam signal of a pre-training
+        quality pipeline, floor-scaled for an exact oracle."""
+        return ftext.repetition_metrics(_t(spark, sf_dir, "documents"))
+
+    q["repetition_quality"] = repetition_quality
+
     def curation_pipeline(spark, sf_dir):
         """END-TO-END corpus curation, the composition a training
         pipeline actually runs, as ONE oracle-hard query: exact dedup
@@ -2450,6 +2459,58 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["srs_transform"] = srs_transform
 
+    def _star_base(n: int):
+        tx, ty = (n * 11) % 16, (n * 5) % 16
+        off = 64.0 * (n // 16)
+        x0 = tx * 128.0 + 24.0 + off
+        y0 = WORLD_TOP - ty * 128.0 - 96.0 - off
+        return x0, y0, 4.0 * (6 + n % 4), 4.0 * (5 + n % 3)
+
+    def _star_l1(n: int) -> bytes:
+        x0, y0, W, H = _star_base(n)
+        return wkb.polygon_wkb([
+            (x0, y0), (x0 + W, y0), (x0 + W, y0 + H / 2),
+            (x0 + W / 2, y0 + H / 2), (x0 + W / 2, y0 + H),
+            (x0, y0 + H),
+        ])
+
+    def _star_l2(n: int) -> bytes:
+        x0, y0, W, H = _star_base(n)
+        if n % 2 == 0:
+            # diamond poking through the bottom edge (center 1 below,
+            # radius 4): removes the (s-t)^2 = 9 triangle above the
+            # chord, remainder ring gains crossings + the apex
+            cx, cy, s = x0 + W / 2.0, y0 - 1.0, 4.0
+            return wkb.polygon_wkb(
+                [(cx + s, cy), (cx, cy + s), (cx - s, cy),
+                 (cx, cy - s)]
+            )
+        # strictly interior diamond (radius 3) -> 2s^2 = 18 hole
+        cx, cy, s = x0 + W / 4.0, y0 + H / 4.0, 3.0
+        return wkb.polygon_wkb(
+            [(cx + s, cy), (cx, cy + s), (cx - s, cy), (cx, cy - s)]
+        )
+
+    def difference_star(spark, sf_dir):
+        """Geometry-out polygon difference on NONCONVEX subjects,
+        ORACLE-CHECKED with EXACT closed-form areas: L-shaped features
+        (area 3WH/4) minus convex diamond cutters -- an edge-piercing
+        diamond (removes exactly 9, ring gains 3 vertices) and a
+        strictly interior diamond (outer L + is_hole ring of 18).
+        Proves the exact clip+walk path handles arbitrary simple
+        subjects, not just convex ones (the cutter supplies the
+        convexity Sutherland-Hodgman needs)."""
+        from .operators import overlay
+
+        l1 = _nation_layer(spark, sf_dir, _star_l1)
+        l2 = _nation_layer(spark, sf_dir, _star_l2)
+        out = overlay.mask_difference_polygons(l1, l2, pixel=4.0)
+        return out.select(
+            "feat_id", "ring_id", "n_pts", "is_hole", "area"
+        )
+
+    q["difference_star"] = difference_star
+
     def stratified_sample(spark, sf_dir):
         """Language-balanced deterministic corpus downsampling
         (training-data mixing): md5-derived per-doc uniform draw vs
@@ -2663,13 +2724,14 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup", "contour_rect", "difference_rings",
         "streaming_parity", "image_resize",
         # -- new / changed in round 4 --
-        "difference_convex", "srs_transform", "multimodal_curation",
+        "difference_convex", "difference_star", "srs_transform",
+        "multimodal_curation", "repetition_quality",
         "pack_sequences", "curation_pipeline",
         # -- round-3-proven anchors --
         "pip_rect", "zonal_rect", "knn_grid", "dedup_clusters",
         "minhash_lsh", "cosine_topk", "jdbc_reclass", "contamination",
         "flow_accumulation_f4", "fill_depressions_f4",
-        "vectorize_streams", "shadow_march_towers", "hillshade_f4",
+        "vectorize_streams",
     ]
     hard = set(oracle_sql())
     ordered = {k: q[k] for k in head if k in q and k in hard}
@@ -3861,6 +3923,61 @@ def oracle_sql() -> Dict[str, str]:
            CAST(SUM(phash % 1000003) AS BIGINT) AS chk
     FROM recs WHERE doc_id NOT IN (SELECT doc_id FROM drops)
     GROUP BY lang
+    """
+
+    o["repetition_quality"] = """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS lst FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    bc AS (
+      SELECT doc_id, lst[i] || ' ' || lst[i + 1] AS g, COUNT(*) AS c
+      FROM t, LATERAL (SELECT unnest(
+             generate_series(1, len(lst) - 1)) AS i)
+      GROUP BY doc_id, g
+    ),
+    bs AS (
+      SELECT doc_id,
+             floor(CAST(MAX(c) AS DOUBLE) / SUM(c) * 1000000.0)
+               / 1000000.0 AS top_bigram_frac
+      FROM bc GROUP BY doc_id
+    ),
+    tg AS (
+      SELECT doc_id,
+             lst[i] || ' ' || lst[i + 1] || ' ' || lst[i + 2] AS g
+      FROM t, LATERAL (SELECT unnest(
+             generate_series(1, len(lst) - 2)) AS i)
+    ),
+    ts AS (
+      SELECT doc_id,
+             floor(CAST(COUNT(*) - COUNT(DISTINCT g) AS DOUBLE)
+                   / COUNT(*) * 1000000.0) / 1000000.0
+               AS dup_trigram_frac
+      FROM tg GROUP BY doc_id
+    )
+    SELECT bs.doc_id, bs.top_bigram_frac, ts.dup_trigram_frac
+    FROM bs JOIN ts USING (doc_id)
+    """
+
+    o["difference_star"] = """
+    WITH feats AS (
+      SELECT n_nationkey AS k,
+             CAST(4 * (6 + n_nationkey % 4) AS DOUBLE) AS w,
+             CAST(4 * (5 + n_nationkey % 3) AS DOUBLE) AS h
+      FROM nation
+    )
+    SELECT k AS feat_id, CAST(0 AS INT) AS ring_id,
+           CAST(CASE k % 2 WHEN 0 THEN 10 ELSE 7 END AS INT)
+             AS n_pts,
+           FALSE AS is_hole,
+           CAST(CASE k % 2 WHEN 0 THEN 3.0 * w * h / 4.0 - 9.0
+                           ELSE 3.0 * w * h / 4.0 END AS DOUBLE)
+             AS area
+    FROM feats
+    UNION ALL
+    SELECT k, CAST(1 AS INT), CAST(5 AS INT), TRUE,
+           CAST(18.0 AS DOUBLE)
+    FROM feats WHERE k % 2 = 1
     """
 
     o["srs_transform"] = """

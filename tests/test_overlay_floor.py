@@ -411,3 +411,53 @@ class TestConvexExactDifference:
         rings = _convex_difference_rings(S, [C2])
         assert rings is not None
         assert [round(a, 9) for _, a in rings] == [128.0]
+
+    def test_nonconvex_subject_exact(self):
+        """The exact path handles arbitrary simple subjects (cutters
+        supply the convexity): L-shape closed forms + Monte Carlo."""
+        import numpy as np
+
+        from raster_tools_spark.operators.overlay import (
+            _convex_difference_rings, _pt_in_ring)
+
+        L = np.array(
+            [(0, 0), (20, 0), (20, 10), (10, 10), (10, 20), (0, 20)],
+            dtype=float,
+        )
+        # corner cut
+        C = np.array([(15, -5), (25, -5), (25, 5), (15, 5)], float)
+        rings = _convex_difference_rings(L, [C])
+        assert [round(a, 9) for _, a in rings] == [275.0]
+        # band splitting the thin arm: two pieces
+        C = np.array([(-5, 12), (30, 12), (30, 16), (-5, 16)], float)
+        rings = _convex_difference_rings(L, [C])
+        assert sorted(round(a, 9) for _, a in rings) == [40.0, 220.0]
+        # interior hole in the fat part
+        C = np.array([(2, 2), (6, 2), (6, 6), (2, 6)], float)
+        rings = _convex_difference_rings(L, [C])
+        assert sorted(round(a, 9) for _, a in rings) == [-16.0, 300.0]
+        # Monte Carlo membership with random convex cutters
+        rng = np.random.default_rng(3)
+        done = 0
+        for _ in range(25):
+            cx, cy = rng.uniform(-4, 24, 2)
+            n = int(rng.integers(4, 9))
+            ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+            a_, b_ = 2 + rng.random() * 6, 2 + rng.random() * 6
+            C = np.column_stack(
+                [cx + a_ * np.cos(ang), cy + b_ * np.sin(ang)]
+            )
+            rings = _convex_difference_rings(L, [C])
+            if rings is None:
+                continue
+            done += 1
+            for _ in range(100):
+                p = (float(rng.uniform(-6, 26)),
+                     float(rng.uniform(-6, 26)))
+                want = _pt_in_ring(p, L) and not _pt_in_ring(p, C)
+                got = False
+                for coords, _a in rings:
+                    if _pt_in_ring(p, coords[:-1]):
+                        got = not got
+                assert got == want, p
+        assert done >= 18

@@ -84,3 +84,24 @@ def test_oversized_doc_gets_own_pack(spark):
     assert out[0].pack_id != out[2].pack_id or (
         out[0].n_tokens + out[2].n_tokens <= 64
     )
+
+
+def test_repetition_metrics(spark):
+    """Planted repetitive doc scores high on both signals; a
+    non-repeating doc scores 1/(n-1) top-bigram and 0 duplicates."""
+    from raster_tools_spark.functions.text import repetition_metrics
+
+    rows = [
+        (0, "a b a b a b a b"),            # 'a b' dominates; dup tris
+        (1, "w0 w1 w2 w3 w4 w5 w6 w7"),    # all unique
+        (2, "x y"),                        # < 3 words: excluded
+    ]
+    out = {r.doc_id: r for r in repetition_metrics(
+        _docs(spark, rows)).collect()}
+    assert set(out) == {0, 1}
+    # doc 0: bigrams = 4x'a b' + 3x'b a' of 7 -> 4/7; trigrams:
+    # 6 occurrences, 2 distinct -> 4/6
+    assert abs(out[0].top_bigram_frac - 4 / 7) < 2e-6
+    assert abs(out[0].dup_trigram_frac - 4 / 6) < 2e-6
+    assert abs(out[1].top_bigram_frac - 1 / 7) < 2e-6
+    assert out[1].dup_trigram_frac == 0.0
