@@ -205,6 +205,46 @@ def repetition_metrics(docs: DataFrame, text_col: str = "text"
     return bstat.join(tstat, "doc_id")
 
 
+def oov_fraction(docs: DataFrame, vocab_size: int = 1000,
+                 text_col: str = "text") -> DataFrame:
+    """Out-of-vocabulary scoring against the corpus' OWN top-K
+    vocabulary: the rank-based form of LM-quality filtering (docs
+    full of tokens the corpus has never seen rank as noise), with no
+    cross-engine float log-probs -- pure integer counts, so the
+    DuckDB oracle is exact.  Vocabulary rank is deterministic:
+    (count DESC, token ASC).
+
+    Scale shape: pass 1 is a token count + distributed top-K
+    (orderBy+limit = TakeOrdered, never a global sort); pass 2
+    broadcasts the K-row vocabulary and left-joins token occurrences
+    map-side -- the corpus-sized side never shuffles.  Returns
+    (doc_id, n_tokens, oov_frac)."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("t")
+    )
+    vocab = (
+        toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("t").asc())
+        .limit(vocab_size)
+        .select("t", F.lit(1).alias("in_v"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "t", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.floor(
+                    F.sum(
+                        F.when(F.col("in_v").isNull(), 1).otherwise(0)
+                    ).cast("double")
+                    / F.count(F.lit(1)) * 1000000.0
+                ) / 1000000.0
+            ).alias("oov_frac"),
+        )
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     quotas: dict,

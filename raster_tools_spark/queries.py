@@ -2189,6 +2189,18 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["repetition_quality"] = repetition_quality
 
+    def oov_quality(spark, sf_dir):
+        """Corpus-vocabulary OOV scoring (rank-based LM-quality
+        proxy): top-100 vocabulary by (count desc, token asc), then
+        each document's fraction of token occurrences outside it.
+        Distributed top-K + broadcast join -- the corpus side never
+        shuffles for the screen."""
+        return ftext.oov_fraction(
+            _t(spark, sf_dir, "documents"), vocab_size=100
+        )
+
+    q["oov_quality"] = oov_quality
+
     def curation_pipeline(spark, sf_dir):
         """END-TO-END corpus curation, the composition a training
         pipeline actually runs, as ONE oracle-hard query: exact dedup
@@ -2725,13 +2737,12 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_parity", "image_resize",
         # -- new / changed in round 4 --
         "difference_convex", "difference_star", "srs_transform",
-        "multimodal_curation", "repetition_quality",
+        "multimodal_curation", "repetition_quality", "oov_quality",
         "pack_sequences", "curation_pipeline",
         # -- round-3-proven anchors --
         "pip_rect", "zonal_rect", "knn_grid", "dedup_clusters",
         "minhash_lsh", "cosine_topk", "jdbc_reclass", "contamination",
         "flow_accumulation_f4", "fill_depressions_f4",
-        "vectorize_streams",
     ]
     hard = set(oracle_sql())
     ordered = {k: q[k] for k in head if k in q and k in hard}
@@ -3957,6 +3968,25 @@ def oracle_sql() -> Dict[str, str]:
     )
     SELECT bs.doc_id, bs.top_bigram_frac, ts.dup_trigram_frac
     FROM bs JOIN ts USING (doc_id)
+    """
+
+    o["oov_quality"] = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      FROM documents
+    ),
+    vocab AS (
+      SELECT t FROM (
+        SELECT t, COUNT(*) AS c FROM toks GROUP BY t
+        ORDER BY c DESC, t ASC LIMIT 100
+      )
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           floor(CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*) * 1000000.0)
+             / 1000000.0 AS oov_frac
+    FROM toks LEFT JOIN vocab v USING (t)
+    GROUP BY doc_id
     """
 
     o["difference_star"] = """

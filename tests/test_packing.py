@@ -105,3 +105,24 @@ def test_repetition_metrics(spark):
     assert abs(out[0].dup_trigram_frac - 4 / 6) < 2e-6
     assert abs(out[1].top_bigram_frac - 1 / 7) < 2e-6
     assert out[1].dup_trigram_frac == 0.0
+
+
+def test_oov_fraction(spark):
+    """Vocabulary = top-K by (count desc, token asc); OOV fraction
+    counts occurrences, and the broadcast-vocab plan shape holds."""
+    from raster_tools_spark.functions.text import oov_fraction
+
+    rows = [
+        (0, "a a a b b c"),   # counts: a3 b2 c1
+        (1, "a b z z"),
+        (2, "q r s"),
+    ]
+    out = {r.doc_id: r for r in oov_fraction(
+        _docs(spark, rows), vocab_size=2).collect()}
+    # vocab = {a, b}; doc0 fully in-vocab except c (1/6)
+    assert abs(out[0].oov_frac - 1 / 6) < 2e-6
+    assert abs(out[1].oov_frac - 2 / 4) < 2e-6
+    assert out[2].oov_frac == 1.0
+    plan = oov_fraction(_docs(spark, rows), vocab_size=2)\
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
