@@ -131,6 +131,7 @@ def run_bench(spark, sf_dir: str, n_images: int = 20000,
         "simhash_near_dup",
         "repetition_quality",
         "oov_quality",
+        "pii_redaction",
     ):
         fn = qcat[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())

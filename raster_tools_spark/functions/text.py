@@ -205,6 +205,38 @@ def repetition_metrics(docs: DataFrame, text_col: str = "text"
     return bstat.join(tstat, "doc_id")
 
 
+EMAIL_PAT = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+"
+PHONE_PAT = r"[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+"
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing for corpus curation: count and redact email
+    addresses and long digit runs (phone-ish) with typed
+    placeholders.  Patterns restricted to constructs Java regex and
+    RE2 (DuckDB) treat identically, so the oracle is exact; pure JVM
+    regexp codegen, no shuffle at all.  Returns (doc_id, n_emails,
+    n_phones, clean_fp) where clean_fp is the md5 of the redacted
+    text (the downstream dedup key)."""
+    t = F.col(text_col)
+    emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_PAT), 0))
+    cleaned = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_PAT, "<EMAIL>"),
+        PHONE_PAT, "<PHONE>",
+    )
+    phones = F.size(
+        F.regexp_extract_all(
+            F.regexp_replace(t, EMAIL_PAT, "<EMAIL>"),
+            F.lit(PHONE_PAT), 0,
+        )
+    )
+    return docs.select(
+        "doc_id",
+        emails.alias("n_emails"),
+        phones.alias("n_phones"),
+        F.md5(cleaned).alias("clean_fp"),
+    )
+
+
 def oov_fraction(docs: DataFrame, vocab_size: int = 1000,
                  text_col: str = "text") -> DataFrame:
     """Out-of-vocabulary scoring against the corpus' OWN top-K

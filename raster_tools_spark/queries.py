@@ -2201,6 +2201,36 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["oov_quality"] = oov_quality
 
+    def pii_redaction(spark, sf_dir):
+        """PII scrubbing screen: emails and long digit runs planted
+        deterministically on the corpus (doc_id%5 selects the
+        variant), then counted and redacted with typed placeholders;
+        the redacted-text md5 is the downstream dedup key.  Pure JVM
+        regexp codegen, zero shuffle; patterns restricted to the
+        Java/RE2 common dialect so the oracle is exact."""
+        docs = _t(spark, sf_dir, "documents")
+        planted = docs.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.col("text"), F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).when(
+                F.col("doc_id") % 5 == 1,
+                F.concat(
+                    F.col("text"), F.lit(" call 555"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"),
+                           4, "0"),
+                ),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        return ftext.redact_pii(planted)
+
+    q["pii_redaction"] = pii_redaction
+
     def curation_pipeline(spark, sf_dir):
         """END-TO-END corpus curation, the composition a training
         pipeline actually runs, as ONE oracle-hard query: exact dedup
@@ -2738,11 +2768,11 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new / changed in round 4 --
         "difference_convex", "difference_star", "srs_transform",
         "multimodal_curation", "repetition_quality", "oov_quality",
-        "pack_sequences", "curation_pipeline",
+        "pii_redaction", "pack_sequences", "curation_pipeline",
         # -- round-3-proven anchors --
         "pip_rect", "zonal_rect", "knn_grid", "dedup_clusters",
         "minhash_lsh", "cosine_topk", "jdbc_reclass", "contamination",
-        "flow_accumulation_f4", "fill_depressions_f4",
+        "flow_accumulation_f4",
     ]
     hard = set(oracle_sql())
     ordered = {k: q[k] for k in head if k in q and k in hard}
@@ -3987,6 +4017,35 @@ def oracle_sql() -> Dict[str, str]:
              / 1000000.0 AS oov_frac
     FROM toks LEFT JOIN vocab v USING (t)
     GROUP BY doc_id
+    """
+
+    o["pii_redaction"] = """
+    WITH planted AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 5 = 0
+             THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com now'
+             WHEN doc_id % 5 = 1
+             THEN text || ' call 555'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+      len(regexp_extract_all(text,
+          '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+')) AS n_emails,
+      len(regexp_extract_all(
+          regexp_replace(text,
+            '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+',
+            '<EMAIL>', 'g'),
+          '[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+')) AS n_phones,
+      md5(regexp_replace(
+            regexp_replace(text,
+              '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+',
+              '<EMAIL>', 'g'),
+            '[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+',
+            '<PHONE>', 'g')) AS clean_fp
+    FROM planted
     """
 
     o["difference_star"] = """

@@ -126,3 +126,25 @@ def test_oov_fraction(spark):
     plan = oov_fraction(_docs(spark, rows), vocab_size=2)\
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_redact_pii(spark):
+    from raster_tools_spark.functions.text import redact_pii
+
+    rows = [
+        (0, "mail me at bob.smith+x@foo-bar.org or al@ex.io thanks"),
+        (1, "digits 1234567 and 987654321 but not 123456"),
+        (2, "clean text with no pii at all"),
+        (3, "mixed a@b.co and 5551234567 together"),
+    ]
+    out = {r.doc_id: r for r in redact_pii(_docs(spark, rows)).collect()}
+    assert (out[0].n_emails, out[0].n_phones) == (2, 0)
+    assert (out[1].n_emails, out[1].n_phones) == (0, 2)
+    assert (out[2].n_emails, out[2].n_phones) == (0, 0)
+    assert (out[3].n_emails, out[3].n_phones) == (1, 1)
+    # redaction is deterministic and actually removes the PII
+    import hashlib
+    want = hashlib.md5(
+        b"mixed <EMAIL> and <PHONE> together"
+    ).hexdigest()
+    assert out[3].clean_fp == want
