@@ -126,6 +126,7 @@ def run_bench(spark, sf_dir: str, n_images: int = 20000,
         # round-4 operators
         "difference_convex",
         "difference_star",
+        "difference_general",
         "srs_transform",
         "multimodal_curation",
         "simhash_near_dup",

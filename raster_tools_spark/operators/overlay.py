@@ -517,6 +517,51 @@ def _gh_difference(A, B):
     return rings
 
 
+def _lattice_consistent(subject, cutter, rings, n=24) -> bool:
+    """Deterministic membership audit of a difference result: on an
+    n x n offset lattice over the subject envelope, a point is inside
+    the output rings (even-odd) iff it is inside S and outside C.
+    Point-exact, no rasterization; lattice offsets are irrational-ish
+    fractions so dyadic fixture edges are never sampled exactly."""
+    sx = np.asarray(subject, dtype=np.float64)
+    x1, y1 = sx.min(axis=0)
+    x2, y2 = sx.max(axis=0)
+    for i in range(n):
+        for j in range(n):
+            p = (
+                x1 + (x2 - x1) * (i + 0.382) / n,
+                y1 + (y2 - y1) * (j + 0.618) / n,
+            )
+            want = _pt_in_ring(p, subject) and not _pt_in_ring(
+                p, cutter
+            )
+            got = False
+            for coords, _a in rings:
+                if _pt_in_ring(p, coords[:-1]):
+                    got = not got
+            if got != want:
+                return False
+    return True
+
+
+def _general_single_difference(subject_ring, cutter_ring):
+    """Exact remainder of ANY simple subject minus ONE arbitrary
+    simple cutter: the difference walk needs no convexity at all --
+    convexity was only ever required by the Sutherland-Hodgman area
+    guard, which this path replaces with a deterministic lattice
+    membership audit.  None on degeneracy or audit failure (caller
+    falls back to the raster path)."""
+    rings = _gh_difference(
+        [tuple(p) for p in subject_ring],
+        [tuple(p) for p in cutter_ring],
+    )
+    if rings is None:
+        return None
+    if not _lattice_consistent(subject_ring, cutter_ring, rings):
+        return None
+    return rings
+
+
 def _convex_difference_rings(subject_ring, cutter_rings):
     """Exact remainder rings of ANY simple single-ring subject minus
     STRICTLY CONVEX cutters whose in-subject parts are PAIRWISE
@@ -702,6 +747,15 @@ def mask_difference_polygons(
                 rings = _convex_difference_rings(ring1, convs)
                 if rings is not None:
                     return _emit(rings)
+            elif len(cutter_bytes) == 1:
+                # EXACT fast path 3: one arbitrary simple cutter --
+                # the walk needs no convexity; a deterministic
+                # lattice membership audit replaces the SH area guard
+                c1r = _single_ring_of(cutter_bytes[0])
+                if c1r is not None:
+                    rings = _general_single_difference(ring1, c1r)
+                    if rings is not None:
+                        return _emit(rings)
         env = geom.envelope(wkb1)
         j0 = _math.floor(env[0] / pixel)
         j1 = _math.ceil(env[1] / pixel)

@@ -2553,6 +2553,49 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["difference_star"] = difference_star
 
+    def _gen_base(n: int):
+        # collision-free 256 m anchor grid (one feature per covering
+        # cell): the candidate set is exactly the feature's own
+        # cutter, the single-cutter exact path's gate
+        tx, ty = n % 6, n // 6
+        x0 = tx * 256.0 + 24.0
+        y0 = WORLD_TOP - ty * 256.0 - 96.0
+        return x0, y0, 4.0 * (7 + n % 4), 4.0 * (6 + n % 3)
+
+    def _gen_l1(n: int) -> bytes:
+        x0, y0, W, H = _gen_base(n)
+        return wkb.box_wkb(x0, y0, x0 + W, y0 + H)
+
+    def _gen_l2(n: int) -> bytes:
+        x0, y0, W, H = _gen_base(n)
+        yb = y0 if n % 2 == 0 else y0 + 4.0
+        a1, a2, p, q = x0 + 8.0, x0 + 20.0, 4.0, 8.0
+        return wkb.polygon_wkb([
+            (a1, yb - 2.0), (a2 + p, yb - 2.0), (a2 + p, yb + q),
+            (a2, yb + q), (a2, yb - 1.0), (a1 + p, yb - 1.0),
+            (a1 + p, yb + q), (a1, yb + q),
+        ])
+
+    def difference_general(spark, sf_dir):
+        """Geometry-out polygon difference with a NONCONVEX cutter,
+        ORACLE-CHECKED with EXACT areas: rectangle subjects minus a
+        two-prong U comb -- piercing the bottom edge (removes exactly
+        2pq = 64, the ring detours around both prongs: 13 points) or
+        placed strictly interior (the whole U survives as one
+        nonconvex is_hole ring of 88).  Proves the single-cutter
+        exact path: the difference walk needs no convexity on either
+        side; a deterministic lattice membership audit guards it."""
+        from .operators import overlay
+
+        l1 = _nation_layer(spark, sf_dir, _gen_l1)
+        l2 = _nation_layer(spark, sf_dir, _gen_l2)
+        out = overlay.mask_difference_polygons(l1, l2, pixel=4.0)
+        return out.select(
+            "feat_id", "ring_id", "n_pts", "is_hole", "area"
+        )
+
+    q["difference_general"] = difference_general
+
     def stratified_sample(spark, sf_dir):
         """Language-balanced deterministic corpus downsampling
         (training-data mixing): md5-derived per-doc uniform draw vs
@@ -2768,11 +2811,11 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new / changed in round 4 --
         "difference_convex", "difference_star", "srs_transform",
         "multimodal_curation", "repetition_quality", "oov_quality",
-        "pii_redaction", "pack_sequences", "curation_pipeline",
+        "pii_redaction", "difference_general",
+        "pack_sequences", "curation_pipeline",
         # -- round-3-proven anchors --
         "pip_rect", "zonal_rect", "knn_grid", "dedup_clusters",
         "minhash_lsh", "cosine_topk", "jdbc_reclass", "contamination",
-        "flow_accumulation_f4",
     ]
     hard = set(oracle_sql())
     ordered = {k: q[k] for k in head if k in q and k in hard}
@@ -4066,6 +4109,27 @@ def oracle_sql() -> Dict[str, str]:
     UNION ALL
     SELECT k, CAST(1 AS INT), CAST(5 AS INT), TRUE,
            CAST(18.0 AS DOUBLE)
+    FROM feats WHERE k % 2 = 1
+    """
+
+    o["difference_general"] = """
+    WITH feats AS (
+      SELECT n_nationkey AS k,
+             CAST(4 * (7 + n_nationkey % 4) AS DOUBLE) AS w,
+             CAST(4 * (6 + n_nationkey % 3) AS DOUBLE) AS h
+      FROM nation
+    )
+    SELECT k AS feat_id, CAST(0 AS INT) AS ring_id,
+           CAST(CASE k % 2 WHEN 0 THEN 13 ELSE 5 END AS INT)
+             AS n_pts,
+           FALSE AS is_hole,
+           CAST(CASE k % 2 WHEN 0 THEN w * h - 64.0
+                           ELSE w * h END AS DOUBLE) AS area
+    FROM feats
+    UNION ALL
+    -- interior U: 16x10 bounding block minus the 8x9 notch = 88
+    SELECT k, CAST(1 AS INT), CAST(9 AS INT), TRUE,
+           CAST(88.0 AS DOUBLE)
     FROM feats WHERE k % 2 = 1
     """
 

@@ -461,3 +461,57 @@ class TestConvexExactDifference:
                         got = not got
                 assert got == want, p
         assert done >= 18
+
+    def test_general_single_cutter_exact(self):
+        """One arbitrary simple (nonconvex) cutter: the difference
+        walk is exact with the lattice audit standing guard."""
+        import numpy as np
+
+        from raster_tools_spark.operators.overlay import (
+            _general_single_difference, _pt_in_ring)
+
+        W, H, p, q = 28.0, 24.0, 4.0, 8.0
+        S = np.array([(0, 0), (W, 0), (W, H), (0, H)], float)
+        a1, a2 = 8.0, 20.0
+        U = np.array([
+            (a1, -2.0), (a2 + p, -2.0), (a2 + p, q), (a2, q),
+            (a2, -1.0), (a1 + p, -1.0), (a1 + p, q), (a1, q),
+        ], float)
+        rings = _general_single_difference(S, U)
+        assert [(len(c), round(a, 9)) for c, a in rings] == [
+            (13, W * H - 2 * p * q)
+        ]
+        # strictly interior U -> one nonconvex hole ring
+        rings = _general_single_difference(S, U + np.array([0.0, 4.0]))
+        assert sorted(round(a, 9) for _, a in rings) == [-88.0, 672.0]
+        # random nonconvex star cutters: Monte Carlo membership
+        L = np.array(
+            [(0, 0), (20, 0), (20, 10), (10, 10), (10, 20), (0, 20)],
+            float,
+        )
+        rng = np.random.default_rng(5)
+        done = 0
+        for _ in range(30):
+            cx, cy = rng.uniform(-2, 22, 2)
+            n = int(rng.integers(5, 10))
+            ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+            if np.min(np.diff(ang)) < 0.05:
+                continue
+            rad = rng.uniform(2, 9, n)
+            C = np.column_stack(
+                [cx + rad * np.cos(ang), cy + rad * np.sin(ang)]
+            )
+            rings = _general_single_difference(L, C)
+            if rings is None:
+                continue
+            done += 1
+            for _ in range(80):
+                pt = (float(rng.uniform(-4, 24)),
+                      float(rng.uniform(-4, 24)))
+                want = _pt_in_ring(pt, L) and not _pt_in_ring(pt, C)
+                got = False
+                for coords, _a in rings:
+                    if _pt_in_ring(pt, coords[:-1]):
+                        got = not got
+                assert got == want, pt
+        assert done >= 15
