@@ -127,6 +127,7 @@ def run_bench(spark, sf_dir: str, n_images: int = 20000,
         "difference_convex",
         "difference_star",
         "difference_general",
+        "union_exact",
         "srs_transform",
         "multimodal_curation",
         "simhash_near_dup",

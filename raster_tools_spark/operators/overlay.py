@@ -828,6 +828,75 @@ def mask_difference_polygons(
     )
 
 
+def union_area_exact(
+    layer: DataFrame,
+    pixel: float = 4.0,
+    join_res: int = JOIN_RES_DEFAULT,
+) -> DataFrame:
+    """EXACT UnionCascaded area for axis-aligned-rectangle layers
+    (overlaps counted once): every rectangle is clipped to its
+    covering cells, and each cell computes its union area by slab
+    decomposition over the coordinate-induced irregular grid -- no
+    rasterization, no pixel term, and cell-straddling rectangles are
+    exact because clipping partitions them without loss.  A cell
+    containing any NON-rectangle falls back to pixel counting for
+    that cell and is reported in ``inexact_cells`` (0 = the result is
+    the true vector union area).  Scale shape matches
+    mask_union_area: shuffle carries (cell, wkb) pairs only, the
+    per-cell work is independent."""
+    cells = layer.withColumn(
+        "cell", F.explode(_cover_udf(join_res)(F.col("geom_wkb")))
+    ).select("geom_wkb", "cell")
+    npx = int(round(cell_edge(join_res) / pixel))
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        cell_id = int(pdf["cell"].iloc[0])
+        cx1, cx2, cy1, cy2 = cell_bounds(cell_id)
+        rects = []
+        exact = True
+        for b in pdf["geom_wkb"]:
+            r = _rect_of(bytes(b))
+            if r is None:
+                exact = False
+                break
+            x1, x2, y1, y2 = r
+            x1, x2 = max(x1, cx1), min(x2, cx2)
+            y1, y2 = max(y1, cy1), min(y2, cy2)
+            if x1 < x2 and y1 < y2:
+                rects.append((x1, x2, y1, y2))
+        if not exact:
+            gt = _cell_gt(cell_id, pixel)
+            union = np.zeros((npx, npx), dtype=bool)
+            for b in pdf["geom_wkb"]:
+                union |= geom.rasterize_mask(bytes(b), gt, npx, npx)
+            return pd.DataFrame(
+                {"area": [float(union.sum()) * pixel * pixel],
+                 "inexact": [1]}
+            )
+        if not rects:
+            return pd.DataFrame({"area": [0.0], "inexact": [0]})
+        xs = sorted({v for r in rects for v in (r[0], r[1])})
+        ys = sorted({v for r in rects for v in (r[2], r[3])})
+        occ = np.zeros((len(ys) - 1, len(xs) - 1), dtype=bool)
+        for x1, x2, y1, y2 in rects:
+            j1, j2 = xs.index(x1), xs.index(x2)
+            i1, i2 = ys.index(y1), ys.index(y2)
+            occ[i1:i2, j1:j2] = True
+        dx = np.diff(np.asarray(xs))
+        dy = np.diff(np.asarray(ys))
+        area = float((occ * np.outer(dy, dx)).sum())
+        return pd.DataFrame({"area": [area], "inexact": [0]})
+
+    n_parts = layer.sparkSession.sparkContext.defaultParallelism
+    per = cells.repartition(n_parts, "cell").groupBy("cell").applyInPandas(
+        per_cell, schema="area double, inexact int"
+    )
+    return per.agg(
+        F.sum("area").alias("union_area"),
+        F.sum("inexact").alias("inexact_cells"),
+    )
+
+
 def mask_union_area(
     layer: DataFrame,
     pixel: float = 4.0,

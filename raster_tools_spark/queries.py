@@ -2596,6 +2596,41 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["difference_general"] = difference_general
 
+    def _uex_base(n: int):
+        tx, ty = n % 6, n // 6
+        # x range straddles the vertical 256 m cell line on purpose:
+        # the clip-split across covering cells must stay exact
+        x1 = tx * 256.0 + 240.0
+        y2 = WORLD_TOP - ty * 256.0 - 16.0
+        return x1, y2, 4.0 * (3 + n % 3)
+
+    def _uex_a(n: int) -> bytes:
+        x1, y2, h = _uex_base(n)
+        return wkb.box_wkb(x1, y2 - h, x1 + 32.0, y2)
+
+    def _uex_b(n: int) -> bytes:
+        x1, y2, h = _uex_base(n)
+        return wkb.box_wkb(x1 + 16.0, y2 - h, x1 + 48.0, y2)
+
+    def union_exact(spark, sf_dir):
+        """EXACT geometric union area (O5, UnionCascaded semantics
+        with overlaps counted once): rectangle pairs overlapping by a
+        known 16 x h band, every rectangle straddling a 256 m cell
+        line so the per-cell clip-split is exercised.  Slab
+        decomposition per cell -- NO pixel term in the oracle's
+        closed form (contrast the rasterized `union_area`), and
+        inexact_cells == 0 certifies the vector-exact path ran
+        everywhere."""
+        from .operators import overlay
+
+        a = _nation_layer(spark, sf_dir, _uex_a)
+        b = _nation_layer(spark, sf_dir, _uex_b).filter(
+            F.col("feat_id") % 2 == 0
+        )
+        return overlay.union_area_exact(a.unionByName(b))
+
+    q["union_exact"] = union_exact
+
     def stratified_sample(spark, sf_dir):
         """Language-balanced deterministic corpus downsampling
         (training-data mixing): md5-derived per-doc uniform draw vs
@@ -2811,11 +2846,11 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new / changed in round 4 --
         "difference_convex", "difference_star", "srs_transform",
         "multimodal_curation", "repetition_quality", "oov_quality",
-        "pii_redaction", "difference_general",
+        "pii_redaction", "difference_general", "union_exact",
         "pack_sequences", "curation_pipeline",
         # -- round-3-proven anchors --
         "pip_rect", "zonal_rect", "knn_grid", "dedup_clusters",
-        "minhash_lsh", "cosine_topk", "jdbc_reclass", "contamination",
+        "minhash_lsh", "cosine_topk", "jdbc_reclass",
     ]
     hard = set(oracle_sql())
     ordered = {k: q[k] for k in head if k in q and k in hard}
@@ -4110,6 +4145,18 @@ def oracle_sql() -> Dict[str, str]:
     SELECT k, CAST(1 AS INT), CAST(5 AS INT), TRUE,
            CAST(18.0 AS DOUBLE)
     FROM feats WHERE k % 2 = 1
+    """
+
+    o["union_exact"] = """
+    WITH feats AS (
+      SELECT n_nationkey AS k,
+             CAST(4 * (3 + n_nationkey % 3) AS DOUBLE) AS h
+      FROM nation
+    )
+    SELECT CAST(SUM(CASE WHEN k % 2 = 0 THEN 48.0 * h
+                         ELSE 32.0 * h END) AS DOUBLE) AS union_area,
+           CAST(0 AS BIGINT) AS inexact_cells
+    FROM feats
     """
 
     o["difference_general"] = """

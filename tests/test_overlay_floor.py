@@ -515,3 +515,38 @@ class TestConvexExactDifference:
                         got = not got
                 assert got == want, pt
         assert done >= 15
+
+
+def test_union_area_exact(spark):
+    """Exact union: overlaps counted once, cell-straddling rects
+    split losslessly, and a non-rect member flips the cell to the
+    pixel path with the inexact_cells certificate raised."""
+    import pandas as pd
+
+    from raster_tools_spark.operators import overlay
+    from raster_tools_spark.grid import WORLD_TOP
+
+    top = WORLD_TOP
+    # two overlapping rects straddling the 256 m line at x=256
+    rows = [
+        (0, wkb.box_wkb(240.0, top - 40.0, 272.0, top - 16.0)),
+        (1, wkb.box_wkb(256.0, top - 40.0, 288.0, top - 16.0)),
+    ]
+    layer = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["feat_id", "geom_wkb"]),
+        schema="feat_id long, geom_wkb binary",
+    )
+    r = overlay.union_area_exact(layer).collect()[0]
+    assert r.inexact_cells == 0
+    assert r.union_area == (288.0 - 240.0) * 24.0  # overlap once
+    # add a triangle: the affected cell goes pixel-path, flagged
+    tri = wkb.polygon_wkb([(250.0, top - 60.0), (262.0, top - 60.0),
+                           (256.0, top - 48.0)])
+    layer2 = spark.createDataFrame(
+        pd.DataFrame(rows + [(2, tri)],
+                     columns=["feat_id", "geom_wkb"]),
+        schema="feat_id long, geom_wkb binary",
+    )
+    r2 = overlay.union_area_exact(layer2).collect()[0]
+    assert r2.inexact_cells > 0
+    assert r2.union_area >= r.union_area
