@@ -128,6 +128,7 @@ def run_bench(spark, sf_dir: str, n_images: int = 20000,
         "difference_star",
         "difference_general",
         "union_exact",
+        "difference_multi",
         "srs_transform",
         "multimodal_curation",
         "simhash_near_dup",

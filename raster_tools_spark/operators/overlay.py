@@ -517,12 +517,13 @@ def _gh_difference(A, B):
     return rings
 
 
-def _lattice_consistent(subject, cutter, rings, n=24) -> bool:
+def _lattice_consistent(subject, cutters, rings, n=24) -> bool:
     """Deterministic membership audit of a difference result: on an
     n x n offset lattice over the subject envelope, a point is inside
-    the output rings (even-odd) iff it is inside S and outside C.
-    Point-exact, no rasterization; lattice offsets are irrational-ish
-    fractions so dyadic fixture edges are never sampled exactly."""
+    the output rings (even-odd) iff it is inside S and outside every
+    cutter.  Point-exact, no rasterization; lattice offsets are
+    irrational-ish fractions so dyadic fixture edges are never
+    sampled exactly."""
     sx = np.asarray(subject, dtype=np.float64)
     x1, y1 = sx.min(axis=0)
     x2, y2 = sx.max(axis=0)
@@ -532,8 +533,8 @@ def _lattice_consistent(subject, cutter, rings, n=24) -> bool:
                 x1 + (x2 - x1) * (i + 0.382) / n,
                 y1 + (y2 - y1) * (j + 0.618) / n,
             )
-            want = _pt_in_ring(p, subject) and not _pt_in_ring(
-                p, cutter
+            want = _pt_in_ring(p, subject) and not any(
+                _pt_in_ring(p, c) for c in cutters
             )
             got = False
             for coords, _a in rings:
@@ -544,20 +545,52 @@ def _lattice_consistent(subject, cutter, rings, n=24) -> bool:
     return True
 
 
-def _general_single_difference(subject_ring, cutter_ring):
-    """Exact remainder of ANY simple subject minus ONE arbitrary
-    simple cutter: the difference walk needs no convexity at all --
-    convexity was only ever required by the Sutherland-Hodgman area
-    guard, which this path replaces with a deterministic lattice
-    membership audit.  None on degeneracy or audit failure (caller
+def _general_difference_rings(subject_ring, cutter_rings):
+    """Exact remainder of ANY simple subject minus arbitrary simple
+    cutters that are PAIRWISE FULLY DISJOINT (no crossings, no
+    containment between cutters): the difference walk needs no
+    convexity at all -- convexity was only ever required by the
+    Sutherland-Hodgman area guard, which this path replaces with a
+    deterministic lattice membership audit over the final result.
+    None on degeneracy, cutter overlap, or audit failure (caller
     falls back to the raster path)."""
-    rings = _gh_difference(
-        [tuple(p) for p in subject_ring],
-        [tuple(p) for p in cutter_ring],
-    )
-    if rings is None:
-        return None
-    if not _lattice_consistent(subject_ring, cutter_ring, rings):
+    cuts = [[tuple(p) for p in c] for c in cutter_rings]
+    for i in range(len(cuts)):
+        for j in range(i + 1, len(cuts)):
+            if (
+                _proper_crossings(cuts[i], cuts[j])
+                or _pt_in_ring(cuts[i][0], cuts[j])
+                or _pt_in_ring(cuts[j][0], cuts[i])
+                or _touches_boundary(cuts[i], cuts[j])
+            ):
+                return None
+    outers = [np.asarray(subject_ring, dtype=np.float64)]
+    holes = []
+    for c in cuts:
+        affected, rest = [], []
+        for o in outers:
+            op = [tuple(x) for x in o]
+            touches = (
+                _proper_crossings(op, c)
+                or _pt_in_ring(c[0], o)
+                or _pt_in_ring(op[0], c)
+            )
+            (affected if touches else rest).append(o)
+        new_outers = list(rest)
+        for o in affected:
+            res = _gh_difference([tuple(x) for x in o], c)
+            if res is None:
+                return None
+            for coords, sarea in res:
+                if sarea > 0:
+                    new_outers.append(coords[:-1])
+                else:
+                    holes.append((coords, sarea))
+        outers = new_outers
+    rings = [
+        (np.vstack([o, o[:1]]), _signed_area(o)) for o in outers
+    ] + holes
+    if not _lattice_consistent(subject_ring, cutter_rings, rings):
         return None
     return rings
 
@@ -747,13 +780,14 @@ def mask_difference_polygons(
                 rings = _convex_difference_rings(ring1, convs)
                 if rings is not None:
                     return _emit(rings)
-            elif len(cutter_bytes) == 1:
-                # EXACT fast path 3: one arbitrary simple cutter --
-                # the walk needs no convexity; a deterministic
-                # lattice membership audit replaces the SH area guard
-                c1r = _single_ring_of(cutter_bytes[0])
-                if c1r is not None:
-                    rings = _general_single_difference(ring1, c1r)
+            else:
+                # EXACT fast path 3: arbitrary simple cutters,
+                # pairwise fully disjoint -- the walk needs no
+                # convexity; a deterministic lattice membership
+                # audit replaces the SH area guard
+                simples = [_single_ring_of(k) for k in cutter_bytes]
+                if all(c is not None for c in simples):
+                    rings = _general_difference_rings(ring1, simples)
                     if rings is not None:
                         return _emit(rings)
         env = geom.envelope(wkb1)

@@ -2631,6 +2631,48 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["union_exact"] = union_exact
 
+    def _mgen_u1(n: int) -> bytes:
+        x0, y0, W, H = _gen_base(n)
+        a1, a2, p, q = x0 + 8.0, x0 + 20.0, 4.0, 8.0
+        return wkb.polygon_wkb([
+            (a1, y0 - 2.0), (a2 + p, y0 - 2.0), (a2 + p, y0 + q),
+            (a2, y0 + q), (a2, y0 - 1.0), (a1 + p, y0 - 1.0),
+            (a1 + p, y0 + q), (a1, y0 + q),
+        ])
+
+    def _mgen_u2(n: int) -> bytes:
+        # the piercing U shifted (+2, +12): strictly interior and
+        # fully disjoint from it (vertical gap of 2 m)
+        x0, y0, W, H = _gen_base(n)
+        a1, a2, p, q = x0 + 10.0, x0 + 22.0, 4.0, 8.0
+        yb = y0 + 12.0
+        return wkb.polygon_wkb([
+            (a1, yb - 2.0), (a2 + p, yb - 2.0), (a2 + p, yb + q),
+            (a2, yb + q), (a2, yb - 1.0), (a1 + p, yb - 1.0),
+            (a1 + p, yb + q), (a1, yb + q),
+        ])
+
+    def difference_multi(spark, sf_dir):
+        """Geometry-out polygon difference with TWO pairwise-disjoint
+        NONCONVEX cutters per feature, ORACLE-CHECKED with EXACT
+        areas: rectangle subjects minus a bottom-piercing U comb
+        (removes 2pq = 64, ring detours around both prongs) AND a
+        strictly interior U (one nonconvex is_hole ring of 88).  The
+        sequential-walk multi-cutter exact path; the lattice audit
+        covers the composed result."""
+        from .operators import overlay
+
+        l1 = _nation_layer(spark, sf_dir, _gen_l1)
+        l2 = _nation_layer(spark, sf_dir, _mgen_u1).unionByName(
+            _nation_layer(spark, sf_dir, _mgen_u2)
+        )
+        out = overlay.mask_difference_polygons(l1, l2, pixel=4.0)
+        return out.select(
+            "feat_id", "ring_id", "n_pts", "is_hole", "area"
+        )
+
+    q["difference_multi"] = difference_multi
+
     def stratified_sample(spark, sf_dir):
         """Language-balanced deterministic corpus downsampling
         (training-data mixing): md5-derived per-doc uniform draw vs
@@ -2846,11 +2888,11 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new / changed in round 4 --
         "difference_convex", "difference_star", "srs_transform",
         "multimodal_curation", "repetition_quality", "oov_quality",
-        "pii_redaction", "difference_general", "union_exact",
-        "pack_sequences", "curation_pipeline",
+        "pii_redaction", "difference_general", "difference_multi",
+        "union_exact", "pack_sequences", "curation_pipeline",
         # -- round-3-proven anchors --
         "pip_rect", "zonal_rect", "knn_grid", "dedup_clusters",
-        "minhash_lsh", "cosine_topk", "jdbc_reclass",
+        "minhash_lsh", "cosine_topk",
     ]
     hard = set(oracle_sql())
     ordered = {k: q[k] for k in head if k in q and k in hard}
@@ -4145,6 +4187,23 @@ def oracle_sql() -> Dict[str, str]:
     SELECT k, CAST(1 AS INT), CAST(5 AS INT), TRUE,
            CAST(18.0 AS DOUBLE)
     FROM feats WHERE k % 2 = 1
+    """
+
+    o["difference_multi"] = """
+    WITH feats AS (
+      SELECT n_nationkey AS k,
+             CAST(4 * (7 + n_nationkey % 4) AS DOUBLE) AS w,
+             CAST(4 * (6 + n_nationkey % 3) AS DOUBLE) AS h
+      FROM nation
+    )
+    SELECT k AS feat_id, CAST(0 AS INT) AS ring_id,
+           CAST(13 AS INT) AS n_pts, FALSE AS is_hole,
+           CAST(w * h - 64.0 AS DOUBLE) AS area
+    FROM feats
+    UNION ALL
+    SELECT k, CAST(1 AS INT), CAST(9 AS INT), TRUE,
+           CAST(88.0 AS DOUBLE)
+    FROM feats
     """
 
     o["union_exact"] = """
