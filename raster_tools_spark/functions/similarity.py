@@ -87,15 +87,18 @@ def cosine_topk(
 
 def _ensure_sized(vectors: DataFrame, n_rows: int | None):
     """Sizing count without a second source scan: when the caller
-    does not pass ``n_rows``, persist the input before counting so
-    the count and the downstream pipeline share one materialization
-    (otherwise a 100-TB corpus is scanned twice -- once by the eager
-    count hidden in plan construction, once at execution).
-    Large-scale callers should pass ``n_rows`` (e.g. from table
-    stats) and skip the count entirely."""
+    does not pass ``n_rows``, materialize the input once via an eager
+    localCheckpoint so the count and the downstream pipeline share
+    one materialization (otherwise a 100-TB corpus is scanned twice
+    -- once by the eager count hidden in plan construction, once at
+    execution).  localCheckpoint rather than persist: the blocks are
+    released by the ContextCleaner when the DataFrame goes out of
+    scope, instead of pinning executor storage for the application
+    lifetime.  Large-scale callers should pass ``n_rows`` (e.g. from
+    table stats) and skip the materialization entirely."""
     if n_rows is not None:
         return vectors, n_rows
-    vectors = vectors.persist()
+    vectors = vectors.localCheckpoint(eager=True)
     return vectors, vectors.count()
 
 

@@ -355,9 +355,12 @@ def pack_sequences(
 
     if n_shards is None:
         if n_rows is None:
-            # persist before the sizing count so the corpus is
-            # materialized once, not scanned twice (count + pack)
-            docs = docs.persist()
+            # eager localCheckpoint before the sizing count: the
+            # corpus is materialized once, not scanned twice (count +
+            # pack), and the blocks are ContextCleaner-released when
+            # the DataFrame is garbage-collected (persist would pin
+            # them for the application lifetime)
+            docs = docs.localCheckpoint(eager=True)
             n_rows = docs.count()
         n_shards = derive_n_shards(n_rows)
 

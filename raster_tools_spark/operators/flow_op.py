@@ -564,12 +564,15 @@ def accumulate_tiles(
     operator path."""
     spark = dir_tiles.sparkSession
     if tile_px is None:
-        res = int(
-            dir_tiles.select(
-                F.shiftright("cell_id", 56).alias("r")
-            ).first().r
-        )
-        tile_px = int(round(cell_edge(res) / CELL_SIZE))
+        head = dir_tiles.select(
+            F.shiftright("cell_id", 56).alias("r")
+        ).first()
+        if head is None:
+            # empty tile table: nothing to accumulate
+            return spark.createDataFrame(
+                [], schema="cell_id long, acc binary"
+            )
+        tile_px = int(round(cell_edge(int(head.r)) / CELL_SIZE))
     parts = dir_tiles.select("cell_id", "bytes", "fmt").mapInPandas(
         _halo_dir_parts, schema=(
             "target long, src_dy int, src_dx int, payload binary, "

@@ -805,16 +805,8 @@ def mask_difference_polygons(
         y_top = WORLD_TOP - i0 * pixel
         gt = GeoTransform((x0, pixel, 0.0, y_top, 0.0, -pixel))
         m1 = geom.rasterize_mask(wkb1, gt, h, w)
-        seen = set()
-        for lst in pdf["wkbs2"]:
-            if lst is None:
-                continue
-            for b in lst:
-                key = bytes(b)
-                if key in seen:
-                    continue
-                seen.add(key)
-                m1 &= ~geom.rasterize_mask(key, gt, h, w)
+        for key in cutter_bytes:
+            m1 &= ~geom.rasterize_mask(key, gt, h, w)
         rows = []
         if m1.any():
             # fill=False: a layer-2 polygon strictly inside the feature
@@ -925,9 +917,12 @@ def union_area_exact(
     per = cells.repartition(n_parts, "cell").groupBy("cell").applyInPandas(
         per_cell, schema="area double, inexact int"
     )
+    # coalesce: sum() over an empty layer is NULL, but an empty union
+    # is area 0 with an intact exactness certificate
     return per.agg(
-        F.sum("area").alias("union_area"),
-        F.sum("inexact").alias("inexact_cells"),
+        F.coalesce(F.sum("area"), F.lit(0.0)).alias("union_area"),
+        F.coalesce(F.sum("inexact"), F.lit(0).cast("long"))
+        .alias("inexact_cells"),
     )
 
 

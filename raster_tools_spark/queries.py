@@ -2262,10 +2262,11 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         mixed = ftext.stratified_sample(
             clean, quotas={"en": 40, "zh": 60, "es": 80}
-        ).persist()
-        # persist: the shard-count derivation inside pack_sequences
+        ).localCheckpoint(eager=True)
+        # checkpoint: the shard-count derivation inside pack_sequences
         # counts `mixed`, and the final lang join reads it again --
-        # without the cache the 5-stage chain would run three times
+        # without the materialization the 5-stage chain would run
+        # three times (GC-released, unlike a pinned persist)
         packed = ftext.pack_sequences(mixed, budget=128)
         return packed.join(
             mixed.select("doc_id", "lang"), "doc_id"

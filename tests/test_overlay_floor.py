@@ -551,28 +551,29 @@ def test_union_area_exact(spark):
     assert r2.inexact_cells > 0
     assert r2.union_area >= r.union_area
 
-    def test_multi_disjoint_nonconvex_cutters_exact(self):
-        """Several pairwise-disjoint nonconvex cutters cut exactly in
-        sequence; overlapping cutters are refused (raster fallback)."""
-        import numpy as np
 
-        from raster_tools_spark.operators.overlay import (
-            _general_difference_rings)
+def test_multi_disjoint_nonconvex_cutters_exact():
+    """Several pairwise-disjoint nonconvex cutters cut exactly in
+    sequence; overlapping cutters are refused (raster fallback)."""
+    import numpy as np
 
-        W, H, p, q = 40.0, 32.0, 4.0, 8.0
-        S = np.array([(0, 0), (W, 0), (W, H), (0, H)], float)
-        a1, a2 = 8.0, 20.0
-        U1 = np.array([
-            (a1, -2), (a2 + p, -2), (a2 + p, q), (a2, q),
-            (a2, -1), (a1 + p, -1), (a1 + p, q), (a1, q),
-        ], float)
-        U2 = U1 + np.array([4.0, 16.0])  # strictly interior copy
-        rings = _general_difference_rings(S, [U1, U2])
-        # piercing U removes 2pq = 64; interior U survives as an
-        # 88-area hole
-        assert sorted(round(a, 9) for _, a in rings) == [
-            -88.0, W * H - 2 * p * q
-        ]
-        assert _general_difference_rings(
-            S, [U1, U1 + np.array([1.0, 0.0])]
-        ) is None
+    from raster_tools_spark.operators.overlay import (
+        _general_difference_rings)
+
+    W, H, p, q = 40.0, 32.0, 4.0, 8.0
+    S = np.array([(0, 0), (W, 0), (W, H), (0, H)], float)
+    a1, a2 = 8.0, 20.0
+    U1 = np.array([
+        (a1, -2), (a2 + p, -2), (a2 + p, q), (a2, q),
+        (a2, -1), (a1 + p, -1), (a1 + p, q), (a1, q),
+    ], float)
+    U2 = U1 + np.array([4.0, 16.0])  # strictly interior copy
+    rings = _general_difference_rings(S, [U1, U2])
+    # piercing U removes 2pq = 64; interior U survives as an
+    # 88-area hole
+    assert sorted(round(a, 9) for _, a in rings) == [
+        -88.0, W * H - 2 * p * q
+    ]
+    assert _general_difference_rings(
+        S, [U1, U1 + np.array([1.0, 0.0])]
+    ) is None
