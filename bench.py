@@ -135,6 +135,7 @@ def run_bench(spark, sf_dir: str, n_images: int = 20000,
         "repetition_quality",
         "oov_quality",
         "pii_redaction",
+        "asof_rates",
     ):
         fn = qcat[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())

@@ -2674,6 +2674,29 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["difference_multi"] = difference_multi
 
+    def asof_rates(spark, sf_dir):
+        """AS-OF join (the temporal operator Spark lacks natively):
+        every event reads the most recent rate-change row for its
+        event_type at or before its timestamp.  Implemented as ONE
+        shuffle -- union both sides tagged + a running
+        last(ignoreNulls) window -- never a range-join blowup; the
+        oracle is the classic correlated top-1 subquery."""
+        from .functions import temporal
+
+        ev = _t(spark, sf_dir, "events")
+        dim = (
+            ev.filter(F.col("event_id") % 97 == 0)
+            .groupBy("event_type", "ts")
+            .agg(F.min("value").alias("rate"))
+        )
+        out = temporal.asof_join(
+            ev.select("event_id", "event_type", "ts"), dim,
+            key_col="event_type", ts_col="ts", value_cols=["rate"],
+        )
+        return out.select("event_id", "event_type", "rate")
+
+    q["asof_rates"] = asof_rates
+
     def stratified_sample(spark, sf_dir):
         """Language-balanced deterministic corpus downsampling
         (training-data mixing): md5-derived per-doc uniform draw vs
@@ -2890,10 +2913,11 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "difference_convex", "difference_star", "srs_transform",
         "multimodal_curation", "repetition_quality", "oov_quality",
         "pii_redaction", "difference_general", "difference_multi",
-        "union_exact", "pack_sequences", "curation_pipeline",
+        "union_exact", "asof_rates",
+        "pack_sequences", "curation_pipeline",
         # -- round-3-proven anchors --
         "pip_rect", "zonal_rect", "knn_grid", "dedup_clusters",
-        "minhash_lsh", "cosine_topk",
+        "minhash_lsh",
     ]
     hard = set(oracle_sql())
     ordered = {k: q[k] for k in head if k in q and k in hard}
@@ -4188,6 +4212,18 @@ def oracle_sql() -> Dict[str, str]:
     SELECT k, CAST(1 AS INT), CAST(5 AS INT), TRUE,
            CAST(18.0 AS DOUBLE)
     FROM feats WHERE k % 2 = 1
+    """
+
+    o["asof_rates"] = """
+    WITH dim AS (
+      SELECT event_type, ts, MIN(value) AS rate FROM events
+      WHERE event_id % 97 = 0 GROUP BY event_type, ts
+    )
+    SELECT e.event_id, e.event_type,
+           (SELECT d.rate FROM dim d
+            WHERE d.event_type = e.event_type AND d.ts <= e.ts
+            ORDER BY d.ts DESC LIMIT 1) AS rate
+    FROM events e
     """
 
     o["difference_multi"] = """
