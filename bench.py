@@ -136,6 +136,7 @@ def run_bench(spark, sf_dir: str, n_images: int = 20000,
         "oov_quality",
         "pii_redaction",
         "asof_rates",
+        "kmv_users",
     ):
         fn = qcat[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())

@@ -2697,6 +2697,22 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["asof_rates"] = asof_rates
 
+    def kmv_users(spark, sf_dir):
+        """KMV (bottom-k) distinct-count sketch, oracle-checked ON THE
+        SKETCH ITSELF: per event_type, estimate distinct users from
+        the 64 smallest md5 hash fractions -- deterministic, so
+        DuckDB reproduces the estimate bit-for-bit (HLL cannot be
+        checked this way).  One shuffle, k rows per group, small
+        groups exact by construction."""
+        from .functions import sketch
+
+        return sketch.kmv_distinct(
+            _t(spark, sf_dir, "events"), "event_type", "user_id",
+            k=64,
+        )
+
+    q["kmv_users"] = kmv_users
+
     def stratified_sample(spark, sf_dir):
         """Language-balanced deterministic corpus downsampling
         (training-data mixing): md5-derived per-doc uniform draw vs
@@ -2913,11 +2929,10 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "difference_convex", "difference_star", "srs_transform",
         "multimodal_curation", "repetition_quality", "oov_quality",
         "pii_redaction", "difference_general", "difference_multi",
-        "union_exact", "asof_rates",
+        "union_exact", "asof_rates", "kmv_users",
         "pack_sequences", "curation_pipeline",
         # -- round-3-proven anchors --
         "pip_rect", "zonal_rect", "knn_grid", "dedup_clusters",
-        "minhash_lsh",
     ]
     hard = set(oracle_sql())
     ordered = {k: q[k] for k in head if k in q and k in hard}
@@ -4212,6 +4227,28 @@ def oracle_sql() -> Dict[str, str]:
     SELECT k, CAST(1 AS INT), CAST(5 AS INT), TRUE,
            CAST(18.0 AS DOUBLE)
     FROM feats WHERE k % 2 = 1
+    """
+
+    o["kmv_users"] = """
+    WITH hashed AS (
+      SELECT DISTINCT event_type AS key,
+             CAST(CAST('0x' || substring(
+                    md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+                  AS DOUBLE) / 1152921504606846976.0 AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT key, h,
+             row_number() OVER (PARTITION BY key ORDER BY h) AS rn
+      FROM hashed
+    ),
+    kept AS (SELECT key, h FROM ranked WHERE rn <= 64)
+    SELECT key, COUNT(*) AS n_kept,
+           floor(CASE WHEN COUNT(*) < 64
+                      THEN CAST(COUNT(*) AS DOUBLE)
+                      ELSE 63 / MAX(h) END * 1000000.0)
+             / 1000000.0 AS estimate
+    FROM kept GROUP BY key
     """
 
     o["asof_rates"] = """

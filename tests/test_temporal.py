@@ -60,3 +60,27 @@ def test_asof_is_single_shuffle(spark):
     # one hash-partitioning exchange on the key, no join operator
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_kmv_sketch_accuracy_and_exact_branch(spark):
+    """KMV: exact below k, ~1/sqrt(k) relative error above it, and
+    duplicates never inflate the estimate."""
+    import pandas as pd
+
+    from raster_tools_spark.functions.sketch import kmv_distinct
+
+    rows = (
+        [("small", f"u{i}") for i in range(20)]
+        + [("small", "u3")] * 5                      # dups
+        + [("big", f"v{i}") for i in range(5000)]
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "v"]),
+        schema="k string, v string",
+    )
+    out = {r.key: r for r in kmv_distinct(df, "k", "v", k=64).collect()}
+    assert out["small"].n_kept == 20
+    assert out["small"].estimate == 20.0             # exact branch
+    assert out["big"].n_kept == 64
+    # (k-1)/kth-min: ~12.5% rel error at k=64; allow 3 sigma
+    assert abs(out["big"].estimate - 5000) / 5000 < 0.4
