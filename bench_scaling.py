@@ -11,6 +11,9 @@ Workloads:
   per-feature aggregation (the expensive-query scaling leg asked for
   by the round-2 verdict: scaling measured on the heavy path, not
   only the flagship).
+- ``dedup``: banded SimHash near-dup over a synthetic corpus (pure
+  JVM md5 + bit votes + banded equi-join) -- the LLM-pipeline
+  scaling leg.
 
 The sources are deterministic in-memory synthesizers rather than
 parquet scans: this sandbox has ONE throttled disk shared by both
@@ -61,6 +64,27 @@ if workload == "pipeline":
                                  partitions=64)
         cells = op_tile.assign_cells(images, tiles_axis=tiles_axis)
         return op_zonal.zonal_stats(cells, polys).count()
+elif workload == "dedup":
+    # LLM-pipeline leg: banded SimHash near-dup over a synthetic
+    # corpus -- pure JVM md5/bit-arithmetic + banded equi-join, the
+    # scaling shape of the training-data dedup stages
+    from pyspark.sql import functions as F
+    from raster_tools_spark.functions import dedup as fdedup
+
+    docs = spark.range(0, n_units, 1, 64).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[F.concat(F.lit(f"tok"),
+                       ((F.col("id") * (13 + j) + j * 7) % 100003)
+                       .cast("string"))
+              for j in range(30)],
+        ).alias("text"),
+    )
+    docs = docs.cache(); docs.count()
+
+    def run():
+        return fdedup.simhash_near_dup(docs, max_hamming=3).count()
 else:  # heavy: mask_difference-class overlay
     import pandas as pd
 
@@ -219,6 +243,26 @@ Within-window stage decomposition (the cleanest single measurement)
 puts the heavy leg at 0.87; the engine meets the >= 0.8 north-rule
 target on both legs whenever the host is not mid-steal, and the
 decomposition shows no phase that stops scaling at 2x the data.
+
+## Round-4: dedup (LLM-pipeline) scaling leg
+
+New third leg: banded SimHash near-dup over a 500k-doc synthetic
+corpus (pure-JVM md5 + bit votes + banded equi-join + popcount
+filter), the scaling shape of the training-data dedup stages.  Raw
+composite efficiency read 0.67; stage decomposition on the same
+commit/inputs:
+
+| component | local[2] (s) | local[8] (s) | efficiency |
+|---|---|---|---|
+| signature stage alone | 2.41 | 1.83 | 0.33 (NOT CPU-bound: ~2 s fixed stage/scan floor at either level) |
+| banded join phase (full - sig) | 25.6 | 6.9 | **0.92** |
+
+The join -- the part that grows with corpus size -- scales at 0.92;
+the signature stage is a near-constant floor (it runs in 2.4 s even
+on 2 cores, so it is scheduling/scan latency, not parallel work) that
+amortizes away as the corpus grows.  Same Amdahl pattern as the heavy
+leg's noise analysis: decompose before believing a composite number
+at sandbox scale.
 """
 
 
@@ -236,6 +280,10 @@ def main():
             int(v) for v in args[args.index("--levels") + 1].split(",")
         )
 
+    n_docs = 500000
+    if "--docs" in args:
+        n_docs = int(args[args.index("--docs") + 1])
+
     lo = run_level("pipeline", levels[0], n_images)
     hi = run_level("pipeline", levels[1], n_images)
     eff = (hi["rows_per_sec"] / lo["rows_per_sec"]) / (levels[1] / levels[0])
@@ -244,12 +292,19 @@ def main():
     heff = (hhi["rows_per_sec"] / hlo["rows_per_sec"]) / (
         levels[1] / levels[0]
     )
+    dlo = run_level("dedup", levels[0], n_docs)
+    dhi = run_level("dedup", levels[1], n_docs)
+    deff = (dhi["rows_per_sec"] / dlo["rows_per_sec"]) / (
+        levels[1] / levels[0]
+    )
     ceiling = host_ceiling(*levels)
     result = {"N": lo, "fourN": hi, "efficiency": round(eff, 3),
               "heavy_N": hlo, "heavy_fourN": hhi,
               "heavy_efficiency": round(heff, 3),
+              "dedup_N": dlo, "dedup_fourN": dhi,
+              "dedup_efficiency": round(deff, 3),
               "host_ceiling_eff": round(ceiling, 3), "images": n_images,
-              "heavy_feats": n_feats}
+              "heavy_feats": n_feats, "dedup_docs": n_docs}
     print(json.dumps(result))
 
     os.makedirs("BENCH", exist_ok=True)
@@ -277,6 +332,9 @@ best-of-2.
 | heavy overlay rows/sec @ N={levels[0]} cores | {hlo['rows_per_sec']} | local[{levels[0]}], {hlo['secs']} s |
 | heavy overlay rows/sec @ 4N={levels[1]} cores | {hhi['rows_per_sec']} | local[{levels[1]}], {hhi['secs']} s |
 | heavy overlay scaling efficiency N->4N | **{heff:.3f}** | target >= 0.8 |
+| dedup (banded SimHash) docs/sec @ N={levels[0]} cores | {dlo['rows_per_sec']} | local[{levels[0]}], {dlo['secs']} s |
+| dedup (banded SimHash) docs/sec @ 4N={levels[1]} cores | {dhi['rows_per_sec']} | local[{levels[1]}], {dhi['secs']} s |
+| dedup scaling efficiency N->4N | **{deff:.3f}** | LLM-pipeline leg (pure-JVM md5 + banded equi-join), {n_docs} docs |
 | host pure-CPU ceiling ({levels[0]}->{levels[1]} procs) | {ceiling:.3f} | numpy multiprocessing calibration |
 
 Both legs sit strictly within the box's 16 physical cores, modeling
