@@ -230,14 +230,16 @@ partitions at local[8]) showed zero difference, ruling out
 partition-count imbalance.  The heavy leg now uses best-of-3 to
 shrink the noise window.
 
-Three full round-4 runs, same commit, same inputs (the distribution
-IS the finding on this host):
+Five full round-4 runs, same inputs (the distribution IS the
+finding on this host; D/E add the dedup leg):
 
-| run | pipeline eff | heavy eff @6000 | CPU ceiling |
-|---|---|---|---|
-| A | 0.928 | 0.719 | 0.909 |
-| B | 0.786 | 0.790 | 0.994 |
-| C (reported above) | 0.835 | 0.867 | 0.932 |
+| run | pipeline eff | heavy eff @6000 | dedup eff | CPU ceiling |
+|---|---|---|---|---|
+| A | 0.928 | 0.719 | - | 0.909 |
+| B | 0.786 | 0.790 | - | 0.994 |
+| C | 0.835 | 0.867 | - | 0.932 |
+| D | 0.889 | 0.842 | 0.531 (120k docs: too small, stage-floor bound) | 1.135 |
+| E (reported above) | 0.911 | 1.025 | 0.669 (500k docs; join phase 0.92) | 0.803 |
 
 Within-window stage decomposition (the cleanest single measurement)
 puts the heavy leg at 0.87; the engine meets the >= 0.8 north-rule
