@@ -8,15 +8,17 @@ implementations the estimate is a pure deterministic function of the
 md5 hashes, so a SQL engine reproduces it BIT-EXACTLY -- which makes
 the sketch itself oracle-checkable, not just its error bound.
 
-Scale shape: one shuffle (rank within group by hash), k rows kept per
-group, groups never materialize their full distinct sets.  Groups
-with fewer than k distinct values return the EXACT count (the
-estimator's standard small-set exactness).
+Scale shape: per-partition bottom-k first, then one shuffle of
+<= k survivors per (key, partition) -- the sketch's mergeability IS
+the distribution strategy; no per-key global sort, no full distinct
+set ever materializes.  Groups with fewer than k distinct values
+return the EXACT count (the estimator's standard small-set
+exactness).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -33,23 +35,41 @@ def kmv_distinct(
         F.substring(F.md5(F.col(val_col).cast("string")), 1, 15),
         16, 10,
     ).cast("double") / float(16 ** 15)
-    hashed = df.select(
-        F.col(key_col).alias("key"), h.alias("h")
-    ).dropDuplicates(["key", "h"])
-    w = Window.partitionBy("key").orderBy("h")
-    kept = hashed.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= k
+    hashed = df.select(F.col(key_col).alias("key"), h.alias("h"))
+    # two-stage bottom-k merge (the sketch's own merge property):
+    # each input partition reduces to <= k distinct hashes per key,
+    # then the <= k * n_partitions survivors merge per key -- no
+    # per-key global sort, no full distinct set ever materializes
+    # (a window row_number over the key would sort EVERY distinct
+    # hash of the key; this shape is what scales to 10^12 rows)
+    part = hashed.groupBy(
+        "key", F.spark_partition_id().alias("_p")
+    ).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.collect_list("h"))),
+            1, k,
+        ).alias("hs")
     )
-    return kept.groupBy("key").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.floor(
-            F.when(
-                F.count(F.lit(1)) < k,
-                F.count(F.lit(1)).cast("double"),
-            ).otherwise((k - 1) / F.max("h"))
-            * 1000000.0
-        ).alias("est_e6"),
-    ).select(
-        "key", "n_kept",
-        (F.col("est_e6") / 1000000.0).alias("estimate"),
+    merged = (
+        part.select("key", F.explode("hs").alias("h"))
+        .groupBy("key")
+        .agg(
+            F.slice(
+                F.array_sort(F.array_distinct(F.collect_list("h"))),
+                1, k,
+            ).alias("hs")
+        )
+    )
+    n_kept = F.size("hs")
+    kth = F.element_at("hs", n_kept)
+    return merged.select(
+        "key",
+        n_kept.alias("n_kept"),
+        (
+            F.floor(
+                F.when(n_kept < k, n_kept.cast("double"))
+                .otherwise((k - 1) / kth)
+                * 1000000.0
+            ) / 1000000.0
+        ).alias("estimate"),
     )

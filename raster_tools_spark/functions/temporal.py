@@ -35,7 +35,14 @@ def asof_join(
 
     Single shuffle by key; at equal timestamps the right row sorts
     first (inclusive) or last (exclusive) via the tag column, so the
-    window needs no range frame."""
+    window needs no range frame.
+
+    Skew note: each key's rows sort within one task (Spark windows
+    spill to disk, so a hot key is slow, not fatal).  At 100-TB scale
+    prefer high-cardinality keys; for a genuinely low-cardinality key
+    set, pre-bucket by time range and stitch the per-bucket last
+    values (the carried-state variant) -- same semantics, more
+    parallelism within a key."""
     tag_right = 0 if inclusive else 2
     l = left.withColumn("_tag", F.lit(1))
     for c in value_cols:
