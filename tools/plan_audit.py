@@ -340,6 +340,32 @@ def main():
         ],
     )
 
+    # 5r. asof join: ONE hash-partitioning exchange, NO join operator
+    # (the union + running-last-value formulation, never a range join)
+    audit(
+        "asof_single_shuffle_no_join",
+        qcat["asof_rates"](spark, SF),
+        [
+            ("no join operator", lambda p: "Join" not in p),
+            ("no cartesian product",
+             lambda p: "CartesianProduct" not in p),
+            ("window resolves the match", lambda p: "Window" in p),
+        ],
+    )
+
+    # 5s. KMV sketch: two-stage bottom-k merge -- hash aggregates,
+    # never a per-key window sort over the full distinct set
+    audit(
+        "kmv_bottomk_no_window_sort",
+        qcat["kmv_users"](spark, SF),
+        [
+            ("no window operator", lambda p: "Window" not in p),
+            ("aggregate-based", lambda p: "Aggregate" in p),
+            ("no cartesian product",
+             lambda p: "CartesianProduct" not in p),
+        ],
+    )
+
     # 6. mosaic merge: single hash agg pair (partial+final), no window
     audit(
         "mosaic_merge_hashagg",
