@@ -108,9 +108,13 @@ def png_decode(data: bytes) -> np.ndarray:
         f = filters[i]
         if f == 0:
             continue
-        if f == 1:  # Sub (per-channel left neighbor)
-            for j in range(nch, w * nch):
-                out[i, j] = (out[i, j] + out[i, j - nch]) & 0xFF
+        if f == 1:  # Sub: per-channel prefix sum mod 256, vectorized
+            # (uint8 cumsum wraps naturally -- the mod-256 carry IS
+            # the overflow; no per-pixel loop on foreign PNGs)
+            out[i] = (
+                out[i].astype(np.uint8).reshape(w, nch)
+                .cumsum(axis=0, dtype=np.uint8).reshape(-1)
+            )
         elif f == 2:  # Up
             if i > 0:
                 out[i] = (out[i] + out[i - 1]) & 0xFF

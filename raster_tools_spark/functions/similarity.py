@@ -95,7 +95,18 @@ def _ensure_sized(vectors: DataFrame, n_rows: int | None):
     released by the ContextCleaner when the DataFrame goes out of
     scope, instead of pinning executor storage for the application
     lifetime.  Large-scale callers should pass ``n_rows`` (e.g. from
-    table stats) and skip the materialization entirely."""
+    table stats) and skip the materialization entirely.
+
+    Reliability trade-off: localCheckpoint stores NON-replicated
+    blocks and truncates lineage, so losing any executor after the
+    checkpoint fails the job unrecoverably -- acceptable in this
+    single-JVM sandbox, but on a 1000-executor cluster where
+    executor loss is routine, pass ``n_rows`` (preferred -- no
+    materialization at all) or swap in persist()+unpersist(), which
+    keeps the lineage recomputable at the cost of a second scan on
+    block loss.  The eager trigger also runs the upstream plan at
+    query-CONSTRUCTION time, which surprises callers building plans
+    lazily."""
     if n_rows is not None:
         return vectors, n_rows
     vectors = vectors.localCheckpoint(eager=True)
@@ -278,6 +289,101 @@ def derive_n_centroids(n_rows: int, min_centroids: int = 8,
     )
 
 
+MAX_CLOSURE_CENTROIDS = 4096
+
+
+def _two_level_lists_and_probes(
+    vectors, v, n_centroids, nprobe, cap, id_col, vec_col
+):
+    """Two-level coarse quantizer for the IVF paths where sqrt(n)
+    centroids no longer fit a task closure (n ~ 10^9+ vectors: the
+    single-level closure is ~GB and every vector pays sqrt(n) dot
+    products).  Level 1: <= cap super-centroids in a small closure.
+    Level 2: the fine centroids stay a DATAFRAME -- each is assigned
+    to its nearest super-group, vectors broadcast-join the fine
+    centroids of their own super-group(s), and a row_number picks the
+    nearest / top-nprobe fine lists.  Closure and per-vector dot cost
+    both drop to O(cap + n_centroids / cap); the fine-centroid table
+    is broadcast once instead of closed into every serialized task.
+    Deterministic: ties break on centroid id everywhere."""
+    import math
+
+    n_super = max(8, min(cap, math.isqrt(n_centroids)))
+    super_rows = (
+        v.select("vid", "vec")
+        .filter(F.col("vid") < n_super)
+        .orderBy("vid")
+        .collect()
+    )
+    super_np = np.stack([np.asarray(r.vec) for r in super_rows])
+    sims1 = _centroid_sims_udf(super_np)
+
+    @F.pandas_udf(T.IntegerType())
+    def g_assign(csims: pd.Series) -> pd.Series:
+        m = np.stack(csims.to_numpy())
+        return pd.Series(np.argmax(m, axis=1).astype(np.int32))
+
+    n_probe_super = min(2, n_super)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def g_probe(csims: pd.Series) -> pd.Series:
+        m = np.stack(csims.to_numpy())
+        order = np.argsort(-m, axis=1, kind="stable")[:, :n_probe_super]
+        return pd.Series(list(order.astype(np.int32)))
+
+    fine = (
+        v.select("vid", "vec")
+        .filter(F.col("vid") < n_centroids)
+        .withColumn("grp", g_assign(sims1(F.col("vec"))))
+        .select(
+            F.col("vid").alias("fcid"), F.col("vec").alias("fvec"),
+            "grp",
+        )
+        .withColumn("fn", _norm(F.col("fvec")))
+    )
+    vg = v.withColumn("gs", g_probe(sims1(F.col("vec"))))
+    # assignment: nearest fine centroid within the vector's TOP-1
+    # super-group (standard hierarchical quantizer); the joined rows
+    # never materialize -- broadcast join pipelines into the window
+    asg = (
+        vg.withColumn("grp", F.element_at("gs", 1))
+        .join(F.broadcast(fine), "grp")
+        .withColumn(
+            "fsim", _dot(F.col("vec"), F.col("fvec"))
+            / (F.col("n") * F.col("fn"))
+        )
+    )
+    w1 = Window.partitionBy("vid").orderBy(
+        F.col("fsim").desc(), F.col("fcid").asc()
+    )
+    lists = (
+        asg.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") == 1)
+        .select(
+            F.col("vid").alias("cid"), F.col("vec").alias("cv2"),
+            F.col("n").alias("cn"), F.col("fcid").alias("cluster"),
+        )
+    )
+    # probing: top-nprobe fine lists across the top super-groups
+    prb = (
+        vg.select("vid", "vec", "n", F.explode("gs").alias("grp"))
+        .join(F.broadcast(fine), "grp")
+        .withColumn(
+            "fsim", _dot(F.col("vec"), F.col("fvec"))
+            / (F.col("n") * F.col("fn"))
+        )
+    )
+    queries = (
+        prb.withColumn("rnp", F.row_number().over(w1))
+        .filter(F.col("rnp") <= nprobe)
+        .select(
+            F.col("vid").alias("qid"), F.col("vec").alias("qv"),
+            F.col("n").alias("qn"), F.col("fcid").alias("cluster"),
+        )
+    )
+    return lists, queries
+
+
 def ivf_topk(
     vectors: DataFrame,
     k: int = 5,
@@ -286,6 +392,7 @@ def ivf_topk(
     n_rows: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_closure_centroids: int = MAX_CLOSURE_CENTROIDS,
 ) -> DataFrame:
     """IVF-flat ANN: a coarse quantizer (the first ``n_centroids``
     vectors by id -- deterministic sampling) partitions the corpus into
@@ -295,47 +402,62 @@ def ivf_topk(
     by list, never all-pairs); recall < 1 by construction, raise
     ``nprobe`` to trade cost for recall.  ``n_centroids=None`` derives
     sqrt(n) lists (derive_n_centroids); pass ``n_rows`` to skip the
-    sizing count."""
+    sizing count.
+
+    Beyond ``max_closure_centroids`` lists the quantizer goes TWO-
+    LEVEL (see _two_level_lists_and_probes): the closure shipped to
+    executors is bounded at the cap and the fine centroids move as a
+    broadcast DataFrame -- the single-level path would close ~GB of
+    centroids into every task at 10^9+ vectors."""
     if n_centroids is None:
         vectors, n = _ensure_sized(vectors, n_rows)
         n_centroids = derive_n_centroids(n)
-    cents_rows = (
-        vectors.select(F.col(id_col).alias("cid_c"),
-                       F.col(vec_col).alias("cv"))
-        .filter(F.col("cid_c") < n_centroids)
-        .orderBy("cid_c")
-        .collect()
-    )
-    centroids = np.stack([np.asarray(r.cv) for r in cents_rows])
-    sims = _centroid_sims_udf(centroids)
 
     v = vectors.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
-    ).withColumn("csims", sims(F.col("vec"))).withColumn(
-        "n", _norm(F.col("vec"))
-    )
+    ).withColumn("n", _norm(F.col("vec")))
 
-    @F.pandas_udf(T.IntegerType())
-    def assign(csims: pd.Series) -> pd.Series:
-        m = np.stack(csims.to_numpy())
-        return pd.Series(np.argmax(m, axis=1).astype(np.int32))
+    if n_centroids > max_closure_centroids:
+        lists, queries = _two_level_lists_and_probes(
+            vectors, v, n_centroids, nprobe,
+            max_closure_centroids, id_col, vec_col,
+        )
+    else:
+        cents_rows = (
+            vectors.select(F.col(id_col).alias("cid_c"),
+                           F.col(vec_col).alias("cv"))
+            .filter(F.col("cid_c") < n_centroids)
+            .orderBy("cid_c")
+            .collect()
+        )
+        centroids = np.stack([np.asarray(r.cv) for r in cents_rows])
+        sims = _centroid_sims_udf(centroids)
 
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def probe(csims: pd.Series) -> pd.Series:
-        m = np.stack(csims.to_numpy())
-        order = np.argsort(-m, axis=1, kind="stable")[:, :nprobe]
-        return pd.Series(list(order.astype(np.int32)))
+        v = v.withColumn("csims", sims(F.col("vec")))
 
-    lists = v.withColumn("cluster", assign(F.col("csims"))).select(
-        F.col("vid").alias("cid"), F.col("vec").alias("cv2"),
-        F.col("n").alias("cn"), "cluster",
-    )
-    queries = v.withColumn(
-        "cluster", F.explode(probe(F.col("csims")))
-    ).select(
-        F.col("vid").alias("qid"), F.col("vec").alias("qv"),
-        F.col("n").alias("qn"), "cluster",
-    )
+        @F.pandas_udf(T.IntegerType())
+        def assign(csims: pd.Series) -> pd.Series:
+            m = np.stack(csims.to_numpy())
+            return pd.Series(np.argmax(m, axis=1).astype(np.int32))
+
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def probe(csims: pd.Series) -> pd.Series:
+            m = np.stack(csims.to_numpy())
+            order = np.argsort(-m, axis=1, kind="stable")[:, :nprobe]
+            return pd.Series(list(order.astype(np.int32)))
+
+        lists = v.withColumn(
+            "cluster", assign(F.col("csims"))
+        ).select(
+            F.col("vid").alias("cid"), F.col("vec").alias("cv2"),
+            F.col("n").alias("cn"), "cluster",
+        )
+        queries = v.withColumn(
+            "cluster", F.explode(probe(F.col("csims")))
+        ).select(
+            F.col("vid").alias("qid"), F.col("vec").alias("qv"),
+            F.col("n").alias("qn"), "cluster",
+        )
     # no dedup needed: a candidate lives in exactly ONE inverted
     # list, so a (qid, cid) pair can only arise from the single probe
     # that equals the candidate's cluster

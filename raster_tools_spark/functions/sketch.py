@@ -18,38 +18,99 @@ exactness).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _bounded_partial_bottom_k(hashed: DataFrame, k: int) -> DataFrame:
+    """Per-partition bottom-k partials with memory bounded by
+    O(keys_in_partition x k), NOT by partition rows: a stateful
+    mapInPandas pass folds each Arrow batch into a <= k sorted
+    distinct array per key, so a skewed fat key costs k doubles of
+    state instead of materializing its full in-partition value list
+    (the collect_list partial's failure mode).  Emits (key, hs) with
+    len(hs) <= k -- identical contract to the collect_list partial,
+    so the merge stage and the sketch estimate are bit-identical."""
+    key_field = hashed.schema["key"]
+
+    def partials(batches):
+        state: dict = {}
+        for pdf in batches:
+            for key, grp in pdf.groupby("key", sort=False)["h"]:
+                vals = grp.values
+                prev = state.get(key)
+                if prev is not None:
+                    vals = np.concatenate([prev, vals])
+                state[key] = np.unique(vals)[:k]  # sorted distinct
+        if state:
+            yield pd.DataFrame(
+                {
+                    "key": list(state.keys()),
+                    "hs": [v.tolist() for v in state.values()],
+                }
+            )
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [key_field, T.StructField(
+            "hs", T.ArrayType(T.DoubleType()), False
+        )]
+    )
+    return hashed.mapInPandas(partials, schema=schema)
+
+
 def kmv_distinct(
-    df: DataFrame, key_col: str, val_col: str, k: int = 64
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    k: int = 64,
+    bounded_partials: bool = False,
 ) -> DataFrame:
     """Per-``key_col`` distinct-count estimate of ``val_col`` via a
     k-minimum-values sketch.  Returns (key, n_kept, estimate) where
     estimate is floor-scaled to 6 dp; n_kept < k certifies the exact
     branch.  The hash fraction is the first 15 hex chars of
     md5(value) over 16^15 -- exactly reproducible in any engine with
-    md5."""
+    md5.
+
+    ``bounded_partials=True`` swaps the JVM collect_list partial
+    (buffers a key's full in-partition value list before the
+    bottom-k slice -- memory proportional to partition rows under
+    skew) for an incremental Arrow-batched fold whose state is
+    bounded by k per key.  Same bits out either way; the bounded
+    path is the one to use when a single key can dominate a fat
+    partition."""
     h = F.conv(
         F.substring(F.md5(F.col(val_col).cast("string")), 1, 15),
         16, 10,
     ).cast("double") / float(16 ** 15)
-    hashed = df.select(F.col(key_col).alias("key"), h.alias("h"))
+    # NULL values carry no identity: drop them explicitly so both
+    # engines agree by construction (Spark's collect_list silently
+    # drops NULL hashes; a DISTINCT-based oracle would keep a NULL
+    # row that shifts n_kept) -- a key with only NULLs vanishes
+    hashed = df.filter(F.col(val_col).isNotNull()).select(
+        F.col(key_col).alias("key"), h.alias("h")
+    )
     # two-stage bottom-k merge (the sketch's own merge property):
     # each input partition reduces to <= k distinct hashes per key,
     # then the <= k * n_partitions survivors merge per key -- no
     # per-key global sort, no full distinct set ever materializes
     # (a window row_number over the key would sort EVERY distinct
     # hash of the key; this shape is what scales to 10^12 rows)
-    part = hashed.groupBy(
-        "key", F.spark_partition_id().alias("_p")
-    ).agg(
-        F.slice(
-            F.array_sort(F.array_distinct(F.collect_list("h"))),
-            1, k,
-        ).alias("hs")
-    )
+    if bounded_partials:
+        part = _bounded_partial_bottom_k(hashed, k)
+    else:
+        part = hashed.groupBy(
+            "key", F.spark_partition_id().alias("_p")
+        ).agg(
+            F.slice(
+                F.array_sort(F.array_distinct(F.collect_list("h"))),
+                1, k,
+            ).alias("hs")
+        )
     merged = (
         part.select("key", F.explode("hs").alias("h"))
         .groupBy("key")

@@ -19,6 +19,26 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _assert_asof_columns(left, right, value_cols):
+    """Reserved / colliding names would silently produce an ambiguous
+    schema -- fail loudly instead (internal names: _tag, _v, _bkt)."""
+    reserved = {"_tag", "_v", "_bkt"}
+    clash = reserved.intersection(left.columns).union(
+        reserved.intersection(right.columns)
+    )
+    if clash:
+        raise ValueError(
+            f"asof_join reserves column names {sorted(reserved)}; "
+            f"rename {sorted(clash)} first"
+        )
+    dup = set(value_cols).intersection(left.columns)
+    if dup:
+        raise ValueError(
+            f"left already has value column(s) {sorted(dup)}; the "
+            "as-of result would be ambiguous -- rename or drop them"
+        )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -40,20 +60,28 @@ def asof_join(
     Skew note: each key's rows sort within one task (Spark windows
     spill to disk, so a hot key is slow, not fatal).  At 100-TB scale
     prefer high-cardinality keys; for a genuinely low-cardinality key
-    set, pre-bucket by time range and stitch the per-bucket last
-    values (the carried-state variant) -- same semantics, more
-    parallelism within a key."""
+    set use :func:`asof_join_bucketed` (carried-state variant) --
+    same semantics, more parallelism within a key.
+
+    All value columns are carried in ONE struct per right row, so a
+    matched row's legitimately-NULL value stays NULL and every value
+    comes from the same (latest preceding) right row -- standard
+    as-of semantics even with NULLs in ``value_cols``."""
+    _assert_asof_columns(left, right, value_cols)
     tag_right = 0 if inclusive else 2
-    l = left.withColumn("_tag", F.lit(1))
-    for c in value_cols:
-        l = l.withColumn(f"_v_{c}", F.lit(None).cast(
-            dict(right.dtypes)[c]
-        ))
+    # one struct holds ALL value cols: last(ignorenulls) then picks
+    # the single latest preceding right ROW, not the latest non-null
+    # value per column (which could mix rows / skip legit NULLs)
+    right_struct = F.struct(*[F.col(c) for c in value_cols])
+    struct_type = right.select(right_struct.alias("_v")).schema["_v"].dataType
+    l = left.withColumn("_tag", F.lit(1)).withColumn(
+        "_v", F.lit(None).cast(struct_type)
+    )
     r = right.select(
         F.col(key_col),
         F.col(ts_col),
         F.lit(tag_right).alias("_tag"),
-        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+        right_struct.alias("_v"),
     )
     for c in left.columns:
         if c not in (key_col, ts_col):
@@ -64,12 +92,111 @@ def asof_join(
         .orderBy(F.col(ts_col).asc(), F.col("_tag").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in value_cols:
-        u = u.withColumn(
-            f"_v_{c}", F.last(f"_v_{c}", ignorenulls=True).over(w)
-        )
+    u = u.withColumn("_v", F.last("_v", ignorenulls=True).over(w))
     return (
         u.filter(F.col("_tag") == 1)
         .drop("_tag")
-        .withColumnsRenamed({f"_v_{c}": c for c in value_cols})
+        .select(
+            "*", *[F.col(f"_v.{c}").alias(c) for c in value_cols]
+        )
+        .drop("_v")
+    )
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_cols: Sequence[str],
+    n_buckets: int = 32,
+    inclusive: bool = True,
+) -> DataFrame:
+    """Carried-state AS-OF join for LOW-CARDINALITY key sets: same
+    semantics as :func:`asof_join`, but each key's timeline is split
+    into ``n_buckets`` time-range buckets so a hot key sorts in
+    ``n_buckets`` parallel tasks instead of one.
+
+    Three stages, all cheap except the one real shuffle:
+    (1) per-(key, bucket) LAST right-row struct (hash agg, tiny);
+    (2) running carry-in per key over bucket summaries (window over
+    <= keys x buckets rows -- driver-scale); (3) the in-bucket
+    running-last window over (key, bucket) -- the only shuffle of
+    |L| + |R|, now with n_buckets x the parallelism per key -- and
+    COALESCE(in-bucket last, carried-in state).  Equal timestamps
+    always share a bucket (bucketing is by value), so the inclusive
+    tag trick is unchanged."""
+    _assert_asof_columns(left, right, value_cols)
+    tag_right = 0 if inclusive else 2
+    right_struct = F.struct(*[F.col(c) for c in value_cols])
+    struct_type = right.select(
+        right_struct.alias("_v")
+    ).schema["_v"].dataType
+
+    ts_d = F.col(ts_col).cast("double")
+    bounds = (
+        left.select(ts_d.alias("t"))
+        .unionByName(right.select(ts_d.alias("t")))
+        .agg(F.min("t").alias("lo"), F.max("t").alias("hi"))
+        .collect()[0]
+    )
+    lo, hi = float(bounds.lo), float(bounds.hi)
+    width = max((hi - lo) / n_buckets, 1e-12)
+    bkt = F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(F.lit(0), F.floor((ts_d - lo) / width)),
+    ).cast("int")
+
+    l = (
+        left.withColumn("_tag", F.lit(1))
+        .withColumn("_v", F.lit(None).cast(struct_type))
+        .withColumn("_bkt", bkt)
+    )
+    r = right.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.lit(tag_right).alias("_tag"),
+        right_struct.alias("_v"),
+    ).withColumn("_bkt", bkt)
+    for c in left.columns:
+        if c not in (key_col, ts_col):
+            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    u = l.unionByName(r)
+
+    # stage 1+2: per-bucket last right struct, then the carry-in for
+    # EVERY (key, bucket) present on either side (absent-summary
+    # buckets still need the latest earlier bucket's state)
+    summ = r.groupBy(key_col, "_bkt").agg(
+        F.max_by("_v", F.col(ts_col)).alias("_vlast")
+    )
+    slots = u.select(key_col, "_bkt").distinct()
+    wc = (
+        Window.partitionBy(key_col)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        slots.join(summ, [key_col, "_bkt"], "left")
+        .withColumn("_vin", F.last("_vlast", ignorenulls=True).over(wc))
+        .select(key_col, "_bkt", "_vin")
+    )
+
+    # stage 3: in-bucket running last + carried-in fallback; the
+    # carry table is keys x buckets rows -- always broadcastable
+    w = (
+        Window.partitionBy(key_col, "_bkt")
+        .orderBy(F.col(ts_col).asc(), F.col("_tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = (
+        u.withColumn("_v", F.last("_v", ignorenulls=True).over(w))
+        .join(F.broadcast(carry), [key_col, "_bkt"])
+        .withColumn("_v", F.coalesce(F.col("_v"), F.col("_vin")))
+    )
+    return (
+        u.filter(F.col("_tag") == 1)
+        .drop("_tag", "_bkt", "_vin")
+        .select(
+            "*", *[F.col(f"_v.{c}").alias(c) for c in value_cols]
+        )
+        .drop("_v")
     )

@@ -517,6 +517,200 @@ def _gh_difference(A, B):
     return rings
 
 
+def _gh_union(A, B):
+    """Exact boundary rings of simple CCW polygon A union simple CCW
+    polygon B (forward-forward walk: A forward outside B, B forward
+    outside A -- at every crossing the outside continuation switches
+    polygons), GENERAL POSITION ONLY.  Returns [(closed coords,
+    signed area)] with the outer CCW (>0) and any enclosed gaps CW
+    (<0); None when the walk cannot complete.  This is the engine's
+    UnionCascaded move (reference difference.py:46-51): merging
+    crossing cutters FIRST makes the multi-cutter difference exact
+    for overlapping non-convex cutters."""
+    if _touches_boundary(B, A) or _touches_boundary(A, B):
+        return None
+    hits = _proper_crossings(A, B)
+    if not hits:
+        if _pt_in_ring(A[0], B):
+            rb = np.asarray(B, dtype=np.float64)
+            return [(np.vstack([rb, rb[:1]]), _signed_area(rb))]
+        if _pt_in_ring(B[0], A):
+            ra = np.asarray(A, dtype=np.float64)
+            return [(np.vstack([ra, ra[:1]]), _signed_area(ra))]
+        ra = np.asarray(A, dtype=np.float64)
+        rb = np.asarray(B, dtype=np.float64)
+        return [
+            (np.vstack([ra, ra[:1]]), _signed_area(ra)),
+            (np.vstack([rb, rb[:1]]), _signed_area(rb)),
+        ]                                  # disjoint: two components
+    if len(hits) % 2 != 0:
+        return None
+    na, nb = len(A), len(B)
+    nodesA: list = []
+    nodesB: list = []
+    for ia in range(na):
+        nodesA.append(("v", tuple(A[ia])))
+        for h in sorted(
+            (h for h in range(len(hits)) if hits[h][0] == ia),
+            key=lambda h: hits[h][1],
+        ):
+            nodesA.append(("x", h))
+    for ib in range(nb):
+        nodesB.append(("v", tuple(B[ib])))
+        for h in sorted(
+            (h for h in range(len(hits)) if hits[h][2] == ib),
+            key=lambda h: hits[h][3],
+        ):
+            nodesB.append(("x", h))
+    idxA = {v: i for i, (k, v) in enumerate(nodesA) if k == "x"}
+    idxB = {v: i for i, (k, v) in enumerate(nodesB) if k == "x"}
+    # exit nodes: the A-walk leaves B here (same start set as the
+    # difference walk -- the union boundary's A-arcs are outside B)
+    exits = []
+    for h in range(len(hits)):
+        i = (idxA[h] + 1) % len(nodesA)
+        kind, val = nodesA[i]
+        probe = val if kind == "v" else hits[val][4]
+        mid = (
+            0.5 * (hits[h][4][0] + probe[0]),
+            0.5 * (hits[h][4][1] + probe[1]),
+        )
+        if not _pt_in_ring(mid, B):
+            exits.append(h)
+    if not exits or len(exits) * 2 != len(hits):
+        return None
+    used: set = set()
+    rings = []
+    for start in exits:
+        if start in used:
+            continue
+        pts: list = []
+        cur = start
+        guard = 0
+        while True:
+            guard += 1
+            if guard > len(hits) + 2:
+                return None
+            # A-forward leg: from exit `cur` to the next crossing
+            used.add(cur)
+            pts.append(hits[cur][4])
+            i = idxA[cur]
+            while True:
+                i = (i + 1) % len(nodesA)
+                kind, val = nodesA[i]
+                if kind == "v":
+                    pts.append(val)
+                else:
+                    entry = val
+                    break
+            if entry == start:
+                break
+            if entry in used:
+                return None
+            # B-FORWARD leg (the one move that differs from the
+            # difference walk): from `entry` to the next crossing
+            used.add(entry)
+            pts.append(hits[entry][4])
+            j = idxB[entry]
+            while True:
+                j = (j + 1) % len(nodesB)
+                kind, val = nodesB[j]
+                if kind == "v":
+                    pts.append(val)
+                else:
+                    cur = val
+                    break
+            if cur == start:
+                break
+            if cur in used:
+                return None
+        ring = np.asarray(pts, dtype=np.float64)
+        rings.append(
+            (np.vstack([ring, ring[:1]]), _signed_area(ring))
+        )
+    return rings
+
+
+def _union_lattice_ok(A, B, rings, n=24) -> bool:
+    """Membership audit of a pairwise union: on an offset lattice over
+    the joint envelope, a point is inside the output rings (even-odd)
+    iff it is inside A or inside B."""
+    pts = np.vstack([np.asarray(A, dtype=np.float64),
+                     np.asarray(B, dtype=np.float64)])
+    x1, y1 = pts.min(axis=0)
+    x2, y2 = pts.max(axis=0)
+    for i in range(n):
+        for j in range(n):
+            p = (
+                x1 + (x2 - x1) * (i + 0.382) / n,
+                y1 + (y2 - y1) * (j + 0.618) / n,
+            )
+            want = _pt_in_ring(p, A) or _pt_in_ring(p, B)
+            got = False
+            for coords, _a in rings:
+                if _pt_in_ring(p, coords[:-1]):
+                    got = not got
+            if got != want:
+                return False
+    return True
+
+
+def _union_cutters(cuts):
+    """Cascade-union a cutter list into PAIRWISE FULLY DISJOINT simple
+    rings (the reference's UnionCascaded-before-difference move,
+    difference.py:46-51): crossing pairs merge via the forward-forward
+    walk, nested cutters are absorbed, disjoint ones pass through.
+    Returns the merged ring list, or None on any degeneracy (touching
+    boundaries, walk failure, a union whose outer encloses a gap --
+    the caller falls back to the raster path)."""
+    merged = [[tuple(p) for p in c] for c in cuts]
+    changed = True
+    rounds = 0
+    while changed:
+        rounds += 1
+        if rounds > 4 * max(1, len(cuts)):
+            return None
+        changed = False
+        for i in range(len(merged)):
+            for j in range(i + 1, len(merged)):
+                a, b = merged[i], merged[j]
+                if _touches_boundary(a, b) or _touches_boundary(b, a):
+                    return None
+                hits = _proper_crossings(a, b)
+                if hits:
+                    res = _gh_union(a, b)
+                    if res is None:
+                        return None
+                    pos = [r for r in res if r[1] > 1e-12]
+                    neg = [r for r in res if r[1] < -1e-12]
+                    # a gap enclosed by the two cutters would survive
+                    # the subtraction as an island the disjoint walk
+                    # cannot express -- gate it to the raster path
+                    if len(pos) != 1 or neg:
+                        return None
+                    if not _union_lattice_ok(a, b, pos):
+                        return None
+                    u = [tuple(p) for p in pos[0][0][:-1]]
+                    merged = [
+                        m for k, m in enumerate(merged)
+                        if k not in (i, j)
+                    ]
+                    merged.append(u)
+                    changed = True
+                    break
+                if _pt_in_ring(a[0], b):
+                    merged.pop(i)          # a nested inside b: absorb
+                    changed = True
+                    break
+                if _pt_in_ring(b[0], a):
+                    merged.pop(j)
+                    changed = True
+                    break
+            if changed:
+                break
+    return merged
+
+
 def _lattice_consistent(subject, cutters, rings, n=24) -> bool:
     """Deterministic membership audit of a difference result: on an
     n x n offset lattice over the subject envelope, a point is inside
@@ -547,23 +741,19 @@ def _lattice_consistent(subject, cutters, rings, n=24) -> bool:
 
 def _general_difference_rings(subject_ring, cutter_rings):
     """Exact remainder of ANY simple subject minus arbitrary simple
-    cutters that are PAIRWISE FULLY DISJOINT (no crossings, no
-    containment between cutters): the difference walk needs no
-    convexity at all -- convexity was only ever required by the
-    Sutherland-Hodgman area guard, which this path replaces with a
-    deterministic lattice membership audit over the final result.
-    None on degeneracy, cutter overlap, or audit failure (caller
-    falls back to the raster path)."""
-    cuts = [[tuple(p) for p in c] for c in cutter_rings]
-    for i in range(len(cuts)):
-        for j in range(i + 1, len(cuts)):
-            if (
-                _proper_crossings(cuts[i], cuts[j])
-                or _pt_in_ring(cuts[i][0], cuts[j])
-                or _pt_in_ring(cuts[j][0], cuts[i])
-                or _touches_boundary(cuts[i], cuts[j])
-            ):
-                return None
+    cutters -- OVERLAPPING / crossing / nested non-convex cutters
+    included: the cutter set is first cascade-unioned into pairwise
+    fully disjoint rings (the reference's own UnionCascaded-then-
+    difference move, difference.py:41-57), then the difference walk
+    (which needs no convexity) subtracts each.  Convexity was only
+    ever required by the Sutherland-Hodgman area guard, replaced here
+    by a deterministic lattice membership audit over the final result
+    whose density scales to the smallest cutter extent.  None on
+    degeneracy (touching boundaries, walk failure, union-with-gap) or
+    audit failure (caller falls back to the raster path)."""
+    cuts = _union_cutters(cutter_rings)
+    if cuts is None:
+        return None
     outers = [np.asarray(subject_ring, dtype=np.float64)]
     holes = []
     for c in cuts:
@@ -590,7 +780,26 @@ def _general_difference_rings(subject_ring, cutter_rings):
     rings = [
         (np.vstack([o, o[:1]]), _signed_area(o)) for o in outers
     ] + holes
-    if not _lattice_consistent(subject_ring, cutter_rings, rings):
+    # audit density scaled so lattice spacing <= half the smallest
+    # cutter extent: a cutter smaller than the lattice can no longer
+    # slip through the membership audit (a 2 m cutter in a 100 m
+    # subject forces n ~ 100); if certification would need n > 96
+    # the result is UNCERTIFIABLE here and falls back to raster
+    sx = np.asarray(subject_ring, dtype=np.float64)
+    ext_s = float(max(sx.max(axis=0) - sx.min(axis=0)))
+    ext_c = min(
+        float(max(np.asarray(c, dtype=np.float64).max(axis=0)
+                  - np.asarray(c, dtype=np.float64).min(axis=0)))
+        for c in cutter_rings
+    )
+    n_aud = 24 if ext_c <= 0 else max(
+        24, int(np.ceil(2.0 * ext_s / max(ext_c, 1e-12)))
+    )
+    if n_aud > 96:
+        return None
+    if not _lattice_consistent(
+        subject_ring, cutter_rings, rings, n=n_aud
+    ):
         return None
     return rings
 
@@ -775,21 +984,24 @@ def mask_difference_polygons(
         # marching squares.
         ring1 = _single_ring_of(wkb1)
         if ring1 is not None:
+            rings = None
             convs = [_convex_ring_of(k) for k in cutter_bytes]
             if all(c is not None for c in convs):
                 rings = _convex_difference_rings(ring1, convs)
-                if rings is not None:
-                    return _emit(rings)
-            else:
-                # EXACT fast path 3: arbitrary simple cutters,
-                # pairwise fully disjoint -- the walk needs no
-                # convexity; a deterministic lattice membership
-                # audit replaces the SH area guard
+            if rings is None:
+                # EXACT fast path 3: arbitrary simple cutters --
+                # overlapping/nested ones are cascade-unioned first
+                # (reference difference.py:41-57), then the walk
+                # needs no convexity; a lattice membership audit
+                # scaled to the smallest cutter replaces the SH
+                # area guard.  Also the rescue path when convex
+                # cutters overlap in-subject (the convex gate
+                # rejects those; the union path handles them).
                 simples = [_single_ring_of(k) for k in cutter_bytes]
                 if all(c is not None for c in simples):
                     rings = _general_difference_rings(ring1, simples)
-                    if rings is not None:
-                        return _emit(rings)
+            if rings is not None:
+                return _emit(rings)
         env = geom.envelope(wkb1)
         j0 = _math.floor(env[0] / pixel)
         j1 = _math.ceil(env[1] / pixel)

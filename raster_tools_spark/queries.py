@@ -2674,6 +2674,62 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["difference_multi"] = difference_multi
 
+    def _ogen_c1(n: int) -> bytes:
+        x0, y0, W, H = _gen_base(n)
+        if n % 2 == 0:
+            # interior two-prong U comb (area 88, 8 pts)
+            a1, a2, p, q_, yb = x0 + 8.0, x0 + 20.0, 4.0, 8.0, y0 + 8.0
+            return wkb.polygon_wkb([
+                (a1, yb - 2.0), (a2 + p, yb - 2.0), (a2 + p, yb + q_),
+                (a2, yb + q_), (a2, yb - 1.0), (a1 + p, yb - 1.0),
+                (a1 + p, yb + q_), (a1, yb + q_),
+            ])
+        # nonconvex L-shape (area 80)
+        L0 = [(2, 2), (8, 2), (8, 4), (4, 4), (4, 8), (2, 8)]
+        return wkb.polygon_wkb(
+            [(x0 + 2.0 * a, y0 + 2.0 * b) for a, b in L0]
+        )
+
+    def _ogen_c2(n: int) -> bytes:
+        x0, y0, W, H = _gen_base(n)
+        if n % 2 == 0:
+            # rectangle CROSSING the U's bottom strip (4 crossings);
+            # overlap with the U is exactly the 4 x 1 strip piece
+            gn = 2.0 + n % 3
+            return wkb.box_wkb(
+                x0 + 14.0, y0 + 6.0 - gn, x0 + 18.0, y0 + 9.0
+            )
+        # the L shifted (+2, +2): CROSSES the first L (union 124)
+        L0 = [(2, 2), (8, 2), (8, 4), (4, 4), (4, 8), (2, 8)]
+        return wkb.polygon_wkb(
+            [(x0 + 2.0 * a + 2.0, y0 + 2.0 * b + 2.0) for a, b in L0]
+        )
+
+    def difference_overlap(spark, sf_dir):
+        """Geometry-out polygon difference with OVERLAPPING /
+        CROSSING cutters -- the reference's UnionCascaded-then-
+        difference semantics (difference.py:41-57), the last exact-
+        geometry gap: even features subtract a U comb crossed by a
+        rectangle through its bottom strip (union 96 + 4*(2+n%3),
+        one 17-pt hole ring); odd features subtract two crossing
+        NONCONVEX L-shapes (union 124, one 11-pt hole ring).  The
+        cutters are cascade-unioned by the forward-forward walk, the
+        merged ring subtracted by the difference walk, and a lattice
+        membership audit scaled to the smallest cutter certifies the
+        result -- all areas closed-form in the oracle."""
+        from .operators import overlay
+
+        l1 = _nation_layer(spark, sf_dir, _gen_l1)
+        l2 = _nation_layer(spark, sf_dir, _ogen_c1).unionByName(
+            _nation_layer(spark, sf_dir, _ogen_c2)
+        )
+        out = overlay.mask_difference_polygons(l1, l2, pixel=4.0)
+        return out.select(
+            "feat_id", "ring_id", "n_pts", "is_hole", "area"
+        )
+
+    q["difference_overlap"] = difference_overlap
+
     def asof_rates(spark, sf_dir):
         """AS-OF join (the temporal operator Spark lacks natively):
         every event reads the most recent rate-change row for its
@@ -4235,7 +4291,7 @@ def oracle_sql() -> Dict[str, str]:
              CAST(CAST('0x' || substring(
                     md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
                   AS DOUBLE) / 1152921504606846976.0 AS h
-      FROM events
+      FROM events WHERE user_id IS NOT NULL
     ),
     ranked AS (
       SELECT key, h,
@@ -4277,6 +4333,26 @@ def oracle_sql() -> Dict[str, str]:
     UNION ALL
     SELECT k, CAST(1 AS INT), CAST(9 AS INT), TRUE,
            CAST(88.0 AS DOUBLE)
+    FROM feats
+    """
+
+    o["difference_overlap"] = """
+    WITH feats AS (
+      SELECT n_nationkey AS k,
+             CAST(4 * (7 + n_nationkey % 4) AS DOUBLE) AS w,
+             CAST(4 * (6 + n_nationkey % 3) AS DOUBLE) AS h
+      FROM nation
+    )
+    SELECT k AS feat_id, CAST(0 AS INT) AS ring_id,
+           CAST(5 AS INT) AS n_pts, FALSE AS is_hole,
+           CAST(w * h AS DOUBLE) AS area
+    FROM feats
+    UNION ALL
+    SELECT k, CAST(1 AS INT),
+           CAST(CASE WHEN k % 2 = 0 THEN 17 ELSE 11 END AS INT),
+           TRUE,
+           CAST(CASE WHEN k % 2 = 0 THEN 96.0 + 4.0 * (2 + k % 3)
+                     ELSE 124.0 END AS DOUBLE)
     FROM feats
     """
 

@@ -136,3 +136,36 @@ class TestSynth:
         a = synth.polygons_pdf(10)
         b = synth.polygons_pdf(10)
         assert (a["geom_wkb"] == b["geom_wkb"]).all()
+
+
+def test_png_foreign_sub_filter_vectorized():
+    """Foreign PNGs may use filter 1 (Sub): the defilter is a
+    per-channel prefix sum mod 256, not a per-pixel loop."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from raster_tools_spark import codecs
+
+    rng = np.random.default_rng(7)
+    for nch, ctype in ((1, 0), (3, 2)):
+        img = rng.integers(0, 256, size=(5, 17, nch), dtype=np.uint8)
+        # hand-encode with Sub on every scanline
+        rows = []
+        for i in range(img.shape[0]):
+            line = img[i].reshape(-1).astype(np.int16)
+            prev = np.concatenate(
+                [np.zeros(nch, np.int16), line[:-nch]]
+            )
+            rows.append(b"\x01" + ((line - prev) % 256)
+                        .astype(np.uint8).tobytes())
+        ihdr = _struct.pack(">IIBBBBB", 17, 5, 8, ctype, 0, 0, 0)
+        def _chunk(tag, payload):
+            c = _struct.pack(">I", len(payload)) + tag + payload
+            return c + _struct.pack(
+                ">I", _zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        data = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", _zlib.compress(b"".join(rows)))
+                + _chunk(b"IEND", b""))
+        got = codecs.png_decode(data)
+        want = img.reshape(5, 17) if nch == 1 else img
+        assert np.array_equal(got, want)

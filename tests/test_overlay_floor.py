@@ -577,3 +577,73 @@ def test_multi_disjoint_nonconvex_cutters_exact():
     assert _general_difference_rings(
         S, [U1, U1 + np.array([1.0, 0.0])]
     ) is None
+
+
+def test_gh_union_crossing_squares():
+    from raster_tools_spark.operators.overlay import _gh_union
+
+    A = [(0, 0), (10, 0), (10, 10), (0, 10)]
+    B = [(5, 5), (15, 5), (15, 15), (5, 15)]
+    res = _gh_union(A, B)
+    assert res is not None and len(res) == 1
+    assert abs(res[0][1] - 175.0) < 1e-9
+
+
+def test_union_cutters_cascade_and_gap_gate():
+    from raster_tools_spark.operators.overlay import _union_cutters
+
+    # three-way overlap chain collapses to ONE ring
+    chain = [
+        [(5, 5), (15, 5), (15, 15), (5, 15)],
+        [(12, 12), (22, 12), (22, 22), (12, 22)],
+        [(19, 19), (29, 19), (29, 29), (19, 29)],
+    ]
+    m = _union_cutters(chain)
+    assert m is not None and len(m) == 1
+    # nested cutter absorbed
+    m2 = _union_cutters(
+        [[(0, 0), (10, 0), (10, 10), (0, 10)], [(2, 2), (4, 2), (3, 4)]]
+    )
+    assert m2 is not None and len(m2) == 1
+    # U + cap enclosing a gap: UNCERTIFIABLE here -> None (raster path)
+    U = [(5, 5), (20, 5), (20, 20), (15, 20), (15, 10), (10, 10),
+         (10, 20), (5, 20)]
+    cap = [(4, 18), (21, 18), (21, 23), (4, 23)]
+    assert _union_cutters([U, cap]) is None
+
+
+def test_general_difference_overlapping_nonconvex_exact():
+    from raster_tools_spark.operators.overlay import (
+        _general_difference_rings, _pt_in_ring)
+
+    S = [(0, 0), (40, 0), (40, 40), (0, 40)]
+    L0 = [(2, 2), (8, 2), (8, 4), (4, 4), (4, 8), (2, 8)]
+    C1 = [(2 * a, 2 * b) for a, b in L0]
+    C2 = [(2 * a + 2, 2 * b + 2) for a, b in L0]
+    rings = _general_difference_rings(S, [C1, C2])
+    assert rings is not None
+    assert abs(sum(a for _, a in rings) - (1600.0 - 124.0)) < 1e-9
+    # membership spot-check on an offset lattice
+    for i in range(17):
+        for j in range(17):
+            p = (40 * (i + 0.37) / 17, 40 * (j + 0.61) / 17)
+            want = _pt_in_ring(p, S) and not (
+                _pt_in_ring(p, C1) or _pt_in_ring(p, C2)
+            )
+            got = False
+            for coords, _a in rings:
+                if _pt_in_ring(p, coords[:-1]):
+                    got = not got
+            assert got == want
+
+
+def test_general_difference_tiny_cutter_uncertifiable():
+    """A cutter far below the lattice resolution cap must NOT ship an
+    'exact' answer it cannot certify -- it falls back (None)."""
+    from raster_tools_spark.operators.overlay import (
+        _general_difference_rings)
+
+    S = [(0, 0), (1000, 0), (1000, 1000), (0, 1000)]
+    tiny = [(500.1, 500.1), (502.1, 500.1), (501.1, 502.1)]
+    big = [(100, 100), (300, 100), (200, 300)]
+    assert _general_difference_rings(S, [tiny, big]) is None

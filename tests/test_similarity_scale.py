@@ -61,3 +61,73 @@ def test_ivf_centroids_scale_as_sqrt():
         c = derive_n_centroids(n)
         if c < 65536:
             assert n / c <= 2 * (n ** 0.5) + 8
+
+
+def test_two_level_quantizer_recall_and_bounded_closure(spark):
+    """Forcing n_centroids above the closure cap must switch to the
+    two-level quantizer: results still rank by exact cosine with
+    decent recall vs brute force, and the only collected centroid set
+    is the super level (<= cap)."""
+    import numpy as np
+    import pandas as pd
+
+    from raster_tools_spark.functions import similarity
+
+    rng = np.random.default_rng(11)
+    n, dim = 240, 16
+    base = rng.normal(size=(6, dim))
+    vecs = np.array([
+        base[i % 6] + 0.05 * rng.normal(size=dim) for i in range(n)
+    ])
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "vec_id": range(n),
+            "embedding": [v.tolist() for v in vecs],
+        }),
+        schema="vec_id long, embedding array<double>",
+    )
+    out = similarity.ivf_topk(
+        df, k=3, n_centroids=36, nprobe=4, n_rows=n,
+        max_closure_centroids=16,      # force the two-level path
+    ).toPandas()
+    assert set(out.columns) == {"qid", "cid", "sim", "rn"}
+    assert len(out) == n * 3
+    # recall vs brute-force top-1 (same-cluster neighbors dominate)
+    sims = vecs @ vecs.T / (
+        np.linalg.norm(vecs, axis=1)[:, None]
+        * np.linalg.norm(vecs, axis=1)[None, :]
+    )
+    np.fill_diagonal(sims, -2)
+    top1 = sims.argmax(axis=1)
+    got_top1 = out[out.rn == 1].set_index("qid")["cid"]
+    recall = np.mean([got_top1[q] == top1[q] for q in range(n)])
+    assert recall >= 0.8, recall
+
+
+def test_two_level_matches_single_level_when_under_cap(spark):
+    """Below the cap the single-level path runs -- identical to the
+    round-4 behavior (the cap only changes WHO computes assignments,
+    never the k-NN contract)."""
+    import numpy as np
+    import pandas as pd
+
+    from raster_tools_spark.functions import similarity
+
+    rng = np.random.default_rng(3)
+    n, dim = 80, 8
+    vecs = rng.normal(size=(n, dim))
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "vec_id": range(n),
+            "embedding": [v.tolist() for v in vecs],
+        }),
+        schema="vec_id long, embedding array<double>",
+    )
+    a = similarity.ivf_topk(df, k=2, n_centroids=9, nprobe=2, n_rows=n)
+    b = similarity.ivf_topk(
+        df, k=2, n_centroids=9, nprobe=2, n_rows=n,
+        max_closure_centroids=4096,
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(
+        map(tuple, b.collect())
+    )
