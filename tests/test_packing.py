@@ -148,3 +148,26 @@ def test_redact_pii(spark):
         b"mixed <EMAIL> and <PHONE> together"
     ).hexdigest()
     assert out[3].clean_fp == want
+
+
+def test_derive_n_shards_sql_formula_at_breakpoint():
+    """Pin the Python/SQL shard-formula agreement exactly where the
+    CASE changes value (n = min_shards * target): one row more must
+    move 8 -> 9 shards in BOTH engines (VERDICT r4 #8)."""
+    import duckdb
+
+    from raster_tools_spark.functions.text import derive_n_shards
+
+    con = duckdb.connect()
+    bp = 8 * 1_000_000
+    for n in (1, bp - 1, bp, bp + 1, bp + 999_999, bp + 1_000_000,
+              bp + 1_000_001, 10**9, 10**12):
+        got = con.execute(
+            f"""SELECT CASE WHEN {n} <= 8000000 THEN 8
+                 ELSE GREATEST(8, CAST(ceil(CAST({n} AS DOUBLE)
+                                            / 1000000.0) AS BIGINT))
+                 END"""
+        ).fetchone()[0]
+        assert got == derive_n_shards(n), n
+    assert derive_n_shards(bp) == 8
+    assert derive_n_shards(bp + 1) == 9
