@@ -132,7 +132,7 @@ spark.stop()
 def run_level(workload: str, cpus: int, n_units: int) -> dict:
     out = subprocess.run(
         [sys.executable, "-c", CHILD, workload, str(cpus), str(n_units)],
-        capture_output=True, text=True, timeout=900,
+        capture_output=True, text=True, timeout=2400,
     )
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)

@@ -961,72 +961,130 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hillshade_tiles"] = hillshade_tiles
 
-    def flow_direction(spark, sf_dir):
-        """Philox-data smoke of the D8 stencil (rows-only by design);
-        the machinery is hard-oracled per pixel by flow_direction_f4
-        and golden/seam-tested in test_flow.py."""
+    def _valley_tiles(spark, nt=3, tile=64):
+        """Deterministic valley DEM mosaic (nt x nt tiles of
+        ``tile`` px): dem = 0.6*|gj - 96| + 0.4*(191 - gi)
+        + 0.0005*((gi*7919 + gj*104729) % 97), stored f4.
+
+        The 0.6/0.4 trend strictly dominates the +/-0.048 hash noise
+        at every D8 drop comparison, so the flow field has a PROVEN
+        closed form (tests/test_flow_valley.py checks it against the
+        kernel on the exact fixture, plus fill-identity and
+        no-flat/no-tie margins): east slope flows SW (16), west slope
+        SE (4), the j==96 channel S (8), and the bottom row drains
+        along itself W/E (32/2) into the outlet -- a converging
+        drainage whose every cell reaches the outlet, exercising all
+        six seam crossings of the fixpoint."""
+        from . import codecs as _codecs
+        from .grid import pack_cell
+
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for t in pdf.itertuples():
+                    k = int(t.id)
+                    ty, tx = divmod(k, nt)
+                    gi = ty * tile + np.arange(tile)[:, None]
+                    gj = tx * tile + np.arange(tile)[None, :]
+                    dem = (
+                        0.6 * np.abs(gj - 96)
+                        + 0.4 * (191 - gi)
+                        + 0.0005 * ((gi * 7919 + gj * 104729) % 97)
+                    ).astype(np.float32)
+                    rows.append(
+                        (
+                            int(pack_cell(10, 32 + tx, 16 + ty)),
+                            _codecs.rawz_encode(dem),
+                            "rawz",
+                        )
+                    )
+                if rows:
+                    yield pd.DataFrame(
+                        rows, columns=["cell_id", "bytes", "fmt"]
+                    )
+
+        return spark.range(nt * nt).mapInPandas(
+            gen, schema="cell_id long, bytes binary, fmt string"
+        )
+
+    def _valley_dir_kernel():
         import numpy as np
 
         from . import flow
-        from .operators import focal, retile as op_retile
-
-        images = synth.images_df(spark, 120, tiles_axis=8)
-        cells = op_tile.assign_cells(images, tiles_axis=8)
-        tiles = op_retile.retile(cells).select("cell_id", "bytes", "fmt")
-
-        def kernel(padded):
-            return flow.calculate_flow_direction(
-                padded.astype(np.float64)
-            ).astype(np.uint8)
-
-        out = focal.halo_stencil(tiles, kernel, margin=4)
-        return out.select("cell_id", F.md5(F.col("bytes")).alias("dir_md5"))
-
-    q["flow_direction"] = flow_direction
-
-    def flow_accumulation(spark, sf_dir):
-        """GLOBAL flow accumulation: catchments cross tile seams via
-        the boundary-flow fixpoint (flow_op.accumulate_tiles; equality
-        with the single-array kernel proven in test_flow_op.py).
-        Rows-only by design (Philox DEM); the same fixpoint is
-        hard-oracled per pixel by flow_accumulation_f4."""
-        import numpy as np
-        import pandas as pd
-
-        from . import flow
-        from .operators import flow_op, focal, retile as op_retile
-
-        images = synth.images_df(spark, 64, tiles_axis=8)
-        cells = op_tile.assign_cells(images, tiles_axis=8)
-        tiles = op_retile.retile(cells).select("cell_id", "bytes", "fmt")
 
         def kernel(padded):
             dem = padded.astype(np.float64)
             flow.fill_simple_depressions(dem)
             return flow.calculate_flow_direction(dem)
 
-        dirs = focal.halo_stencil(tiles, kernel, margin=4)
-        acc = flow_op.accumulate_tiles(dirs)
+        return kernel
+
+    def flow_direction(spark, sf_dir):
+        """D8 direction through the halo exchange on the deterministic
+        valley mosaic (_valley_tiles), ORACLE-CHECKED per pixel: the
+        closed-form direction field (proven on the exact fixture in
+        tests/test_flow_valley.py) is the SQL twin.  Complements
+        flow_direction_f4 (planar strip) with a CONVERGING field that
+        turns at a channel crossing two tile seams."""
+        from .operators import focal
+
+        tiles = _valley_tiles(spark)
+        dirs = focal.halo_stencil(
+            tiles, _valley_dir_kernel(), margin=4, tile_px=64
+        )
+        return _per_pixel_rows(
+            dirs, "tx int, ty int, i int, j int, dir int", "dir",
+            lambda t: codecs_mod.decode(bytes(t.bytes), t.fmt)
+            .astype(np.int32),
+            lambda cid: {"tx": _cell_hi(cid) - 32,
+                         "ty": _cell_lo(cid) - 16},
+        )
+
+    q["flow_direction"] = flow_direction
+
+    def flow_accumulation(spark, sf_dir):
+        """GLOBAL flow accumulation on the deterministic valley mosaic
+        (catchments cross all six tile seams via the boundary-flow
+        fixpoint, flow_op.accumulate_tiles), ORACLE-CHECKED per tile:
+        the oracle replays every cell's downstream path over the
+        proven closed-form pointer field with a recursive CTE and
+        compares max/sum/#sources per tile -- the channel tile's
+        max_acc is the full 36,863-cell upstream count, so any
+        direction or exchange defect shifts it."""
+        import zlib as _zlib
+
+        from .operators import flow_op, focal
+
+        tiles = _valley_tiles(spark)
+        dirs = focal.halo_stencil(
+            tiles, _valley_dir_kernel(), margin=4, tile_px=64
+        )
+        acc = flow_op.accumulate_tiles(
+            dirs.select("cell_id", "bytes", "fmt"), tile_px=64
+        )
 
         def summarize(batches):
-            import zlib
-
             for pdf in batches:
                 rows = []
                 for t in pdf.itertuples():
                     a = np.frombuffer(
-                        zlib.decompress(bytes(t.acc)), dtype=np.int64
+                        _zlib.decompress(bytes(t.acc)), dtype=np.int64
                     )
                     rows.append(
-                        (t.cell_id, int(a.max()), int(a.sum()))
+                        (t.cell_id, int(a.max()), int(a.sum()),
+                         int((a == 0).sum()))
                     )
                 if rows:
                     yield pd.DataFrame(
-                        rows, columns=["cell_id", "max_acc", "sum_acc"]
+                        rows,
+                        columns=["cell_id", "max_acc", "sum_acc",
+                                 "n_src"],
                     )
 
         return acc.mapInPandas(
-            summarize, schema="cell_id long, max_acc long, sum_acc long"
+            summarize,
+            schema="cell_id long, max_acc long, sum_acc long,"
+                   " n_src long",
         )
 
     q["flow_accumulation"] = flow_accumulation
@@ -3817,6 +3875,66 @@ def oracle_sql() -> Dict[str, str]:
            CAST(f.gj % 64 AS INT) AS j,
            CAST(COALESCE(c.c, 0) AS BIGINT) AS acc
     FROM fcell f LEFT JOIN counts c ON c.pi = f.i AND c.pj = f.gj
+    """
+
+    # valley-mosaic D8 direction: the closed-form field proven on the
+    # exact fixture in tests/test_flow_valley.py (trend margins beat
+    # the hash noise at every drop comparison, no flats, no ties)
+    o["flow_direction"] = """
+    WITH vcell AS (
+      SELECT CAST(gi.g AS INT) AS gi, CAST(gj.g AS INT) AS gj
+      FROM (SELECT unnest(generate_series(0, 191)) AS g) gi,
+           (SELECT unnest(generate_series(0, 191)) AS g) gj
+    )
+    SELECT CAST(gj // 64 AS INT) AS tx, CAST(gi // 64 AS INT) AS ty,
+           CAST(gi % 64 AS INT) AS i, CAST(gj % 64 AS INT) AS j,
+           CASE WHEN gj = 96 THEN 8
+                WHEN gj > 96 AND gi = 191 THEN 32
+                WHEN gj > 96 THEN 16
+                WHEN gi = 191 THEN 2
+                ELSE 4 END AS dir
+    FROM vcell
+    """
+
+    # valley-mosaic global accumulation: replay every cell's downstream
+    # path over the closed-form pointers (SW/SE toward the j=96
+    # channel, S down it, W/E along the bottom row; off-grid = sink)
+    # with a recursive CTE, then aggregate per 64-px tile.  UNION ALL
+    # keeps one row per (walker, step), so row count at a position is
+    # exactly the strictly-upstream cell count.
+    o["flow_accumulation"] = """
+    WITH RECURSIVE vcell AS (
+      SELECT CAST(gi.g AS INT) AS gi, CAST(gj.g AS INT) AS gj
+      FROM (SELECT unnest(generate_series(0, 191)) AS g) gi,
+           (SELECT unnest(generate_series(0, 191)) AS g) gj
+    ),
+    walk(ci, cj) AS (
+      SELECT CASE WHEN gj = 96 THEN gi + 1
+                  WHEN gi = 191 THEN gi ELSE gi + 1 END,
+             CASE WHEN gj = 96 THEN gj
+                  WHEN gj > 96 THEN gj - 1 ELSE gj + 1 END
+      FROM vcell WHERE NOT (gi = 191 AND gj = 96)
+      UNION ALL
+      SELECT CASE WHEN cj = 96 THEN ci + 1
+                  WHEN ci = 191 THEN ci ELSE ci + 1 END,
+             CASE WHEN cj = 96 THEN cj
+                  WHEN cj > 96 THEN cj - 1 ELSE cj + 1 END
+      FROM walk WHERE NOT (ci = 191 AND cj = 96)
+    ),
+    counts AS (
+      SELECT ci, cj, COUNT(*) AS c FROM walk GROUP BY 1, 2
+    ),
+    acc AS (
+      SELECT v.gi, v.gj, CAST(COALESCE(c.c, 0) AS BIGINT) AS a
+      FROM vcell v LEFT JOIN counts c ON c.ci = v.gi AND c.cj = v.gj
+    )
+    SELECT CAST(720575940379279360
+                + CAST(32 + gj // 64 AS BIGINT) * 268435456
+                + (16 + gi // 64) AS BIGINT) AS cell_id,
+           MAX(a) AS max_acc, CAST(SUM(a) AS BIGINT) AS sum_acc,
+           CAST(SUM(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_src
+    FROM acc GROUP BY 1
     """
 
     # step-fixture shadow march: shadow (lit = 0) iff 1 <= j <= 8 on a
