@@ -137,6 +137,14 @@ def run_bench(spark, sf_dir: str, n_images: int = 20000,
         "pii_redaction",
         "asof_rates",
         "kmv_users",
+        # round-5 operators
+        "difference_overlap",
+        "flow_direction",
+        "flow_accumulation",
+        "contour_footprint",
+        "difference_polygons",
+        "fill_voids",
+        "cm_heavy",
     ):
         fn = qcat[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())

@@ -134,3 +134,106 @@ def kmv_distinct(
             ) / 1000000.0
         ).alias("estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (heavy-hitter frequency estimation)
+# ---------------------------------------------------------------------------
+
+def cm_sketch(
+    df: DataFrame, col: str, depth: int = 4, width: int = 512
+) -> DataFrame:
+    """Count-min sketch table of ``col`` frequencies (Cormode &
+    Muthukrishnan 2005): every value increments one cell per hash row,
+    estimate(x) = min over rows of cell(x).  Returns
+    (d, cell, cnt) with at most depth x width rows.
+
+    Scale shape: one explode to ``depth`` narrow rows per input, then
+    a single groupBy over <= depth*width groups -- the partial
+    aggregation collapses each map task to the sketch size, so the
+    shuffle moves O(depth*width) rows per task NO MATTER how large or
+    skewed the corpus (the whole point vs an exact count at 100 TB).
+    Cells are pure sums of md5-derived placements, so merge order is
+    irrelevant and any engine reproduces the table BIT-EXACTLY (the
+    same property kmv_distinct exploits: the sketch itself is
+    oracle-checkable, not just its error bound)."""
+    rows = df.select(F.col(col).cast("string").alias("_v")).where(
+        F.col("_v").isNotNull()
+    )
+    cells = rows.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat(
+                                            F.lit(f"{d}:"), F.col("_v")
+                                        )
+                                    ),
+                                    1, 15,
+                                ),
+                                16, 10,
+                            ).cast("long") % width
+                        ).alias("cell"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("s")
+    )
+    return cells.groupBy(
+        F.col("s.d").alias("d"), F.col("s.cell").alias("cell")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Frequency estimates for ``items[col]`` against a cm_sketch
+    table: (item, estimate) with estimate = min over hash rows of the
+    item's cell count (0 for a cell the corpus never touched).  The
+    candidate side is expected to be small (broadcast); the sketch is
+    itself tiny, so this never reshuffles corpus-scale data."""
+    cand = items.select(F.col(col).cast("string").alias("item")).where(
+        F.col("item").isNotNull()
+    ).distinct()
+    probes = cand.select(
+        "item",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat(
+                                            F.lit(f"{d}:"),
+                                            F.col("item"),
+                                        )
+                                    ),
+                                    1, 15,
+                                ),
+                                16, 10,
+                            ).cast("long") % width
+                        ).alias("cell"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("s"),
+    ).select("item", F.col("s.d").alias("d"), F.col("s.cell").alias("cell"))
+    return (
+        probes.join(F.broadcast(sketch), ["d", "cell"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("estimate"))
+    )

@@ -433,6 +433,78 @@ def _pip_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _dpoly_base(n: int):
+    """difference_polygons subject n: a large rect on a 2048 m grid
+    (one subject per grid cell, so cutters can never touch a foreign
+    subject); returns (X, Y_top, w, h), all dyadic multiples of the
+    4 m pixel."""
+    X = (n % 5) * 2048.0 + 512.0
+    Y = WORLD_TOP - (n // 5) * 2048.0 - 512.0
+    w = 320.0 + (n % 5) * 64.0
+    h = 256.0 + (n % 3) * 64.0
+    return X, Y, w, h
+
+
+def _dpoly_subject(n: int) -> bytes:
+    X, Y, w, h = _dpoly_base(n)
+    return wkb.box_wkb(X, Y - h, X + w, Y)
+
+
+def _dpoly_cutter_a(n: int) -> bytes:
+    """Primary cutter: full-height band (n%5 in {0,4}), interior
+    rect (1, 2), or flush-NW corner cut (3)."""
+    X, Y, w, h = _dpoly_base(n)
+    m = n % 5
+    if m in (0, 4):
+        bw1 = w / 2.0 + 16.0
+        return wkb.box_wkb(X + bw1, Y - h - 8.0, X + bw1 + 64.0, Y + 8.0)
+    if m in (1, 2):
+        cw, ch = 48.0 + (n % 2) * 16.0, 40.0
+        return wkb.box_wkb(X + 32.0, Y - 32.0 - ch, X + 32.0 + cw, Y - 32.0)
+    cc, cd = 64.0 + (n % 2) * 32.0, 96.0
+    return wkb.box_wkb(X - 8.0, Y - cc, X + cd, Y + 8.0)
+
+
+def _dpoly_cutter_b(n: int) -> bytes:
+    """Secondary cutter: a second interior hole (n%5 == 2), a hole in
+    the L remainder (3), a hole in the left band piece (4); a far-off
+    no-op rect otherwise (the slab path ignores non-intersecting
+    cutters)."""
+    X, Y, w, h = _dpoly_base(n)
+    m = n % 5
+    if m == 2:
+        return wkb.box_wkb(X + w - 100.0, Y - h + 36.0,
+                           X + w - 76.0, Y - h + 64.0)
+    if m == 3:
+        return wkb.box_wkb(X + w - 120.0, Y - h + 40.0,
+                           X + w - 88.0, Y - h + 64.0)
+    if m == 4:
+        return wkb.box_wkb(X + 32.0, Y - 80.0, X + 72.0, Y - 48.0)
+    return wkb.box_wkb(400000.0, 100.0, 400004.0, 104.0)
+
+
+def _footprint_rects(k: int):
+    """Image rectangles (r0, c0, h, w) composing tile k of the
+    contour_footprint fixture (tile k sits at grid cell (k, k)):
+    k%4 = 0 lone rect, 1 two disjoint rects, 2 crossing plus-union,
+    3 four-image frame whose hole the fill step erases.  Closed-form
+    ring counts/vertices/areas proven in tests/test_contour.py."""
+    m = k % 4
+    a, b = 5 + (3 * k) % 11, 4 + (5 * k) % 13
+    if m == 0:
+        return [(2 + k % 3, 3 + k % 4, a, b)]
+    if m == 1:
+        c, d = 4 + k % 5, 3 + k % 6
+        return [(2, 3, a, b), (40, 40, c, d)]
+    if m == 2:
+        a2, w1 = 16 + k % 7, 3 + k % 3
+        b2, h1 = 18 + k % 5, 4 + k % 3
+        return [(5, 20, a2, w1), (12, 10, h1, b2)]
+    bigA, bigB, t = 10 + k % 5, 12 + k % 7, 2 + k % 2
+    return [(6, 5, t, bigB), (6 + bigA - t, 5, t, bigB),
+            (6, 5, bigA, t), (6, 5 + bigB - t, bigA, t)]
+
+
 def _per_pixel_rows(tiles, schema, value_name, array_of, ids_of,
                     extra_of=None):
     """Shared expander for the per-pixel stencil-oracle queries: one
@@ -1224,18 +1296,64 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["nodata_audit"] = nodata_audit
 
     def fill_voids(spark, sf_dir):
-        """G6 Spark face: per-tile multi-resolution void fill (the
-        reference's own distribution unit); rows-only by design -- the
-        recursive kernel has reference goldens in test_fillnodata.py
-        and the constant invariant is hard-oracled per pixel by
-        fill_voids_flat."""
+        """G6 Spark face through the FULL retile -> fill pipeline,
+        ORACLE-CHECKED per pixel: each 256-px tile is composed from
+        FOUR quadrant-constant images (the retile merge), with
+        isolated single-pixel voids punched >= 2 px inside each
+        quadrant -- every void's 4-neighbor edge ring is uniform, so
+        the recursive kernel must return exactly the quadrant
+        constant (the per-void locality of fillnodata.fill_voids:
+        each component fills from its own edge).  Any leaked nodata,
+        cross-quadrant bleed, or retile mis-anchor shifts a pixel."""
+        from .grid import CELL_SIZE, WORLD_TOP as _WT
         from .operators import fill_op, retile as op_retile
 
-        images = synth.linear_images_df(spark, 150, tiles_axis=16)
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for t in pdf.itertuples():
+                    k = int(t.id)
+                    for qn in range(4):
+                        qi, qj = divmod(qn, 2)
+                        c = (100 + 7 * k + 31 * qn) % 199
+                        px = np.full((128, 128), c, np.uint8)
+                        ii = qi * 128 + np.arange(128)[:, None]
+                        jj = qj * 128 + np.arange(128)[None, :]
+                        void = (
+                            ((ii + jj) % 17 == 0)
+                            & ((ii % 128) >= 2) & ((ii % 128) <= 125)
+                            & ((jj % 128) >= 2) & ((jj % 128) <= 125)
+                        )
+                        px[void] = 255
+                        rows.append(
+                            (
+                                f"fv_{k}_{qn}",
+                                codecs_mod.png_encode(px),
+                                128, 128, "png",
+                                float(k * 128.0 + qj * 64.0),
+                                float(_WT - k * 128.0 - qi * 64.0),
+                            )
+                        )
+                if rows:
+                    yield pd.DataFrame(
+                        rows,
+                        columns=["image_id", "bytes", "w", "h", "fmt",
+                                 "x0", "y_top"],
+                    )
+
+        images = spark.range(8).mapInPandas(
+            gen,
+            schema="image_id string, bytes binary, w int, h int,"
+                   " fmt string, x0 double, y_top double",
+        )
         tiles = op_retile.retile(images)
         out = fill_op.fill_voids_tiles(tiles)
-        return out.select(
-            "cell_id", "filled_px", F.md5(F.col("bytes")).alias("md5")
+        return _per_pixel_rows(
+            out, "k int, i int, j int, v int, filled_px long", "v",
+            lambda t: codecs_mod.decode(bytes(t.bytes), t.fmt)
+            .astype(np.int32),
+            lambda cid: {"k": _cell_hi(cid)},
+            extra_of=lambda t: {"filled_px": np.int64(t.filled_px)},
         )
 
     q["fill_voids"] = fill_voids
@@ -1440,14 +1558,51 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["green_factor"] = green_factor
 
     def contour_footprint(spark, sf_dir):
-        """Footprint contour (reference contour.py): hole-filled data
-        mask polygonized by marching squares per tile; rows-only by
-        design -- ring geometry has pytest goldens (test_contour.py)
-        and closed-form combinatorics are hard-oracled by
-        contour_rect."""
+        """Footprint contour over the FULL retile -> marching-squares
+        pipeline (reference contour.py semantics: hole-filled data
+        mask polygonized per tile), ORACLE-CHECKED: each of 12 tiles
+        is composed from 1-4 rectangle IMAGES through the real retile
+        merge, yielding closed-form ring combinatorics -- a lone
+        rect (2(a+b)+1 vertices, a*b - 0.5 px^2), two disjoint rects,
+        a crossing plus-union (concave corners: still 2(a+b)+1 and
+        union - 0.5 px^2 since convex-concave = 4 on any simple
+        rectilinear ring), and a 4-image FRAME whose interior hole the
+        fill step erases (outer-rect closed form).  Formula-vs-kernel
+        parity for all four families is pinned in
+        tests/test_contour.py::test_footprint_formula_families."""
+        from .grid import CELL_SIZE, WORLD_TOP as _WT, pack_cell
         from .operators import contour_op, retile as op_retile
 
-        images = synth.linear_images_df(spark, 150, tiles_axis=16)
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for t in pdf.itertuples():
+                    k = int(t.id)
+                    for im, (r0, c0, h, w) in enumerate(
+                        _footprint_rects(k)
+                    ):
+                        px = np.full((h, w), 100 + k, np.uint8)
+                        rows.append(
+                            (
+                                f"fp_{k}_{im}",
+                                codecs_mod.png_encode(px),
+                                w, h, "png",
+                                float(k * 128.0 + c0 * CELL_SIZE),
+                                float(_WT - k * 128.0 - r0 * CELL_SIZE),
+                            )
+                        )
+                if rows:
+                    yield pd.DataFrame(
+                        rows,
+                        columns=["image_id", "bytes", "w", "h", "fmt",
+                                 "x0", "y_top"],
+                    )
+
+        images = spark.range(12).mapInPandas(
+            gen,
+            schema="image_id string, bytes binary, w int, h int,"
+                   " fmt string, x0 double, y_top double",
+        )
         tiles = op_retile.retile(images)
         rings = contour_op.contour_tiles(tiles)
         return rings.groupBy("cell_id").agg(
@@ -1497,15 +1652,21 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["grid_idw"] = grid_idw
 
     def difference_polygons(spark, sf_dir):
-        """Geometry-out difference (J8): remainder polygons after
-        subtracting the layer-2 union, vectorized per feature; rows-
-        only by design -- area accounting is oracle-checked by
-        mask_difference, ring combinatorics by difference_rings, and
-        ring geometry has pytest goldens."""
+        """Geometry-out difference (J8) at FEATURE SCALE (320-576 m
+        subjects, two cutters each), ORACLE-CHECKED with exact slab-
+        path areas: per n%5 a full-height band SPLIT (two outer
+        rings), an interior hole, TWO interior holes, a flush corner
+        cut PLUS a hole (L outer + hole ring), and a band split with
+        a hole in the left piece (three rings) -- the multi-piece /
+        multi-cutter shapes difference_rings' single-cut fixtures
+        don't reach.  Ring order (outers then holes, each area-desc)
+        and the closed forms are mirrored in the SQL twin."""
         from .operators import overlay
 
-        l1 = _zrect_polygons(spark, sf_dir)
-        l2 = _drect_polygons(spark, sf_dir)
+        l1 = _nation_layer(spark, sf_dir, _dpoly_subject)
+        l2 = _nation_layer(spark, sf_dir, _dpoly_cutter_a).unionByName(
+            _nation_layer(spark, sf_dir, _dpoly_cutter_b)
+        )
         out = overlay.mask_difference_polygons(l1, l2, pixel=4.0)
         return out.select(
             "feat_id", "ring_id", "n_pts", "is_hole",
@@ -2827,6 +2988,30 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kmv_users"] = kmv_users
 
+    def cm_heavy(spark, sf_dir):
+        """Count-min heavy-hitter frequencies over the documents
+        token stream, oracle-checked ON THE SKETCH (like kmv_users:
+        md5 cell placement is deterministic, so DuckDB rebuilds the
+        identical depth x width table and min-of-rows estimates).
+        The corpus side collapses to <= 4*512 groups map-side
+        regardless of corpus size or token skew -- the bounded-state
+        frequency primitive of a 100 TB token-statistics pass."""
+        from .functions import sketch
+
+        docs = _t(spark, sf_dir, "documents")
+        toks = docs.select(
+            F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        sk = sketch.cm_sketch(toks, "tok", depth=4, width=512)
+        cand = docs.filter(F.col("doc_id") % 83 == 0).select(
+            F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        return sketch.cm_estimate(
+            sk, cand, "tok", depth=4, width=512
+        ).select(F.col("item"), F.col("estimate"))
+
+    q["cm_heavy"] = cm_heavy
+
     def stratified_sample(spark, sf_dir):
         """Language-balanced deterministic corpus downsampling
         (training-data mixing): md5-derived per-doc uniform draw vs
@@ -3023,30 +3208,33 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle-proven elsewhere.  Derived from oracle_sql() so the
     # ordering self-corrects as oracles are added.
     #
-    # ROUND-4 ROTATION (VERDICT r3 #1): the head now leads with the 32
-    # oracle-backed queries that sat beyond the round-3 window (so the
-    # union of round-3 + round-4 driver-green rows covers every
-    # SURVEY 2 operator), then this round's new/changed queries, then
-    # 13 round-3-proven anchors to fill the window.
+    # ROUND-5 ROTATION (VERDICT r4 #9, standing invariant pinned in
+    # tests/test_registry_head.py): lead with this round's new/changed
+    # queries (the five flipped-to-oracle rows, the overlap-difference
+    # walk, and the three operators whose semantics changed: struct-
+    # window as-of, NULL-filtered/bounded KMV, two-level IVF), then
+    # fill with the 41 oracle-backed queries whose last driver-green
+    # row is OLDEST (round 3, i.e. absent from CORRECTNESS_r04) -- so
+    # r3 u r4 u r5 driver-green rows keep covering the registry.
     head = [
-        # -- the 32 beyond-window r3 queries, driver-checked now --
-        "lsh_ann", "image_features", "retile_tiles", "floor_level",
-        "mask_difference", "union_area", "xyz_bin", "nodata_audit",
-        "area_guard", "rgb_zonal", "zonal_f4", "embedding_near_dup",
-        "sessionize", "ivf_ann", "token_regex", "rolling_fp",
-        "json_props", "line_carpet", "green_factor",
-        "grid_interpolate", "grid_idw", "zonal_expr", "line_drape",
-        "grid_linear", "fix_nodata", "streaming_dedup", "dedup_apply",
-        "simhash_near_dup", "contour_rect", "difference_rings",
-        "streaming_parity", "image_resize",
-        # -- new / changed in round 4 --
-        "difference_convex", "difference_star", "srs_transform",
-        "multimodal_curation", "repetition_quality", "oov_quality",
-        "pii_redaction", "difference_general", "difference_multi",
-        "union_exact", "asof_rates", "kmv_users",
-        "pack_sequences", "curation_pipeline",
-        # -- round-3-proven anchors --
-        "pip_rect", "zonal_rect", "knn_grid", "dedup_clusters",
+        # -- new / changed in round 5 --
+        "flow_direction", "flow_accumulation", "contour_footprint",
+        "difference_polygons", "fill_voids", "difference_overlap",
+        "asof_rates", "kmv_users", "ivf_ann", "cm_heavy",
+        # -- oldest driver-green anchors (round 3), re-checked now --
+        "grid_assign", "quad_rollup", "mosaic_merge", "rebase_diff",
+        "reclass_lut", "clamp_filter", "skip_empty",
+        "antijoin_resume", "semijoin_aoi", "interval_class",
+        "topk_cells", "second_smallest", "rank_along_line",
+        "histogram", "weighted_indicator", "set_ops", "dedup_rows",
+        "streaming_window_batch", "token_quality", "lang_id",
+        "fingerprint_dedup", "ngram_jaccard", "minhash_lsh",
+        "cosine_topk", "running_sum", "topk_per_group", "range_join",
+        "pip_polygon", "zonal_image", "simhash_docs", "hillshade_f4",
+        "upstream_levels", "grid_linear_tiles", "flow_direction_f4",
+        "flow_accumulation_f4", "shadow_march_flat",
+        "shadow_march_towers", "jdbc_reclass", "contamination",
+        "fill_voids_flat", "stratified_sample",
     ]
     hard = set(oracle_sql())
     ordered = {k: q[k] for k in head if k in q and k in hard}
@@ -4185,6 +4373,31 @@ def oracle_sql() -> Dict[str, str]:
     FROM sh s, LATERAL (SELECT unnest(generate_series(0, 63)) AS i) gi
     """
 
+    # fill_voids: quadrant-constant tiles through retile + fill --
+    # every pixel must equal its quadrant constant (voids fill from
+    # their uniform 4-neighbor edge ring); filled_px is the void
+    # count of the shared (i+j)%17 interior pattern
+    o["fill_voids"] = """
+    WITH px AS (
+      SELECT CAST(g.k AS INT) AS k,
+             CAST(gi.g AS INT) AS i, CAST(gj.g AS INT) AS j
+      FROM (SELECT unnest(generate_series(0, 7)) AS k) g,
+           (SELECT unnest(generate_series(0, 255)) AS g) gi,
+           (SELECT unnest(generate_series(0, 255)) AS g) gj
+    ),
+    nv AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM px
+      WHERE k = 0 AND (i + j) % 17 = 0
+        AND (i % 128) BETWEEN 2 AND 125
+        AND (j % 128) BETWEEN 2 AND 125
+    )
+    SELECT k, i, j,
+           CAST((100 + 7*k + 31*(2*(i//128) + (j//128))) % 199
+                AS INT) AS v,
+           (SELECT n FROM nv) AS filled_px
+    FROM px
+    """
+
     o["fill_voids_flat"] = """
     WITH fv AS (SELECT unnest(generate_series(0, 11)) AS k),
     holes AS (
@@ -4200,6 +4413,38 @@ def oracle_sql() -> Dict[str, str]:
     FROM fv f, holes,
          LATERAL (SELECT unnest(generate_series(0, 63)) AS i) gi,
          LATERAL (SELECT unnest(generate_series(0, 63)) AS j) gj
+    """
+
+    # contour_footprint: closed-form ring combinatorics per fixture
+    # family (k%4: lone rect / two disjoint rects / plus-union /
+    # hole-filled frame); areas are px^2 * CELL_SIZE^2 = 0.25
+    o["contour_footprint"] = """
+    WITH fk AS (
+      SELECT CAST(g.k AS INT) AS k,
+             5 + (3*g.k) % 11 AS a, 4 + (5*g.k) % 13 AS b,
+             4 + g.k % 5 AS c, 3 + g.k % 6 AS d,
+             16 + g.k % 7 AS a2, 3 + g.k % 3 AS w1,
+             18 + g.k % 5 AS b2, 4 + g.k % 3 AS h1,
+             10 + g.k % 5 AS fa, 12 + g.k % 7 AS fb
+      FROM (SELECT unnest(generate_series(0, 11)) AS k) g
+    )
+    SELECT CAST(720575940379279360
+                + CAST(k AS BIGINT) * 268435456 + k AS BIGINT)
+             AS cell_id,
+           CAST(CASE WHEN k % 4 = 1 THEN 2 ELSE 1 END AS BIGINT)
+             AS n_rings,
+           CAST(CASE k % 4
+                WHEN 0 THEN 2*(a+b) + 1
+                WHEN 1 THEN 2*(a+b) + 2*(c+d) + 2
+                WHEN 2 THEN 2*(a2+b2) + 1
+                ELSE 2*(fa+fb) + 1 END AS BIGINT) AS n_pts,
+           floor(CAST(CASE k % 4
+                WHEN 0 THEN a*b - 0.5
+                WHEN 1 THEN a*b + c*d - 1.0
+                WHEN 2 THEN a2*w1 + b2*h1 - w1*h1 - 0.5
+                ELSE fa*fb - 0.5 END AS DOUBLE) * 0.25 * 100.0)
+             / 100.0 AS area
+    FROM fk
     """
 
     o["contour_rect"] = """
@@ -4230,6 +4475,39 @@ def oracle_sql() -> Dict[str, str]:
     SELECT k, CAST(1 AS INT), CAST(5 AS INT), TRUE,
            CAST(2*3 * 16.0 AS DOUBLE)
     FROM feats WHERE k % 2 = 1
+    """
+
+    # difference_polygons: exact slab-path remainders per n%5 family
+    # (band split / hole / two holes / corner-L + hole / split +
+    # hole); ring order mirrors the operator's outers-then-holes,
+    # area-descending enumeration.  Closed forms pinned against the
+    # slab decomposition in tests/test_overlay_floor.py.
+    o["difference_polygons"] = """
+    WITH f AS (
+      SELECT n_nationkey AS n, n_nationkey % 5 AS m,
+             CAST(320 + (n_nationkey%5)*64 AS DOUBLE) AS w,
+             CAST(256 + (n_nationkey%3)*64 AS DOUBLE) AS h,
+             CAST(48 + (n_nationkey%2)*16 AS DOUBLE) AS cw,
+             CAST(64 + (n_nationkey%2)*32 AS DOUBLE) AS cc
+      FROM nation
+    )
+    SELECT n AS feat_id, CAST(0 AS INT) AS ring_id,
+           CAST(CASE WHEN m = 3 THEN 7 ELSE 5 END AS INT) AS n_pts,
+           FALSE AS is_hole,
+           CAST(CASE WHEN m IN (0, 4) THEN (w/2 + 16)*h
+                     WHEN m = 3 THEN w*h - cc*96
+                     ELSE w*h END AS DOUBLE) AS area
+    FROM f
+    UNION ALL
+    SELECT n, CAST(1 AS INT), CAST(5 AS INT), m IN (1, 2, 3),
+           CAST(CASE WHEN m IN (0, 4) THEN (w/2 - 80)*h
+                     WHEN m IN (1, 2) THEN cw*40
+                     ELSE 768 END AS DOUBLE)
+    FROM f
+    UNION ALL
+    SELECT n, CAST(2 AS INT), CAST(5 AS INT), TRUE,
+           CAST(CASE WHEN m = 2 THEN 672 ELSE 1280 END AS DOUBLE)
+    FROM f WHERE m IN (2, 4)
     """
 
     o["difference_convex"] = """
@@ -4423,6 +4701,40 @@ def oracle_sql() -> Dict[str, str]:
                       ELSE 63 / MAX(h) END * 1000000.0)
              / 1000000.0 AS estimate
     FROM kept GROUP BY key
+    """
+
+    # count-min sketch: identical md5 cell placement in both engines,
+    # so the depth x width count table and the min-of-rows estimates
+    # agree bit-for-bit (same oracle-on-the-sketch idea as kmv_users)
+    o["cm_heavy"] = """
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS v FROM documents
+    ),
+    drows AS (SELECT unnest(generate_series(0, 3)) AS d),
+    cells AS (
+      SELECT d.d,
+             CAST(CAST('0x' || substring(md5(d.d || ':' || t.v), 1, 15)
+                       AS BIGINT) % 512 AS BIGINT) AS cell,
+             COUNT(*) AS cnt
+      FROM tok t, drows d
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT v AS item FROM (
+        SELECT unnest(string_split(text, ' ')) AS v
+        FROM documents WHERE doc_id % 83 = 0
+      )
+    ),
+    probes AS (
+      SELECT c.item, d.d,
+             CAST(CAST('0x' || substring(md5(d.d || ':' || c.item),
+                                         1, 15)
+                       AS BIGINT) % 512 AS BIGINT) AS cell
+      FROM cand c, drows d
+    )
+    SELECT p.item, MIN(COALESCE(s.cnt, 0)) AS estimate
+    FROM probes p LEFT JOIN cells s ON s.d = p.d AND s.cell = p.cell
+    GROUP BY p.item
     """
 
     o["asof_rates"] = """

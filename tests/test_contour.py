@@ -121,3 +121,37 @@ class TestContourTiles:
         assert abs(r.area - expected_px_area * CELL_SIZE * CELL_SIZE) < 1e-9
         gtype, payload = wkb.parse(bytes(r.geom_wkb))
         assert gtype == wkb.POLYGON
+
+
+def test_footprint_formula_families():
+    """Pin the closed forms the contour_footprint ORACLE relies on:
+    for every fixture tile k, mask_contours on the composed rect
+    union yields exactly the CASE-expression ring count, vertex
+    count, and shoelace area of the SQL twin."""
+    from raster_tools_spark.queries import _footprint_rects
+
+    for k in range(12):
+        mask = np.zeros((256, 256), dtype=bool)
+        for r0, c0, h, w in _footprint_rects(k):
+            mask[r0:r0 + h, c0:c0 + w] = True
+        rings = contour_vec.mask_contours(mask)
+        n_pts = sum(len(r) for r in rings)
+        area = sum(
+            0.5 * abs(np.sum(r[:-1, 1] * r[1:, 0] - r[1:, 1] * r[:-1, 0]))
+            for r in rings
+        )
+        a, b = 5 + (3 * k) % 11, 4 + (5 * k) % 13
+        c, d = 4 + k % 5, 3 + k % 6
+        a2, w1 = 16 + k % 7, 3 + k % 3
+        b2, h1 = 18 + k % 5, 4 + k % 3
+        A, B = 10 + k % 5, 12 + k % 7
+        m = k % 4
+        exp = {
+            0: (1, 2 * (a + b) + 1, a * b - 0.5),
+            1: (2, 2 * (a + b) + 2 * (c + d) + 2, a * b + c * d - 1.0),
+            2: (1, 2 * (a2 + b2) + 1,
+                a2 * w1 + b2 * h1 - w1 * h1 - 0.5),
+            3: (1, 2 * (A + B) + 1, A * B - 0.5),
+        }[m]
+        assert (len(rings), n_pts) == exp[:2], (k, m)
+        assert abs(area - exp[2]) < 1e-9, (k, m)

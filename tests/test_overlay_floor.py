@@ -647,3 +647,38 @@ def test_general_difference_tiny_cutter_uncertifiable():
     tiny = [(500.1, 500.1), (502.1, 500.1), (501.1, 502.1)]
     big = [(100, 100), (300, 100), (200, 300)]
     assert _general_difference_rings(S, [tiny, big]) is None
+
+
+def test_dpoly_slab_closed_forms():
+    """Pin the difference_polygons ORACLE closed forms against the
+    exact slab decomposition for every nation key: ring order
+    (outers then holes, area-descending), vertex counts (7-corner L,
+    5-corner rects), and exact areas for all five n%5 families."""
+    from raster_tools_spark.operators.overlay import (
+        _exact_rect_difference, _rect_of,
+    )
+    from raster_tools_spark.queries import (
+        _dpoly_base, _dpoly_cutter_a, _dpoly_cutter_b, _dpoly_subject,
+    )
+
+    for n in range(25):
+        _, _, w, h = _dpoly_base(n)
+        m = n % 5
+        rings = _exact_rect_difference(
+            _rect_of(_dpoly_subject(n)),
+            [_rect_of(_dpoly_cutter_a(n)), _rect_of(_dpoly_cutter_b(n))],
+        )
+        rings = sorted(rings, key=lambda t: (t[1] < 0, -abs(t[1])))
+        got = [(rid, len(c), abs(sa), sa < 0)
+               for rid, (c, sa) in enumerate(rings)]
+        cw, cc = 48 + (n % 2) * 16, 64 + (n % 2) * 32
+        exp = {
+            0: [(0, 5, (w/2+16)*h, False), (1, 5, (w/2-80)*h, False)],
+            1: [(0, 5, w*h, False), (1, 5, cw*40.0, True)],
+            2: [(0, 5, w*h, False), (1, 5, cw*40.0, True),
+                (2, 5, 672.0, True)],
+            3: [(0, 7, w*h - cc*96, False), (1, 5, 768.0, True)],
+            4: [(0, 5, (w/2+16)*h, False), (1, 5, (w/2-80)*h, False),
+                (2, 5, 1280.0, True)],
+        }[m]
+        assert got == exp, (n, m, got)
