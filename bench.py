@@ -138,6 +138,7 @@ def run_bench(spark, sf_dir: str, n_images: int = 20000,
         "asof_rates",
         "kmv_users",
         # round-5 operators
+        "asof_bucketed",
         "difference_overlap",
         "flow_direction",
         "flow_accumulation",

@@ -132,7 +132,17 @@ def asof_join_bucketed(
         right_struct.alias("_v")
     ).schema["_v"].dataType
 
-    ts_d = F.col(ts_col).cast("double")
+    # bucket assignment only needs a MONOTONIC numeric image of the
+    # timestamp (equal values must share a bucket; boundaries affect
+    # parallelism, never semantics), so timestamp columns go through
+    # unix_micros instead of the disallowed direct numeric cast
+    ts_dtype = dict(left.dtypes)[ts_col]
+    if "timestamp" in ts_dtype or "date" in ts_dtype:
+        ts_d = F.unix_micros(
+            F.col(ts_col).cast("timestamp")
+        ).cast("double")
+    else:
+        ts_d = F.col(ts_col).cast("double")
     bounds = (
         left.select(ts_d.alias("t"))
         .unionByName(right.select(ts_d.alias("t")))

@@ -2972,6 +2972,36 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["asof_rates"] = asof_rates
 
+    def asof_bucketed(spark, sf_dir):
+        """Carried-state AS-OF join on a deliberately HOT key set
+        (every event collapsed to 2 keys): each key's timeline splits
+        into 32 time buckets, so the one real shuffle sorts a hot key
+        in 32 parallel tasks instead of one (the skew escape hatch
+        asof_join's docstring promises; >1-task-per-key pinned in
+        tests/test_temporal.py).  Same correlated-top-1 oracle
+        semantics as asof_rates."""
+        from .functions import temporal
+
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id",
+            (F.col("event_type").isin("view", "click"))
+            .cast("int").alias("grp"),
+            "ts", "value",
+        )
+        dim = (
+            ev.filter(F.col("event_id") % 89 == 0)
+            .groupBy("grp", "ts")
+            .agg(F.min("value").alias("rate"))
+        )
+        out = temporal.asof_join_bucketed(
+            ev.select("event_id", "grp", "ts"), dim,
+            key_col="grp", ts_col="ts", value_cols=["rate"],
+            n_buckets=32,
+        )
+        return out.select("event_id", "grp", "rate")
+
+    q["asof_bucketed"] = asof_bucketed
+
     def kmv_users(spark, sf_dir):
         """KMV (bottom-k) distinct-count sketch, oracle-checked ON THE
         SKETCH ITSELF: per event_type, estimate distinct users from
@@ -3220,7 +3250,8 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new / changed in round 5 --
         "flow_direction", "flow_accumulation", "contour_footprint",
         "difference_polygons", "fill_voids", "difference_overlap",
-        "asof_rates", "kmv_users", "ivf_ann", "cm_heavy",
+        "asof_rates", "asof_bucketed", "kmv_users", "ivf_ann",
+        "cm_heavy",
         # -- oldest driver-green anchors (round 3), re-checked now --
         "grid_assign", "quad_rollup", "mosaic_merge", "rebase_diff",
         "reclass_lut", "clamp_filter", "skip_empty",
@@ -4747,6 +4778,27 @@ def oracle_sql() -> Dict[str, str]:
             WHERE d.event_type = e.event_type AND d.ts <= e.ts
             ORDER BY d.ts DESC LIMIT 1) AS rate
     FROM events e
+    """
+
+    # bucketed (carried-state) as-of: identical semantics to the
+    # single-window operator, so the same correlated-top-1 shape
+    o["asof_bucketed"] = """
+    WITH ev AS (
+      SELECT event_id,
+             CASE WHEN event_type IN ('view', 'click') THEN 1
+                  ELSE 0 END AS grp,
+             ts, value
+      FROM events
+    ),
+    dim AS (
+      SELECT grp, ts, MIN(value) AS rate FROM ev
+      WHERE event_id % 89 = 0 GROUP BY grp, ts
+    )
+    SELECT e.event_id, e.grp,
+           (SELECT d.rate FROM dim d
+            WHERE d.grp = e.grp AND d.ts <= e.ts
+            ORDER BY d.ts DESC LIMIT 1) AS rate
+    FROM ev e
     """
 
     o["difference_multi"] = """

@@ -366,6 +366,42 @@ def main():
         ],
     )
 
+    # 5t. count-min sketch: corpus side must collapse to partial hash
+    # aggregates map-side (<= depth*width groups cross the exchange)
+    # and the probe join must broadcast the tiny sketch
+    audit(
+        "cm_sketch_partial_agg_broadcast",
+        qcat["cm_heavy"](spark, SF),
+        [
+            ("hash aggregate (map-side partial)",
+             lambda p: "HashAggregate" in p),
+            ("sketch side broadcast",
+             lambda p: "BroadcastHashJoin" in p
+             or "BroadcastExchange" in p),
+            ("no window operator", lambda p: "Window" not in p),
+            ("no cartesian product",
+             lambda p: "CartesianProduct" not in p),
+            ("pure JVM (no python UDF)",
+             lambda p: "EvalPython" not in p),
+        ],
+    )
+
+    # 5u. bucketed as-of: the big-side window must partition by
+    # (key, _bkt) -- a hot key sorts in n_buckets tasks -- and the
+    # carry table must broadcast
+    audit(
+        "asof_bucketed_parallel_hot_key",
+        qcat["asof_bucketed"](spark, SF),
+        [
+            ("window keyed by (key, bucket)",
+             lambda p: "_bkt" in p and "Window" in p),
+            ("carry table broadcast",
+             lambda p: "BroadcastHashJoin" in p),
+            ("no cartesian product",
+             lambda p: "CartesianProduct" not in p),
+        ],
+    )
+
     # 6. mosaic merge: single hash agg pair (partial+final), no window
     audit(
         "mosaic_merge_hashagg",
