@@ -146,6 +146,8 @@ def run_bench(spark, sf_dir: str, n_images: int = 20000,
         "difference_polygons",
         "fill_voids",
         "cm_heavy",
+        "srs_webmerc",
+        "srs_utm",
     ):
         fn = qcat[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())

@@ -2721,6 +2721,85 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["srs_transform"] = srs_transform
 
+    def _srs_geo_box(n: int) -> bytes:
+        lon1 = -171.0 + n * 13.7
+        lat1 = -80.0 + n * 6.1
+        return wkb.box_wkb(
+            lon1, lat1,
+            lon1 + 0.5 + (n % 3) * 0.25, lat1 + 0.4 + (n % 4) * 0.2,
+        )
+
+    def srs_webmerc(spark, sf_dir):
+        """CURVILINEAR reprojection (the reference's osr geographic->
+        projected path, extract.py:574-580): a lon/lat polygon layer is
+        projected to spherical Web Mercator (EPSG:3857 closed form) in
+        one shuffle-free pandas UDF, envelopes emitted.  Mercator is
+        separable and monotone in lon and lat, so the oracle transforms
+        the envelope corners with the same published formula
+        (x = a*radians(lon), y = a*ln(tan(pi/4 + radians(lat)/2)))."""
+        from .operators import srs
+
+        layer = _nation_layer(spark, sf_dir, _srs_geo_box)
+        out = srs.transform_layer_curvilinear(layer, "geodetic->webmerc")
+
+        @F.pandas_udf("array<double>")
+        def env(col: pd.Series) -> pd.Series:
+            return col.map(lambda b: list(wkb.envelope(bytes(b))))
+
+        f4 = lambda c: (F.floor(c * 10000.0) / 10000.0)
+        return out.select(
+            "feat_id", env("geom_wkb").alias("e")
+        ).select(
+            "feat_id",
+            f4(F.col("e")[0]).alias("minx"),
+            f4(F.col("e")[1]).alias("maxx"),
+            f4(F.col("e")[2]).alias("miny"),
+            f4(F.col("e")[3]).alias("maxy"),
+        )
+
+    q["srs_webmerc"] = srs_webmerc
+
+    def srs_utm(spark, sf_dir):
+        """CURVILINEAR reprojection #2: customer-derived lon/lat POINTs
+        (UTM zone 31 extent) projected with the ellipsoidal transverse
+        Mercator (Krueger alpha series, order 6 -- operators/srs.py),
+        exercising the Point WKB branch.  The oracle replays the whole
+        series in SQL with the same embedded coefficients; hyperbolics
+        are exp/ln compositions on BOTH sides, so the two engines run
+        the same arithmetic (agreement ~1e-9 m, floored at mm)."""
+        from .operators import srs
+
+        @F.pandas_udf("binary")
+        def mk(ck: pd.Series) -> pd.Series:
+            return ck.map(
+                lambda c: wkb.point_wkb(
+                    0.3 + (int(c) % 540) / 100.0,
+                    1.0 + (int(c) % 5900) / 100.0,
+                )
+            )
+
+        layer = (
+            _t(spark, sf_dir, "customer")
+            .select(F.col("c_custkey").cast("long").alias("feat_id"))
+            .withColumn("geom_wkb", mk(F.col("feat_id")))
+        )
+        out = srs.transform_layer_curvilinear(layer, "geodetic->utm")
+
+        @F.pandas_udf("array<double>")
+        def xy(col: pd.Series) -> pd.Series:
+            return col.map(
+                lambda b: list(map(float, wkb.parse(bytes(b))[1]))
+            )
+
+        f3 = lambda c: (F.floor(c * 1000.0) / 1000.0)
+        return out.select("feat_id", xy("geom_wkb").alias("p")).select(
+            "feat_id",
+            f3(F.col("p")[0]).alias("easting"),
+            f3(F.col("p")[1]).alias("northing"),
+        )
+
+    q["srs_utm"] = srs_utm
+
     def _star_base(n: int):
         tx, ty = (n * 11) % 16, (n * 5) % 16
         off = 64.0 * (n // 16)
@@ -3251,7 +3330,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_direction", "flow_accumulation", "contour_footprint",
         "difference_polygons", "fill_voids", "difference_overlap",
         "asof_rates", "asof_bucketed", "kmv_users", "ivf_ann",
-        "cm_heavy",
+        "cm_heavy", "srs_webmerc", "srs_utm",
         # -- oldest driver-green anchors (round 3), re-checked now --
         "grid_assign", "quad_rollup", "mosaic_merge", "rebase_diff",
         "reclass_lut", "clamp_filter", "skip_empty",
@@ -4892,6 +4971,82 @@ def oracle_sql() -> Dict[str, str]:
            CAST(4.0 * x1 + 960.0 AS DOUBLE) AS miny,
            CAST(4.0 * (x2 + mx) + 960.0 AS DOUBLE) AS maxy
     FROM feats
+    """
+
+    # curvilinear SRS mirrors: the published closed forms replayed in
+    # SQL with the SAME embedded constants the engine uses
+    # (operators/srs.py); hyperbolics are exp/ln on both sides.
+    from .operators import srs as _srs
+
+    o["srs_webmerc"] = """
+    WITH feats AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS feat_id,
+             -171.0 + n_nationkey * 13.7 AS lon1,
+             -80.0 + n_nationkey * 6.1 AS lat1,
+             -171.0 + n_nationkey * 13.7 + 0.5
+               + (n_nationkey % 3) * 0.25 AS lon2,
+             -80.0 + n_nationkey * 6.1 + 0.4
+               + (n_nationkey % 4) * 0.2 AS lat2
+      FROM nation
+    )
+    SELECT feat_id,
+      floor(6378137.0 * radians(lon1) * 10000.0)/10000.0 AS minx,
+      floor(6378137.0 * radians(lon2) * 10000.0)/10000.0 AS maxx,
+      floor(6378137.0 * ln(tan(pi()/4.0 + radians(lat1)/2.0))
+            * 10000.0)/10000.0 AS miny,
+      floor(6378137.0 * ln(tan(pi()/4.0 + radians(lat2)/2.0))
+            * 10000.0)/10000.0 AS maxy
+    FROM feats
+    """
+
+    _E2N = repr(2.0 * __import__("math").sqrt(_srs.WGS84_N)
+                / (1.0 + _srs.WGS84_N))
+    _K0A = repr(0.9996 * _srs.WGS84_RECT_A)
+    _A1, _A2, _A3, _A4, _A5, _A6 = (repr(a) for a in _srs.ALPHA)
+    o["srs_utm"] = f"""
+    WITH pts AS (
+      SELECT CAST(c_custkey AS BIGINT) AS feat_id,
+             radians(0.3 + (c_custkey % 540)/100.0 - 3.0) AS lam,
+             sin(radians(1.0 + (c_custkey % 5900)/100.0)) AS sphi
+      FROM customer
+    ), s3 AS (
+      SELECT feat_id, lam,
+             0.5*(exp(q) - exp(-q)) AS t
+      FROM (
+        SELECT feat_id, lam,
+               0.5*ln((1.0+sphi)/(1.0-sphi))
+               - {_E2N}*(0.5*ln((1.0+{_E2N}*sphi)
+                                 /(1.0-{_E2N}*sphi))) AS q
+        FROM pts
+      )
+    ), s4 AS (
+      SELECT feat_id,
+             atan2(t, cos(lam)) AS xip,
+             0.5*ln((1.0 + sin(lam)/sqrt(1.0+t*t))
+                    /(1.0 - sin(lam)/sqrt(1.0+t*t))) AS etap
+      FROM s3
+    ), s5 AS (
+      SELECT feat_id,
+        xip + {_A1}*sin(2*xip)*(0.5*(exp(2*etap)+exp(-(2*etap))))
+            + {_A2}*sin(4*xip)*(0.5*(exp(4*etap)+exp(-(4*etap))))
+            + {_A3}*sin(6*xip)*(0.5*(exp(6*etap)+exp(-(6*etap))))
+            + {_A4}*sin(8*xip)*(0.5*(exp(8*etap)+exp(-(8*etap))))
+            + {_A5}*sin(10*xip)*(0.5*(exp(10*etap)+exp(-(10*etap))))
+            + {_A6}*sin(12*xip)*(0.5*(exp(12*etap)+exp(-(12*etap))))
+          AS xi,
+        etap + {_A1}*cos(2*xip)*(0.5*(exp(2*etap)-exp(-(2*etap))))
+             + {_A2}*cos(4*xip)*(0.5*(exp(4*etap)-exp(-(4*etap))))
+             + {_A3}*cos(6*xip)*(0.5*(exp(6*etap)-exp(-(6*etap))))
+             + {_A4}*cos(8*xip)*(0.5*(exp(8*etap)-exp(-(8*etap))))
+             + {_A5}*cos(10*xip)*(0.5*(exp(10*etap)-exp(-(10*etap))))
+             + {_A6}*cos(12*xip)*(0.5*(exp(12*etap)-exp(-(12*etap))))
+          AS eta
+      FROM s4
+    )
+    SELECT feat_id,
+      floor((500000.0 + {_K0A}*eta)*1000.0)/1000.0 AS easting,
+      floor(({_K0A}*xi)*1000.0)/1000.0 AS northing
+    FROM s5
     """
 
     o["stratified_sample"] = """

@@ -313,6 +313,18 @@ def main():
         ],
     )
 
+    # 5o-bis. curvilinear SRS (geographic->projected): same shuffle-free
+    # contract as the planar path -- a 10^12-row layer reprojects with
+    # scan partitioning as the execution partitioning
+    audit(
+        "srs_curvilinear_no_shuffle",
+        op_srs.transform_layer_curvilinear(layer, "geodetic->utm"),
+        [
+            ("no exchange at all", lambda p: "Exchange" not in p),
+            ("one Arrow UDF stage", lambda p: "ArrowEvalPython" in p),
+        ],
+    )
+
     # 5p. banded hamming joins (image/audio/multimodal shape): the
     # popcount filter must sit BELOW the final dedup aggregate, so the
     # dedup exchange carries only true near-dups
