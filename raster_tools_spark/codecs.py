@@ -4,7 +4,9 @@ The input table stores encoded pixels as opaque ``bytes`` with an ``fmt``
 tag (BASELINE.json input_hint).  Two codecs are provided:
 
 - ``png``  -- a real, spec-conformant PNG encoder/decoder for 8-bit
-  grayscale (filter type 0 only on encode; decoder handles filters 0-2).
+  grayscale (filter type 0 only on encode; decoder handles the full
+  filter set 0-4, so foreign PNGs with Sub/Up/Average/Paeth scanlines
+  decode correctly).
   Lossless: decode(encode(a)) == a exactly.
 - ``jpeg`` -- STAND-IN LOSSY CODEC (clearly marked): ITU JPEG needs a
   huffman/JFIF stack not available in this container, so the lossy path
@@ -118,6 +120,31 @@ def png_decode(data: bytes) -> np.ndarray:
         elif f == 2:  # Up
             if i > 0:
                 out[i] = (out[i] + out[i - 1]) & 0xFF
+        elif f in (3, 4):
+            # Average / Paeth carry a left-pixel dependency, so the
+            # reconstruction is a per-pixel walk along x (vectorized
+            # across channels).  Foreign-PNG robustness only: the
+            # engine's own encoder writes filter 0 and never gets here.
+            prev = out[i - 1] if i > 0 else np.zeros(w * nch, np.int32)
+            row = out[i]
+            zero = np.zeros(nch, np.int32)
+            for x in range(w):
+                s = x * nch
+                a_ = row[s - nch:s] if x > 0 else zero
+                b_ = prev[s:s + nch]
+                if f == 3:  # Average: floor((left + above) / 2)
+                    pred = (a_ + b_) >> 1
+                else:  # Paeth predictor (PNG spec pseudocode)
+                    c_ = prev[s - nch:s] if x > 0 else zero
+                    p = a_ + b_ - c_
+                    pa = np.abs(p - a_)
+                    pb = np.abs(p - b_)
+                    pc = np.abs(p - c_)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a_,
+                        np.where(pb <= pc, b_, c_),
+                    )
+                row[s:s + nch] = (row[s:s + nch] + pred) & 0xFF
         else:
             raise ValueError(f"unsupported PNG filter {f}")
     out = out.astype(np.uint8)
