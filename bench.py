@@ -148,6 +148,11 @@ def run_bench(spark, sf_dir: str, n_images: int = 20000,
         "cm_heavy",
         "srs_webmerc",
         "srs_utm",
+        "hll_users",
+        "bm25_rank",
+        "line_dedup",
+        "bloom_semijoin",
+        "grouped_quantile",
     ):
         fn = qcat[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())

@@ -343,3 +343,70 @@ def simhash_near_dup(
         simhash(docs, bits=bits), "doc_id", "simhash",
         max_hamming=max_hamming, bits=bits, n_bands=n_bands,
     )
+
+
+# ---------------------------------------------------------------------------
+# line-level corpus dedup (CCNet-style)
+# ---------------------------------------------------------------------------
+
+def line_dedup(
+    docs: DataFrame,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """CCNet-style line-level corpus deduplication (Wenzek et al.
+    2020): drop every line whose exact content occurs in >= ``min_df``
+    DISTINCT documents (boilerplate headers, navigation menus, cookie
+    banners at web scale), then reassemble each document from its
+    surviving lines in original order.  Returns
+    ``(doc_id, n_total, n_kept, text_out)`` for documents with at
+    least one surviving line; ``n_dropped = n_total - n_kept``.
+
+    Scale shape (100 TB): the document-frequency count shuffles the
+    16-byte md5 of each line, never the line text; it partial-
+    aggregates map-side, so the exchange carries one row per distinct
+    (hash, doc) pair.  The resulting "hot line" set is tiny relative
+    to the corpus (only lines repeated across >= min_df docs) and
+    joins back LEFT ANTI -- AQE broadcasts it when it fits.
+    Reassembly is one groupBy(doc) whose state is bounded by document
+    length, not corpus size.  Nothing here is quadratic and no stage
+    keys on raw text.
+
+    Reference analog: the reference dedups rows/files by md5 checksum
+    (srtm/organize.py:17-43); this is the same identity-by-hash move
+    applied at sub-document granularity, the standard first stage of
+    an LLM training-data pipeline.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), line_sep).alias("_ls"),
+    ).select(
+        "doc_id",
+        F.size("_ls").alias("n_total"),
+        F.posexplode("_ls").alias("pos", "line"),
+    ).withColumn("h", F.md5(F.col("line")))
+    hot = (
+        lines.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("h")
+    )
+    kept = lines.join(hot, "h", "left_anti")
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.first("n_total").alias("n_total"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "line"))
+                    ),
+                    lambda s: s["line"],
+                ),
+                line_sep,
+            ).alias("text_out"),
+        )
+    )

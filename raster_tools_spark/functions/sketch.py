@@ -237,3 +237,84 @@ def cm_estimate(
         .groupBy("item")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("estimate"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (Flajolet et al. 2007)
+# ---------------------------------------------------------------------------
+
+HLL_B = 6            # 2^6 = 64 registers
+HLL_M = 1 << HLL_B
+HLL_ALPHA_64 = 0.709  # alpha_m for m = 64 (Flajolet et al., table 1)
+# rho is clamped so every 2^-rho addend and every partial sum of the
+# 64-register harmonic series is an EXACTLY representable dyadic
+# (exponent span <= 40 < 52 mantissa bits) -- the register sum is then
+# order-independent and bit-identical across engines.  rho > 40 needs
+# 40 leading zero bits in a uniform 54-bit hash (p ~ 2^-40): clamping
+# biases nothing at any realistic cardinality.
+HLL_RHO_CAP = 40
+
+
+def hll_distinct(
+    df: DataFrame, key_col: str, val_col: str
+) -> DataFrame:
+    """Per-``key_col`` HyperLogLog distinct-count estimate of
+    ``val_col``: 64 registers, md5-derived 60-bit hash (low 6 bits
+    pick the register, the remaining 54 bits supply the
+    leading-zero-run rank rho).  Returns
+    ``(key, n_regs, estimate)`` -- n_regs = touched registers (V =
+    64 - n_regs empty), estimate floor-rounded to 4 dp with the
+    standard small-range linear-counting correction
+    (E <= 2.5 m and V > 0  ->  m * ln(m / V)).
+
+    Like kmv_distinct above, every step is a deterministic function
+    of md5, so an external SQL engine reproduces the ESTIMATE itself
+    (rho via integer bit-length -- length(bin(x)) -- never floating
+    log2), not just its error bound.
+
+    Scale shape: groupBy(key, register) max-aggregates partial-ly
+    map-side, so the shuffle carries <= 64 rows per (key, input
+    partition) regardless of corpus size or skew -- the classic
+    reason HLL is THE distinct-count at 10^12 rows.  The final
+    per-key reduce folds 64 registers; no distinct set, no sort, no
+    window ever materializes.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(val_col).cast("string")), 1, 15),
+        16, 10,
+    ).cast("long")
+    # integer shift, NOT h / m: a 60-bit value exceeds double's 53-bit
+    # mantissa, so float division would corrupt low bits
+    rest = F.shiftright(h, HLL_B)
+    rho = F.when(rest == 0, F.lit(60 - HLL_B + 1)).otherwise(
+        F.lit(60 - HLL_B) - F.length(F.bin(rest)) + 1
+    )
+    regs = (
+        df.filter(F.col(val_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            (h % HLL_M).alias("reg"),
+            F.least(rho, F.lit(HLL_RHO_CAP)).alias("rho"),
+        )
+        .groupBy("key", "reg")
+        .agg(F.max("rho").alias("mj"))
+    )
+    per_key = regs.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        F.sum(
+            F.lit(1.0)
+            / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), mj) AS DOUBLE)")
+        ).alias("_s_hit"),
+    )
+    m = float(HLL_M)
+    s = F.col("_s_hit") + (F.lit(m) - F.col("n_regs").cast("double"))
+    e_raw = F.lit(HLL_ALPHA_64 * m * m) / s
+    v = F.lit(m) - F.col("n_regs").cast("double")
+    est = F.when(
+        (e_raw <= 2.5 * m) & (v > 0.0), F.lit(m) * F.log(F.lit(m) / v)
+    ).otherwise(e_raw)
+    return per_key.select(
+        "key",
+        "n_regs",
+        (F.floor(est * 10000.0) / 10000.0).alias("estimate"),
+    )

@@ -391,3 +391,86 @@ def pack_sequences(
         pack,
         schema="doc_id long, shard long, n_tokens long, pack_id int",
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance scoring (Okapi BM25, Robertson & Walker 1994)
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Okapi BM25 score of every document against a fixed small query
+    term list.  Returns ``(doc_id, dl, score)`` for documents with
+    score > 0, score floor-rounded to 4 dp.
+
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score   = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Scale shape (100 TB): term frequencies are pure JVM expressions
+    over the tokenized text (whole-stage codegen, no shuffle); the
+    corpus statistics (N, per-term df, avgdl) reduce to ONE scalar row
+    via a single partial-aggregated pass, which then joins back as a
+    broadcast cross join -- the corpus side never shuffles.  The term
+    list is compile-time small (a query, not a vocabulary), so the
+    per-term tf columns are a fixed-width projection, not an explode.
+
+    The per-term contributions are added in explicit list order (not a
+    grouped SUM), so the floating-point association is deterministic
+    and an external SQL engine reproduces the score bit-for-bit.
+    """
+    terms = list(terms)
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("_w"),
+    ).select(
+        "doc_id",
+        F.size("_w").alias("dl"),
+        # NB: the lambda must take exactly ONE parameter -- F.filter
+        # interprets a second parameter as the element-index column,
+        # silently shadowing any default-argument closure trick
+        *[
+            F.size(
+                F.filter("_w", (lambda t: lambda w: w == F.lit(t))(t))
+            ).alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("dl").alias("_sumdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = d.crossJoin(F.broadcast(stats))
+    n = F.col("_n").cast("double")
+    avgdl = F.col("_sumdl").cast("double") / n
+    contrib = []
+    for i in range(len(terms)):
+        tf = F.col(f"_tf{i}").cast("double")
+        df = F.col(f"_df{i}").cast("double")
+        idf = F.log(F.lit(1.0) + (n - df + 0.5) / (df + 0.5))
+        denom = tf + k1 * ((1.0 - b) + b * (F.col("dl").cast("double") / avgdl))
+        contrib.append(idf * (tf * (k1 + 1.0) / denom))
+    score = contrib[0]
+    for c in contrib[1:]:
+        score = score + c
+    return (
+        scored.select(
+            "doc_id",
+            "dl",
+            (F.floor(score * 10000.0) / 10000.0).alias("score"),
+        )
+        .filter(F.col("score") > 0.0)
+    )

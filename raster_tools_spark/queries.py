@@ -3310,6 +3310,119 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_resize"] = image_resize
 
+    def hll_users(spark, sf_dir):
+        """HyperLogLog distinct users per event_type, oracle-checked
+        ON THE ESTIMATE itself: rho comes from integer bit-length
+        (length(bin(x)) -- never floating log2) and every 2^-rho
+        addend is an exact dyadic below the 52-bit mantissa span, so
+        DuckDB rebuilds the identical 64-register table AND the
+        identical harmonic-mean estimate.  (kmv_users' docstring
+        claimed HLL can't be cross-checked this way; only
+        floating-point rho extraction can't.)  Shuffle carries <= 64
+        rows per (key, input partition) regardless of corpus size or
+        skew -- the canonical distinct-count at 10^12 rows."""
+        from .functions import sketch
+
+        return sketch.hll_distinct(
+            _t(spark, sf_dir, "events"), "event_type", "user_id"
+        )
+
+    q["hll_users"] = hll_users
+
+    def bm25_rank(spark, sf_dir):
+        """Okapi BM25 relevance of every document against a fixed
+        query (training-data quality/retrieval scoring).  Corpus
+        stats (N, df, avgdl) reduce to ONE broadcast row; term
+        frequencies are JVM codegen; per-term contributions add in
+        explicit list order so the float association is
+        deterministic and DuckDB reproduces the score bit-for-bit
+        (floor-rounded 4 dp)."""
+        return ftext.bm25_scores(
+            _t(spark, sf_dir, "documents"), ["spark", "query", "merge"]
+        )
+
+    q["bm25_rank"] = bm25_rank
+
+    def line_dedup(spark, sf_dir):
+        """CCNet-style line-level corpus dedup: drop lines occurring
+        in >= 10 distinct docs, reassemble surviving lines in order.
+        The synthetic documents are single-line, so the fixture
+        deterministically re-lines each doc into 2-word lines (small
+        vocabulary -> genuine cross-doc hot lines) with an
+        identically mirrored SQL construction; the dedup itself
+        shuffles 16-byte md5s with map-side partial aggregation and
+        anti-joins the tiny hot set back (AQE broadcasts it)."""
+        docs = _t(spark, sf_dir, "documents")
+        words = docs.select(
+            "doc_id", F.split(F.col("text"), " ").alias("_w")
+        )
+        n_lines = F.floor((F.size("_w") + F.lit(1)) / F.lit(2)).cast(
+            "int"
+        )
+        ml = words.select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), n_lines - F.lit(1)),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("_w"), i * 2 + 1, 2)
+                    ),
+                ),
+                "\n",
+            ).alias("text"),
+        )
+        return fdedup.line_dedup(ml, min_df=10)
+
+    q["line_dedup"] = line_dedup
+
+    def bloom_semijoin(spark, sf_dir):
+        """Bloom-prefiltered semi-join: orders of BUILDING-segment
+        customers.  The filter builds DISTRIBUTED (per-partition
+        bitmaps bit_or-merged; only m/64 words reach the driver),
+        broadcasts m/8 bytes, and drops probe rows map-side BEFORE
+        the exchange; the exact semi-join then kills the <1% false
+        positives, so the result is exactly LEFT SEMI.  At a 1%
+        match rate on 100 TB this cuts the shuffle 100x."""
+        from .functions import bloom
+
+        cust = _t(spark, sf_dir, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        return bloom.bloom_semi_join(
+            _t(spark, sf_dir, "orders"), cust,
+            "o_custkey", small_key_col="c_custkey",
+        ).select("o_orderkey", "o_custkey")
+
+    q["bloom_semijoin"] = bloom_semijoin
+
+    def grouped_quantile(spark, sf_dir):
+        """Exact grouped quantiles (25/50/75) of lineitem quantity:
+        Spark's exact `percentile` vs DuckDB's quantile_cont -- both
+        interpolate at p*(n-1); the input is integer-valued, so every
+        interpolation lands on an exact dyadic and the engines agree
+        bit-for-bit.  Partial-aggregated JVM path, one shuffle."""
+        li = _t(spark, sf_dir, "lineitem")
+        g = li.groupBy("l_returnflag").agg(
+            F.expr(
+                "percentile(CAST(l_quantity AS DOUBLE),"
+                " array(0.25D, 0.5D, 0.75D))"
+            ).alias("_qs"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        def _q(i):
+            return (
+                F.floor(F.element_at("_qs", i) * 10000.0) / 10000.0
+            )
+        return g.select(
+            "l_returnflag",
+            "n",
+            _q(1).alias("q25"),
+            _q(2).alias("q50"),
+            _q(3).alias("q75"),
+        )
+
+    q["grouped_quantile"] = grouped_quantile
+
     # The driver's correctness gate inspects only the FIRST 50 registry
     # entries: order the registry (1) a curated head, (2) the
     # remaining oracle-backed queries in registration order, (3) the
@@ -3326,6 +3439,10 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row is OLDEST (round 3, i.e. absent from CORRECTNESS_r04) -- so
     # r3 u r4 u r5 driver-green rows keep covering the registry.
     head = [
+        # -- newest round-5 additions (sketches, ranking, corpus dedup,
+        #    bloom join) --
+        "hll_users", "bm25_rank", "line_dedup", "bloom_semijoin",
+        "grouped_quantile",
         # -- new / changed in round 5 --
         "flow_direction", "flow_accumulation", "contour_footprint",
         "difference_polygons", "fill_voids", "difference_overlap",
@@ -3343,8 +3460,6 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_polygon", "zonal_image", "simhash_docs", "hillshade_f4",
         "upstream_levels", "grid_linear_tiles", "flow_direction_f4",
         "flow_accumulation_f4", "shadow_march_flat",
-        "shadow_march_towers", "jdbc_reclass", "contamination",
-        "fill_voids_flat", "stratified_sample",
     ]
     hard = set(oracle_sql())
     ordered = {k: q[k] for k in head if k in q and k in hard}
@@ -5823,6 +5938,138 @@ def oracle_sql() -> Dict[str, str]:
                ORDER BY sim DESC, cid ASC) AS rn
       FROM scored
     ) WHERE rn <= 5
+    """
+
+    # HLL: rho via integer bit-length (length(bin(x))), never floating
+    # log2; every 2^-rho addend is an exact dyadic (rho clamped <= 40,
+    # span < 52 mantissa bits) so the register sum is order-free and
+    # the ESTIMATE matches Spark bit-for-bit (same oracle-on-the-
+    # sketch idea as kmv_users / cm_heavy).
+    o["hll_users"] = """
+    WITH h AS (
+      SELECT event_type AS key,
+             CAST('0x' || substring(
+               md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    regs AS (
+      SELECT key, h % 64 AS reg,
+             MAX(LEAST(CASE WHEN (h >> 6) = 0 THEN 55
+                            ELSE 54 - length(bin(h >> 6)) + 1 END,
+                       40)) AS mj
+      FROM h GROUP BY 1, 2
+    ),
+    pk AS (
+      SELECT key, COUNT(*) AS n_regs,
+             SUM(1.0 / CAST((CAST(1 AS BIGINT) << mj) AS DOUBLE))
+               AS s_hit
+      FROM regs GROUP BY key
+    )
+    SELECT key, n_regs,
+      floor(
+        CASE WHEN (0.709 * 64.0 * 64.0)
+                    / (s_hit + (64.0 - CAST(n_regs AS DOUBLE)))
+                  <= 160.0
+              AND (64.0 - CAST(n_regs AS DOUBLE)) > 0.0
+             THEN 64.0 * ln(64.0 / (64.0 - CAST(n_regs AS DOUBLE)))
+             ELSE (0.709 * 64.0 * 64.0)
+                    / (s_hit + (64.0 - CAST(n_regs AS DOUBLE)))
+        END * 10000.0) / 10000.0 AS estimate
+    FROM pk
+    """
+
+    # BM25: per-term contributions added in explicit order (t0+t1+t2),
+    # constants written as the same arithmetic Spark folds
+    # ((1.2 + 1.0), (1.0 - 0.75)) so both engines run identical IEEE
+    # op sequences; floor-round 4 dp at the very end only.
+    _bm_t = ("spark", "query", "merge")
+    _bm_contrib = " + ".join(
+        f"""(ln(1.0 + (CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)
+               / (CAST(df{i} AS DOUBLE) + 0.5))
+           * (CAST(tf{i} AS DOUBLE) * (1.2 + 1.0)
+              / (CAST(tf{i} AS DOUBLE)
+                 + 1.2 * ((1.0 - 0.75)
+                          + 0.75 * (CAST(dl AS DOUBLE)
+                                    / (CAST(sumdl AS DOUBLE)
+                                       / CAST(n AS DOUBLE)))))))"""
+        for i in range(len(_bm_t))
+    )
+    _bm_tf = ",\n".join(
+        f"len(list_filter(w, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_bm_t)
+    )
+    _bm_df = ",\n".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_bm_t))
+    )
+    o["bm25_rank"] = f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    t AS (
+      SELECT doc_id, len(w) AS dl, {_bm_tf}
+      FROM d
+    ),
+    s AS (
+      SELECT COUNT(*) AS n, SUM(dl) AS sumdl, {_bm_df}
+      FROM t
+    )
+    SELECT doc_id, dl, score FROM (
+      SELECT t.doc_id, t.dl,
+             floor(({_bm_contrib}) * 10000.0) / 10000.0 AS score
+      FROM t CROSS JOIN s
+    ) WHERE score > 0.0
+    """
+
+    # line-level dedup over the deterministically re-lined corpus
+    # (2-word lines; mirrors the Spark fixture construction exactly:
+    # sequence 0..floor((len+1)/2)-1, slice(i*2+1, 2), join ' ')
+    o["line_dedup"] = """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    lines AS (
+      SELECT doc_id,
+             CAST(floor((len(w) + 1) / 2.0) AS BIGINT) AS n_total,
+             i AS pos,
+             array_to_string(w[i*2+1 : i*2+2], ' ') AS line
+      FROM w, LATERAL (SELECT unnest(generate_series(
+             0, CAST(floor((len(w) + 1) / 2.0) AS BIGINT) - 1)) AS i)
+    ),
+    hot AS (
+      SELECT md5(line) AS hh FROM lines GROUP BY 1
+      HAVING COUNT(DISTINCT doc_id) >= 10
+    ),
+    kept AS (
+      SELECT * FROM lines
+      WHERE md5(line) NOT IN (SELECT hh FROM hot)
+    )
+    SELECT doc_id, ANY_VALUE(n_total) AS n_total,
+           COUNT(*) AS n_kept,
+           string_agg(line, chr(10) ORDER BY pos) AS text_out
+    FROM kept GROUP BY doc_id
+    """
+
+    o["bloom_semijoin"] = """
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    """
+
+    o["grouped_quantile"] = """
+    WITH g AS (
+      SELECT l_returnflag,
+             quantile_cont(CAST(l_quantity AS DOUBLE),
+                           [0.25, 0.5, 0.75]) AS qs,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           floor(qs[1] * 10000.0) / 10000.0 AS q25,
+           floor(qs[2] * 10000.0) / 10000.0 AS q50,
+           floor(qs[3] * 10000.0) / 10000.0 AS q75
+    FROM g
     """
 
     return o
