@@ -414,6 +414,78 @@ def main():
         ],
     )
 
+    # 5v. HLL: aggregate-only pipeline -- two hash-agg pairs
+    # (register max, then per-key harmonic fold), never a window or
+    # sort; pure JVM end to end
+    audit(
+        "hll_aggregate_only",
+        qcat["hll_users"](spark, SF),
+        [
+            ("hash aggregate", lambda p: "HashAggregate" in p),
+            ("no window operator", lambda p: "Window" not in p),
+            ("no global sort",
+             lambda p: "Exchange rangepartitioning" not in p),
+            ("pure JVM (no python UDF)",
+             lambda p: "EvalPython" not in p),
+        ],
+    )
+
+    # 5w. BM25: corpus stats reduce to ONE row broadcast back -- a
+    # BroadcastNestedLoopJoin over a single-row build is the right
+    # shape (constant per-row cost); the corpus side itself must not
+    # shuffle, and tf extraction must stay JVM codegen
+    audit(
+        "bm25_broadcast_stats_no_corpus_shuffle",
+        qcat["bm25_rank"](spark, SF),
+        [
+            ("stats broadcast",
+             lambda p: "BroadcastExchange" in p),
+            ("no hash-partition exchange of the corpus",
+             lambda p: "Exchange hashpartitioning" not in p),
+            ("pure JVM (no python UDF)",
+             lambda p: "EvalPython" not in p),
+            ("no window operator", lambda p: "Window" not in p),
+        ],
+    )
+
+    # 5x. line dedup: the df-count and reassembly are hash
+    # aggregates; the hot-line set joins back without a cartesian;
+    # no python in the pipeline
+    audit(
+        "line_dedup_hash_agg_anti_join",
+        qcat["line_dedup"](spark, SF),
+        [
+            ("hash or object-hash aggregate",
+             lambda p: "HashAggregate" in p
+             or "ObjectHashAggregate" in p),
+            ("anti join for hot lines",
+             lambda p: "LeftAnti" in p),
+            ("no cartesian product",
+             lambda p: "CartesianProduct" not in p),
+            ("pure JVM (no python UDF)",
+             lambda p: "EvalPython" not in p),
+        ],
+    )
+
+    # 5y. bloom semi-join: the pandas prefilter must sit BELOW the
+    # semi-join exchange (filter the scan, then join survivors), and
+    # the final join must be a semi join
+    audit(
+        "bloom_prefilter_below_semijoin",
+        qcat["bloom_semijoin"](spark, SF),
+        [
+            ("bloom prefilter evaluated python-side",
+             lambda p: "EvalPython" in p),
+            ("left semi join present",
+             lambda p: "LeftSemi" in p),
+            ("prefilter below the join",
+             lambda p: "EvalPython" in p and "LeftSemi" in p
+             and p.index("LeftSemi") < p.index("EvalPython")),
+            ("no cartesian product",
+             lambda p: "CartesianProduct" not in p),
+        ],
+    )
+
     # 6. mosaic merge: single hash agg pair (partial+final), no window
     audit(
         "mosaic_merge_hashagg",
