@@ -153,6 +153,7 @@ def run_bench(spark, sf_dir: str, n_images: int = 20000,
         "line_dedup",
         "bloom_semijoin",
         "grouped_quantile",
+        "kmv_setops",
     ):
         fn = qcat[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())

@@ -318,3 +318,77 @@ def hll_distinct(
         "n_regs",
         (F.floor(est * 10000.0) / 10000.0).alias("estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV set operations (theta-sketch style union / intersection)
+# ---------------------------------------------------------------------------
+
+def _bottom_k_hashes(df: DataFrame, val_col: str, k: int) -> DataFrame:
+    """One-row DataFrame with the sorted bottom-k distinct md5 hash
+    fractions of ``val_col`` (column ``hs``), built with the same
+    two-stage mergeable reduction as kmv_distinct."""
+    h = F.conv(
+        F.substring(F.md5(F.col(val_col).cast("string")), 1, 15),
+        16, 10,
+    ).cast("double") / float(16 ** 15)
+    hashed = df.filter(F.col(val_col).isNotNull()).select(h.alias("h"))
+    part = hashed.groupBy(F.spark_partition_id().alias("_p")).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.collect_list("h"))), 1, k
+        ).alias("hs")
+    )
+    return part.select(F.explode("hs").alias("h")).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.collect_list("h"))), 1, k
+        ).alias("hs")
+    )
+
+
+def kmv_set_ops(
+    df_a: DataFrame, df_b: DataFrame, val_col: str, k: int = 64
+) -> DataFrame:
+    """Set-operation cardinality estimates between two corpora from
+    their bottom-k sketches ALONE (the theta-sketch move, Dasgupta et
+    al. 2016): union via the merged bottom-k, intersection by
+    counting shared hashes below theta (the merged kth smallest),
+    Jaccard as their ratio.  Returns one row:
+    ``(n_a_kept, n_b_kept, n_union_kept, union_est, inter_est,
+    jaccard_est)``, estimates floor-rounded to 4 dp.  When the merged
+    sketch holds fewer than k hashes both sides are complete and the
+    exact counts are returned (small-set exactness, as kmv_distinct).
+
+    This is why sketches matter at 100 TB: each corpus reduces ONCE
+    to k doubles (mergeable, partial-aggregated, skew-immune), and
+    every subsequent set question -- |A u B|, |A n B|, J(A, B),
+    against ANY other sketched corpus -- is answered from the k-value
+    summaries without rescanning data.  Deterministic md5 hashing
+    keeps the estimates themselves bit-reproducible in any engine.
+    """
+    a = _bottom_k_hashes(df_a, val_col, k).select(F.col("hs").alias("ha"))
+    b = _bottom_k_hashes(df_b, val_col, k).select(F.col("hs").alias("hb"))
+    j = a.crossJoin(b)  # 1 x 1 rows
+    un = F.slice(F.array_sort(F.array_union("ha", "hb")), 1, k)
+    n_un = F.size(un)
+    theta = F.element_at(un, n_un)
+    inter = F.array_intersect("ha", "hb")
+    alive = F.size(F.filter(inter, lambda h: h < theta))
+    exact = n_un < k
+    union_est = F.when(exact, n_un.cast("double")).otherwise(
+        (k - 1) / theta
+    )
+    inter_est = F.when(exact, F.size(inter).cast("double")).otherwise(
+        alive / theta
+    )
+    jac = F.when(
+        union_est > 0.0, inter_est / union_est
+    ).otherwise(F.lit(0.0))
+    r4 = lambda c: F.floor(c * 10000.0) / 10000.0  # noqa: E731
+    return j.select(
+        F.size("ha").alias("n_a_kept"),
+        F.size("hb").alias("n_b_kept"),
+        n_un.alias("n_union_kept"),
+        r4(union_est).alias("union_est"),
+        r4(inter_est).alias("inter_est"),
+        r4(jac).alias("jaccard_est"),
+    )

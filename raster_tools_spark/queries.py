@@ -3423,6 +3423,24 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["grouped_quantile"] = grouped_quantile
 
+    def kmv_setops(spark, sf_dir):
+        """Theta-sketch-style set operations from bottom-k sketches
+        ALONE: |A u B|, |A n B|, J(A,B) between two customer cohorts
+        (BUILDING segment vs high-balance), each corpus reduced once
+        to 64 doubles.  Every estimate is a deterministic md5
+        function, so DuckDB reproduces the numbers bit-for-bit --
+        the oracle checks the SKETCH ALGEBRA, not just counts."""
+        from .functions import sketch
+
+        cust = _t(spark, sf_dir, "customer")
+        return sketch.kmv_set_ops(
+            cust.filter(F.col("c_mktsegment") == "BUILDING"),
+            cust.filter(F.col("c_acctbal") > 5000),
+            "c_custkey", k=64,
+        )
+
+    q["kmv_setops"] = kmv_setops
+
     # The driver's correctness gate inspects only the FIRST 50 registry
     # entries: order the registry (1) a curated head, (2) the
     # remaining oracle-backed queries in registration order, (3) the
@@ -3442,7 +3460,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- newest round-5 additions (sketches, ranking, corpus dedup,
         #    bloom join) --
         "hll_users", "bm25_rank", "line_dedup", "bloom_semijoin",
-        "grouped_quantile",
+        "grouped_quantile", "kmv_setops",
         # -- new / changed in round 5 --
         "flow_direction", "flow_accumulation", "contour_footprint",
         "difference_polygons", "fill_voids", "difference_overlap",
@@ -6055,6 +6073,69 @@ def oracle_sql() -> Dict[str, str]:
     WHERE o_custkey IN (
       SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
     )
+    """
+
+    # theta-sketch set ops: both engines build the identical bottom-64
+    # md5-fraction sketches, merge them, and apply the same estimate
+    # arithmetic -- the sketch ALGEBRA is what's being checked
+    _kmv_h = (
+        "CAST(CAST('0x' || substring(md5(CAST(c_custkey AS VARCHAR)),"
+        " 1, 15) AS BIGINT) AS DOUBLE) / 1152921504606846976.0"
+    )
+    o["kmv_setops"] = f"""
+    WITH ha AS (
+      SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
+          SELECT DISTINCT {_kmv_h} AS h
+          FROM customer
+          WHERE c_mktsegment = 'BUILDING' AND c_custkey IS NOT NULL
+        )
+      ) WHERE rn <= 64
+    ),
+    hb AS (
+      SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
+          SELECT DISTINCT {_kmv_h} AS h
+          FROM customer
+          WHERE c_acctbal > 5000 AND c_custkey IS NOT NULL
+        )
+      ) WHERE rn <= 64
+    ),
+    un AS (
+      SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
+          SELECT DISTINCT h FROM (
+            SELECT h FROM ha UNION ALL SELECT h FROM hb
+          )
+        )
+      ) WHERE rn <= 64
+    ),
+    s AS (
+      SELECT
+        (SELECT COUNT(*) FROM ha) AS n_a,
+        (SELECT COUNT(*) FROM hb) AS n_b,
+        (SELECT COUNT(*) FROM un) AS n_un,
+        (SELECT MAX(h) FROM un) AS theta,
+        (SELECT COUNT(*) FROM
+          (SELECT h FROM ha INTERSECT SELECT h FROM hb)) AS n_inter,
+        (SELECT COUNT(*) FROM
+          (SELECT h FROM ha INTERSECT SELECT h FROM hb) t
+         WHERE t.h < (SELECT MAX(h) FROM un)) AS n_alive
+    ),
+    s2 AS (
+      SELECT *,
+        CASE WHEN n_un < 64 THEN CAST(n_un AS DOUBLE)
+             ELSE 63 / theta END AS ue,
+        CASE WHEN n_un < 64 THEN CAST(n_inter AS DOUBLE)
+             ELSE CAST(n_alive AS DOUBLE) / theta END AS ie
+      FROM s
+    )
+    SELECT n_a AS n_a_kept, n_b AS n_b_kept, n_un AS n_union_kept,
+           floor(ue * 10000.0) / 10000.0 AS union_est,
+           floor(ie * 10000.0) / 10000.0 AS inter_est,
+           floor(CASE WHEN ue > 0.0 THEN ie / ue ELSE 0.0 END
+                 * 10000.0) / 10000.0 AS jaccard_est
+    FROM s2
     """
 
     o["grouped_quantile"] = """
