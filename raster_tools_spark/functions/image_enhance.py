@@ -1,0 +1,293 @@
+"""Image enhancement / compression-analysis operators over opaque
+binary image columns (axis B of this graft): integral-image box
+filter, histogram equalization, Otsu thresholding, and run-length
+statistics.
+
+These extend the reference's focal family (raster-tools
+``raster_tools/srs.py`` has no image plane; the focal smooth at
+``fill.py``-adjacent windows is the closest analog, W1 in SURVEY §2)
+to the per-payload image domain a multimodal training-data pipeline
+needs: blur for down-weighting high-frequency noise, equalization and
+Otsu for contrast/foreground heuristics, RLE for compressibility
+scoring (a cheap proxy for "is this image synthetic/flat?").
+
+Scale shape: every operator is a one-decode-per-row Arrow-batched
+``mapInPandas`` -- no shuffle at all; the per-image outputs are tiny
+fixed-width rows.  The box filter uses an integral image so cost is
+O(pixels), independent of the window radius (a naive window sum is
+O(pixels * (2r+1)^2) and would dominate at radius 5+).  All
+arithmetic on the u8 plane is integer-exact (floor divisions, exact
+prefix sums), so every operator has a bit-exact DuckDB mirror.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .. import codecs
+
+BOX_BLUR_SCHEMA = (
+    "image_id string, n_px long, blur_sum long, blur_min int, "
+    "blur_max int"
+)
+
+
+def _integral(px: np.ndarray) -> np.ndarray:
+    """(h+1, w+1) exclusive-prefix integral image, int64 exact."""
+    ii = np.zeros((px.shape[0] + 1, px.shape[1] + 1), dtype=np.int64)
+    np.cumsum(np.cumsum(px, axis=0, dtype=np.int64), axis=1, out=ii[1:, 1:])
+    return ii
+
+
+def box_blur_stats(images: DataFrame, radius: int = 2) -> DataFrame:
+    """Clamped-window box mean via integral image.
+
+    Output pixel (i, j) is ``floor(sum(W) / |W|)`` where W is the
+    (2r+1)^2 window intersected with the image bounds (edge pixels
+    average over their real, smaller window -- no padding bias).
+    Integer floor keeps the result bit-exact against a SQL
+    neighborhood self-join.  Per-image aggregates (sum/min/max of the
+    blurred plane) are returned; the blurred payload itself is the
+    same array re-encoded by :func:`box_blur_images`.
+    """
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples():
+                px = codecs.decode(bytes(t.bytes), t.fmt)
+                blur = _box_blur_plane(px, radius)
+                rows.append(
+                    (
+                        t.image_id,
+                        int(blur.size),
+                        int(blur.sum(dtype=np.int64)),
+                        int(blur.min()),
+                        int(blur.max()),
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "image_id", "n_px", "blur_sum", "blur_min",
+                        "blur_max",
+                    ],
+                )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        do, schema=BOX_BLUR_SCHEMA
+    )
+
+
+def _box_blur_plane(px: np.ndarray, radius: int) -> np.ndarray:
+    h, w = px.shape
+    ii = _integral(px)
+    i = np.arange(h)
+    j = np.arange(w)
+    i0 = np.maximum(i - radius, 0)
+    i1 = np.minimum(i + radius + 1, h)
+    j0 = np.maximum(j - radius, 0)
+    j1 = np.minimum(j + radius + 1, w)
+    # window sums via the four integral-image corners
+    s = (
+        ii[np.ix_(i1, j1)]
+        - ii[np.ix_(i0, j1)]
+        - ii[np.ix_(i1, j0)]
+        + ii[np.ix_(i0, j0)]
+    )
+    cnt = (i1 - i0)[:, None] * (j1 - j0)[None, :]
+    return (s // cnt).astype(np.int64)
+
+
+def box_blur_images(images: DataFrame, radius: int = 2) -> DataFrame:
+    """Same filter, emitting the blurred PNG payload (production
+    shape: decode -> integral -> floor-mean -> re-encode)."""
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples():
+                px = codecs.decode(bytes(t.bytes), t.fmt)
+                blur = _box_blur_plane(px, radius).astype(np.uint8)
+                rows.append(
+                    (t.image_id, codecs.png_encode(blur),
+                     blur.shape[1], blur.shape[0], "png")
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["image_id", "bytes", "w", "h", "fmt"]
+                )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        do, schema="image_id string, bytes binary, w int, h int, fmt string"
+    )
+
+
+EQUALIZE_SCHEMA = (
+    "image_id string, eq_sum long, eq_min int, eq_max int, "
+    "n_levels int"
+)
+
+
+def equalize_stats(images: DataFrame) -> DataFrame:
+    """Histogram equalization, integer-exact.
+
+    ``eq(v) = floor((cdf(v) - cdf_min) * 255 / (n - cdf_min))`` with
+    ``cdf(v)`` the count of pixels <= v and ``cdf_min = cdf(min(v))``
+    (the standard OpenCV/scikit-image formulation with floor instead
+    of round, so the SQL mirror is exact).  Constant images (n ==
+    cdf_min) map to 0.  Returns per-image aggregates of the equalized
+    plane plus the distinct output level count (a contrast-stretch
+    quality signal).
+    """
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples():
+                px = codecs.decode(bytes(t.bytes), t.fmt)
+                eq = _equalize_plane(px)
+                rows.append(
+                    (
+                        t.image_id,
+                        int(eq.sum(dtype=np.int64)),
+                        int(eq.min()),
+                        int(eq.max()),
+                        int(np.unique(eq).size),
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "image_id", "eq_sum", "eq_min", "eq_max",
+                        "n_levels",
+                    ],
+                )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        do, schema=EQUALIZE_SCHEMA
+    )
+
+
+def _equalize_plane(px: np.ndarray) -> np.ndarray:
+    flat = px.ravel()
+    hist = np.bincount(flat, minlength=256).astype(np.int64)
+    cdf = np.cumsum(hist)
+    n = flat.size
+    cdf_min = int(cdf[int(flat.min())])
+    if n == cdf_min:
+        return np.zeros_like(px, dtype=np.int64)
+    lut = (cdf - cdf_min) * 255 // (n - cdf_min)
+    lut = np.clip(lut, 0, 255)
+    return lut[px.astype(np.int64)]
+
+
+OTSU_SCHEMA = (
+    "image_id string, otsu_t int, n_fg long, fg_sum long"
+)
+
+
+def otsu_stats(images: DataFrame) -> DataFrame:
+    """Otsu threshold per image, deterministic across engines.
+
+    The between-class variance at threshold t is proportional to
+    ``(s0*c1 - s1*c0)^2 / (c0*c1)`` with c/s the count/value-sum of
+    the <=t and >t classes.  The numerator can exceed int64 (n=4096,
+    sum~1e6 -> ~1.8e19), so it is computed in Python arbitrary-
+    precision integers and converted once to an IEEE double for the
+    argmax; the DuckDB mirror computes the identical HUGEINT and
+    casts once -- both conversions are round-to-nearest on the same
+    exact integer, so the scores (and the argmax, tie-broken by
+    smallest t) agree bit-for-bit.  Foreground = pixels strictly
+    above the threshold.
+    """
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples():
+                px = codecs.decode(bytes(t.bytes), t.fmt)
+                thr = _otsu_threshold(px)
+                fg = px.astype(np.int64)[px > thr]
+                rows.append(
+                    (t.image_id, int(thr), int(fg.size),
+                     int(fg.sum(dtype=np.int64)))
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["image_id", "otsu_t", "n_fg", "fg_sum"]
+                )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        do, schema=OTSU_SCHEMA
+    )
+
+
+def _otsu_threshold(px: np.ndarray) -> int:
+    hist = np.bincount(px.ravel(), minlength=256).astype(np.int64)
+    n = int(hist.sum())
+    total_s = int((hist * np.arange(256, dtype=np.int64)).sum())
+    best_t, best_score = 0, -1.0
+    c0 = 0
+    s0 = 0
+    for t in range(255):
+        c0 += int(hist[t])
+        s0 += int(hist[t]) * t
+        c1 = n - c0
+        if c0 == 0 or c1 == 0:
+            continue
+        s1 = total_s - s0
+        num = s0 * c1 - s1 * c0          # Python int: never overflows
+        score = float(num * num) / float(c0 * c1)
+        if score > best_score:
+            best_score, best_t = score, t
+    return best_t
+
+
+RLE_SCHEMA = (
+    "image_id string, n_runs long, max_run int, rle_bytes long"
+)
+
+
+def rle_stats(images: DataFrame) -> DataFrame:
+    """Per-scanline run-length statistics (compressibility score).
+
+    A run is a maximal span of equal values along a row.  Returns the
+    run count, the longest run, and the encoded size under a
+    (value u8, length u16) scheme -- 3 bytes per run.  Mirrors a SQL
+    gaps-and-islands formulation exactly (pure integers).
+    """
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples():
+                px = codecs.decode(bytes(t.bytes), t.fmt)
+                breaks = np.ones(px.shape, dtype=bool)
+                breaks[:, 1:] = px[:, 1:] != px[:, :-1]
+                n_runs = int(breaks.sum())
+                # run lengths: distance between consecutive break
+                # positions in the row-major flattened break index
+                # stream (rows always start a run, so runs never span
+                # scanlines)
+                pos = np.flatnonzero(breaks.ravel())
+                ends = np.append(pos[1:], px.size)
+                max_run = int((ends - pos).max()) if n_runs else 0
+                rows.append(
+                    (t.image_id, n_runs, max_run, 3 * n_runs)
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["image_id", "n_runs", "max_run", "rle_bytes"],
+                )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        do, schema=RLE_SCHEMA
+    )

@@ -3441,6 +3441,128 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kmv_setops"] = kmv_setops
 
+    def box_blur(spark, sf_dir):
+        """Integral-image box filter (radius 2, clamped windows) over
+        real PNG payloads; per-image aggregates of the floor-mean
+        blurred plane.  O(pixels) regardless of radius; the oracle
+        recomputes every window with a bounded self-join."""
+        from .functions import image_enhance
+
+        images = synth.linear_images_df(spark, 12, tiles_axis=16)
+        return image_enhance.box_blur_stats(images, radius=2)
+
+    q["box_blur"] = box_blur
+
+    def hist_equalize(spark, sf_dir):
+        """Integer-exact histogram equalization (floor CDF remap) of
+        40 PNG tiles; per-image aggregates + distinct output levels of
+        the equalized plane."""
+        from .functions import image_enhance
+
+        images = synth.linear_images_df(spark, 40, tiles_axis=16)
+        return image_enhance.equalize_stats(images)
+
+    q["hist_equalize"] = hist_equalize
+
+    def otsu_threshold(spark, sf_dir):
+        """Otsu's between-class-variance threshold per image, argmax
+        computed from exact integer moments (Python bigint on the
+        Spark side, HUGEINT in DuckDB) so the picked threshold and
+        the foreground stats agree bit-for-bit."""
+        from .functions import image_enhance
+
+        images = synth.linear_images_df(spark, 40, tiles_axis=16)
+        return image_enhance.otsu_stats(images)
+
+    q["otsu_threshold"] = otsu_threshold
+
+    def rle_stats(spark, sf_dir):
+        """Per-scanline run-length statistics (compressibility score)
+        of 40 PNG tiles; mirrors a SQL gaps-and-islands plan."""
+        from .functions import image_enhance
+
+        images = synth.linear_images_df(spark, 40, tiles_axis=16)
+        return image_enhance.rle_stats(images)
+
+    q["rle_stats"] = rle_stats
+
+    def simplify_vw(spark, sf_dir):
+        """One-pass Visvalingam-Whyatt simplification of 200 synthetic
+        41-vertex polylines, pure JVM (lag/lead + filter + row_number,
+        single shuffle, zero UDFs).  Doubled-area threshold keeps the
+        whole operator in exact integer arithmetic."""
+        from .operators import simplify as op_simplify
+
+        n_lines, n_v = 200, 41
+        verts = (
+            spark.range(n_lines * n_v)
+            .select(
+                (F.col("id") / n_v).cast("long").alias("line_id"),
+                (F.col("id") % n_v).alias("seq"),
+            )
+            .select(
+                "line_id",
+                "seq",
+                (F.col("seq") * 8).alias("x"),
+                (
+                    (F.col("line_id") * 31 + F.col("seq") * F.col("seq") * 17)
+                    % 29
+                    - 14
+                ).alias("y"),
+            )
+        )
+        return op_simplify.simplify_vw(verts, threshold2=160)
+
+    q["simplify_vw"] = simplify_vw
+
+    def poly_centroid(spark, sf_dir):
+        """Shoelace area + centroid of 500 synthetic L-shaped rings,
+        pure JVM (wrap-around lead + one hash aggregation).  Integer
+        cross-term sums; the only float op is the final division, so
+        DuckDB reproduces area/cx/cy bit-for-bit."""
+        from .operators import simplify as op_simplify
+
+        n_feat = 500
+        f = F.col("feat_id")
+        a = 40 + (f % 7) * 8
+        b = 8 + (f % 4) * 8
+        c = 8 + (f % 3) * 8
+        d = 40 + (f % 5) * 8
+        ox, oy = (f * 3) % 50, (f * 7) % 50
+        s = F.col("seq")
+        verts = (
+            spark.range(n_feat * 6)
+            .select(
+                (F.col("id") / 6).cast("long").alias("feat_id"),
+                (F.col("id") % 6).alias("seq"),
+            )
+            .select(
+                "feat_id",
+                "seq",
+                (
+                    ox
+                    + F.when(s == 0, 0)
+                    .when(s == 1, a)
+                    .when(s == 2, a)
+                    .when(s == 3, c)
+                    .when(s == 4, c)
+                    .otherwise(0)
+                ).alias("x"),
+                (
+                    oy
+                    + F.when(s == 0, 0)
+                    .when(s == 1, 0)
+                    .when(s == 2, b)
+                    .when(s == 3, b)
+                    .when(s == 4, d)
+                    .otherwise(d)
+                ).alias("y"),
+            )
+        )
+        return op_simplify.centroids(verts)
+
+    q["poly_centroid"] = poly_centroid
+
     # The driver's correctness gate inspects only the FIRST 50 registry
     # entries: order the registry (1) a curated head, (2) the
     # remaining oracle-backed queries in registration order, (3) the
@@ -3457,7 +3579,11 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row is OLDEST (round 3, i.e. absent from CORRECTNESS_r04) -- so
     # r3 u r4 u r5 driver-green rows keep covering the registry.
     head = [
-        # -- newest round-5 additions (sketches, ranking, corpus dedup,
+        # -- newest round-5 additions (image enhancement axis +
+        #    pure-JVM vertex-table geometry) --
+        "box_blur", "hist_equalize", "otsu_threshold", "rle_stats",
+        "simplify_vw", "poly_centroid",
+        # -- round-5 additions (sketches, ranking, corpus dedup,
         #    bloom join) --
         "hll_users", "bm25_rank", "line_dedup", "bloom_semijoin",
         "grouped_quantile", "kmv_setops",
@@ -6151,6 +6277,188 @@ def oracle_sql() -> Dict[str, str]:
            floor(qs[2] * 10000.0) / 10000.0 AS q50,
            floor(qs[3] * 10000.0) / 10000.0 AS q75
     FROM g
+    """
+
+    o["box_blur"] = f"""
+    WITH {synth.linear_pixels_sql(12, 16)},
+    blur AS (
+      SELECT a.idx, a.image_id, a.i, a.j,
+             SUM(b.v) // COUNT(*) AS bv
+      FROM lpix a JOIN lpix b ON b.idx = a.idx
+        AND b.i BETWEEN a.i - 2 AND a.i + 2
+        AND b.j BETWEEN a.j - 2 AND a.j + 2
+      GROUP BY a.idx, a.image_id, a.i, a.j
+    )
+    SELECT image_id, COUNT(*) AS n_px,
+           CAST(SUM(bv) AS BIGINT) AS blur_sum,
+           CAST(MIN(bv) AS INTEGER) AS blur_min,
+           CAST(MAX(bv) AS INTEGER) AS blur_max
+    FROM blur GROUP BY image_id
+    """
+
+    o["hist_equalize"] = f"""
+    WITH {synth.linear_pixels_sql(40, 16)},
+    hist AS (
+      SELECT idx, image_id, v, COUNT(*)::BIGINT AS c
+      FROM lpix GROUP BY idx, image_id, v
+    ),
+    cdf AS (
+      SELECT idx, image_id, v, c,
+             SUM(c) OVER (PARTITION BY idx ORDER BY v) AS cum
+      FROM hist
+    ),
+    params AS (
+      SELECT idx, MIN(cum) AS cdf_min, MAX(cum) AS n
+      FROM cdf GROUP BY idx
+    ),
+    lut AS (
+      SELECT c.idx, c.image_id, c.c,
+             CASE WHEN p.n = p.cdf_min THEN 0
+                  ELSE LEAST(GREATEST(
+                    (c.cum - p.cdf_min) * 255 // (p.n - p.cdf_min),
+                    0), 255) END AS ev
+      FROM cdf c JOIN params p USING (idx)
+    )
+    SELECT image_id,
+           CAST(SUM(ev * c) AS BIGINT) AS eq_sum,
+           CAST(MIN(ev) AS INTEGER) AS eq_min,
+           CAST(MAX(ev) AS INTEGER) AS eq_max,
+           CAST(COUNT(DISTINCT ev) AS INTEGER) AS n_levels
+    FROM lut GROUP BY image_id
+    """
+
+    o["otsu_threshold"] = f"""
+    WITH {synth.linear_pixels_sql(40, 16)},
+    hist AS (
+      SELECT idx, image_id, v, COUNT(*)::BIGINT AS c,
+             (COUNT(*) * v)::BIGINT AS s
+      FROM lpix GROUP BY idx, image_id, v
+    ),
+    cum AS (
+      SELECT idx, image_id, v,
+             SUM(c) OVER w AS c0, SUM(s) OVER w AS s0,
+             SUM(c) OVER (PARTITION BY idx) AS n,
+             SUM(s) OVER (PARTITION BY idx) AS st
+      FROM hist WINDOW w AS (PARTITION BY idx ORDER BY v)
+    ),
+    scored AS (
+      SELECT idx, image_id, v AS t,
+             CAST((s0*(n-c0) - (st-s0)*c0) * (s0*(n-c0) - (st-s0)*c0)
+                  AS DOUBLE)
+             / CAST(c0 * (n - c0) AS DOUBLE) AS score
+      FROM cum WHERE v <= 254 AND c0 > 0 AND c0 < n
+    ),
+    best AS (
+      SELECT idx, image_id, t FROM scored
+      QUALIFY row_number()
+        OVER (PARTITION BY idx ORDER BY score DESC, t ASC) = 1
+    )
+    SELECT b.image_id, CAST(b.t AS INTEGER) AS otsu_t,
+           COUNT(p.v) AS n_fg,
+           CAST(COALESCE(SUM(p.v), 0) AS BIGINT) AS fg_sum
+    FROM best b LEFT JOIN lpix p ON p.idx = b.idx AND p.v > b.t
+    GROUP BY b.image_id, b.t
+    """
+
+    o["rle_stats"] = f"""
+    WITH {synth.linear_pixels_sql(40, 16)},
+    brk AS (
+      SELECT idx, image_id, i, j,
+             CASE WHEN lag(v) OVER (PARTITION BY idx, i ORDER BY j)
+                       IS DISTINCT FROM v
+                  THEN 1 ELSE 0 END AS b
+      FROM lpix
+    ),
+    runs AS (
+      SELECT idx, image_id, i,
+             SUM(b) OVER (PARTITION BY idx, i ORDER BY j) AS rid
+      FROM brk
+    ),
+    agg AS (
+      SELECT idx, image_id, i, rid, COUNT(*)::BIGINT AS len
+      FROM runs GROUP BY idx, image_id, i, rid
+    )
+    SELECT image_id, COUNT(*) AS n_runs,
+           CAST(MAX(len) AS INTEGER) AS max_run,
+           CAST(3 * COUNT(*) AS BIGINT) AS rle_bytes
+    FROM agg GROUP BY image_id
+    """
+
+    o["simplify_vw"] = """
+    WITH verts AS (
+      SELECT (g.k // 41) AS line_id, (g.k % 41) AS seq,
+             (g.k % 41) * 8 AS x,
+             ((g.k // 41) * 31 + (g.k % 41) * (g.k % 41) * 17) % 29
+               - 14 AS y
+      FROM (SELECT unnest(generate_series(0, 200*41 - 1)) AS k) g
+    ),
+    a2 AS (
+      SELECT line_id, seq, x, y,
+             abs((x - lag(x) OVER w) * (lead(y) OVER w - lag(y) OVER w)
+               - (lead(x) OVER w - lag(x) OVER w) * (y - lag(y) OVER w))
+               AS area2
+      FROM verts WINDOW w AS (PARTITION BY line_id ORDER BY seq)
+    ),
+    kept AS (SELECT * FROM a2 WHERE area2 IS NULL OR area2 >= 160)
+    SELECT line_id,
+           CAST(row_number()
+                OVER (PARTITION BY line_id ORDER BY seq) - 1
+                AS BIGINT) AS new_seq,
+           x, y
+    FROM kept
+    """
+
+    o["poly_centroid"] = """
+    WITH v AS (
+      SELECT (g.k // 6) AS feat_id, (g.k % 6) AS seq
+      FROM (SELECT unnest(generate_series(0, 2999)) AS k) g
+    ),
+    p AS (
+      SELECT feat_id, seq,
+        (feat_id*3) % 50 + CASE seq
+          WHEN 0 THEN 0
+          WHEN 1 THEN 40 + (feat_id%7)*8
+          WHEN 2 THEN 40 + (feat_id%7)*8
+          WHEN 3 THEN 8 + (feat_id%3)*8
+          WHEN 4 THEN 8 + (feat_id%3)*8
+          ELSE 0 END AS x,
+        (feat_id*7) % 50 + CASE seq
+          WHEN 0 THEN 0
+          WHEN 1 THEN 0
+          WHEN 2 THEN 8 + (feat_id%4)*8
+          WHEN 3 THEN 8 + (feat_id%4)*8
+          WHEN 4 THEN 40 + (feat_id%5)*8
+          ELSE 40 + (feat_id%5)*8 END AS y
+      FROM v
+    ),
+    e AS (
+      SELECT feat_id, x, y,
+             COALESCE(lead(x) OVER w, first_value(x) OVER w2) AS xn,
+             COALESCE(lead(y) OVER w, first_value(y) OVER w2) AS yn
+      FROM p WINDOW
+        w AS (PARTITION BY feat_id ORDER BY seq),
+        w2 AS (PARTITION BY feat_id ORDER BY seq
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING)
+    ),
+    t AS (
+      SELECT feat_id,
+             x*yn - xn*y AS cr,
+             (x + xn) * (x*yn - xn*y) AS sx,
+             (y + yn) * (x*yn - xn*y) AS sy
+      FROM e
+    ),
+    agg AS (
+      SELECT feat_id, CAST(SUM(cr) AS BIGINT) AS a2,
+             CAST(SUM(sx) AS BIGINT) AS gx,
+             CAST(SUM(sy) AS BIGINT) AS gy
+      FROM t GROUP BY feat_id
+    )
+    SELECT feat_id,
+           CAST(a2 AS DOUBLE) / 2.0 AS area,
+           CAST(gx AS DOUBLE) / (3.0 * CAST(a2 AS DOUBLE)) AS cx,
+           CAST(gy AS DOUBLE) / (3.0 * CAST(a2 AS DOUBLE)) AS cy
+    FROM agg
     """
 
     return o

@@ -1,0 +1,128 @@
+"""Golden numpy checks for the image-enhancement family (box blur,
+histogram equalization, Otsu, RLE): the plane helpers against naive
+reimplementations, and the Spark operators end-to-end on tiny PNG
+tables."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from raster_tools_spark import codecs
+from raster_tools_spark.functions.image_enhance import (
+    _box_blur_plane,
+    _equalize_plane,
+    _otsu_threshold,
+    box_blur_images,
+    box_blur_stats,
+    equalize_stats,
+    otsu_stats,
+    rle_stats,
+)
+
+
+def _plane(seed, h=13, w=17):
+    ii, jj = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    v = (seed + 7 * ii + 13 * jj) % 251
+    v[(ii + jj) % 17 == 0] = 255
+    return v.astype(np.uint8)
+
+
+def test_box_blur_matches_naive_window():
+    px = _plane(5)
+    r = 2
+    got = _box_blur_plane(px, r)
+    h, w = px.shape
+    for i in range(h):
+        for j in range(w):
+            win = px[
+                max(i - r, 0): min(i + r + 1, h),
+                max(j - r, 0): min(j + r + 1, w),
+            ].astype(np.int64)
+            assert got[i, j] == win.sum() // win.size, (i, j)
+
+
+def test_box_blur_constant_image_is_identity():
+    px = np.full((9, 9), 42, dtype=np.uint8)
+    assert (_box_blur_plane(px, 3) == 42).all()
+
+
+def test_equalize_golden_and_range():
+    px = _plane(9)
+    eq = _equalize_plane(px)
+    flat = px.ravel()
+    n = flat.size
+    cdf = {v: int((flat <= v).sum()) for v in np.unique(flat)}
+    cdf_min = cdf[int(flat.min())]
+    for v in np.unique(flat):
+        exp = (cdf[int(v)] - cdf_min) * 255 // (n - cdf_min)
+        assert (eq[px == v] == exp).all()
+    assert eq.min() >= 0 and eq.max() <= 255
+    # equalization preserves value ORDER (monotone LUT)
+    order = np.argsort(flat, kind="stable")
+    assert (np.diff(eq.ravel()[order]) >= 0).all()
+
+
+def test_equalize_constant_image_is_zero():
+    px = np.full((6, 7), 200, dtype=np.uint8)
+    assert (_equalize_plane(px) == 0).all()
+
+
+def test_otsu_bimodal_separates_modes():
+    px = np.concatenate(
+        [np.full(500, 30, np.uint8), np.full(500, 220, np.uint8)]
+    ).reshape(25, 40)
+    t = _otsu_threshold(px)
+    assert 30 <= t < 220
+
+
+def test_otsu_matches_exhaustive_float_scan():
+    px = _plane(3)
+    hist = np.bincount(px.ravel(), minlength=256).astype(np.int64)
+    n, st = int(hist.sum()), int((hist * np.arange(256)).sum())
+    best_t, best = 0, -1.0
+    c0 = s0 = 0
+    for t in range(255):
+        c0 += int(hist[t]); s0 += int(hist[t]) * t
+        c1 = n - c0
+        if c0 == 0 or c1 == 0:
+            continue
+        num = s0 * c1 - (st - s0) * c0
+        score = float(num * num) / float(c0 * c1)
+        if score > best:
+            best, best_t = score, t
+    assert _otsu_threshold(px) == best_t
+
+
+@pytest.mark.usefixtures("spark")
+def test_spark_operators_end_to_end(spark):
+    planes = {f"im_{k}": _plane(11 * k + 1, 12 + k, 15 - k)
+              for k in range(3)}
+    pdf = pd.DataFrame(
+        [(iid, codecs.png_encode(p), "png") for iid, p in planes.items()],
+        columns=["image_id", "bytes", "fmt"],
+    )
+    images = spark.createDataFrame(pdf)
+
+    blur = {r["image_id"]: r for r in box_blur_stats(images, 2).collect()}
+    eq = {r["image_id"]: r for r in equalize_stats(images).collect()}
+    ot = {r["image_id"]: r for r in otsu_stats(images).collect()}
+    rle = {r["image_id"]: r for r in rle_stats(images).collect()}
+    for iid, p in planes.items():
+        b = _box_blur_plane(p, 2)
+        assert blur[iid]["blur_sum"] == int(b.sum())
+        assert blur[iid]["n_px"] == p.size
+        e = _equalize_plane(p)
+        assert eq[iid]["eq_sum"] == int(e.sum())
+        assert eq[iid]["n_levels"] == int(np.unique(e).size)
+        t = _otsu_threshold(p)
+        assert ot[iid]["otsu_t"] == t
+        assert ot[iid]["n_fg"] == int((p > t).sum())
+        breaks = np.ones(p.shape, bool)
+        breaks[:, 1:] = p[:, 1:] != p[:, :-1]
+        assert rle[iid]["n_runs"] == int(breaks.sum())
+        assert rle[iid]["rle_bytes"] == 3 * int(breaks.sum())
+
+    # payload-emitting blur round-trips through the PNG codec
+    out = {r["image_id"]: r for r in box_blur_images(images, 2).collect()}
+    for iid, p in planes.items():
+        dec = codecs.png_decode(bytes(out[iid]["bytes"]))
+        assert (dec == _box_blur_plane(p, 2).astype(np.uint8)).all()

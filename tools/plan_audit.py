@@ -486,6 +486,58 @@ def main():
         ],
     )
 
+    # 5z. image-enhance family: one Arrow stage over the image scan,
+    # ZERO exchanges -- per-payload operators must never shuffle
+    audit(
+        "box_blur_no_shuffle",
+        qcat["box_blur"](spark, SF),
+        [
+            ("no exchange at all", lambda p: "Exchange" not in p),
+            ("single Arrow mapInPandas stage",
+             lambda p: p.count("FlatMapGroupsInPandas") == 0
+             and "MapInPandas" in p),
+            ("no sort", lambda p: "Sort" not in p),
+        ],
+    )
+
+    audit(
+        "otsu_no_shuffle",
+        qcat["otsu_threshold"](spark, SF),
+        [
+            ("no exchange at all", lambda p: "Exchange" not in p),
+            ("single Arrow mapInPandas stage",
+             lambda p: "MapInPandas" in p),
+        ],
+    )
+
+    # 5z2. vertex-table geometry: pure JVM (no Python at all), exactly
+    # one hash shuffle on the feature key
+    audit(
+        "simplify_vw_pure_jvm_single_shuffle",
+        qcat["simplify_vw"](spark, SF),
+        [
+            ("zero python stages", lambda p: "EvalPython" not in p
+             and "InPandas" not in p),
+            ("exactly one exchange",
+             lambda p: p.count("Arguments: hashpartitioning") == 1),
+            ("window + filter fused in one stage",
+             lambda p: "Window" in p),
+        ],
+    )
+
+    audit(
+        "poly_centroid_pure_jvm",
+        qcat["poly_centroid"](spark, SF),
+        [
+            ("zero python stages", lambda p: "EvalPython" not in p
+             and "InPandas" not in p),
+            ("hash aggregate (partial+final)",
+             lambda p: "HashAggregate" in p),
+            ("no cartesian product",
+             lambda p: "CartesianProduct" not in p),
+        ],
+    )
+
     # 6. mosaic merge: single hash agg pair (partial+final), no window
     audit(
         "mosaic_merge_hashagg",
