@@ -89,6 +89,16 @@ def run_bench(spark, sf_dir: str, n_images: int = 20000,
 
         timed("flagship_zonal_pixels", zonal_fn, repeats=3)
 
+        def enhance_fn():
+            from raster_tools_spark.functions import image_enhance
+
+            return image_enhance.box_blur_stats(images, 2).count()
+
+        timed("image_box_blur_full", enhance_fn, repeats=2)
+        extras["box_blur_images_per_sec"] = round(
+            n_images / timings["image_box_blur_full"], 1
+        )
+
     for name in (
         "grid_assign",
         "pip_rect",
@@ -154,6 +164,14 @@ def run_bench(spark, sf_dir: str, n_images: int = 20000,
         "bloom_semijoin",
         "grouped_quantile",
         "kmv_setops",
+        "box_blur",
+        "sobel_edges",
+        "quadtree_compress",
+        "hist_equalize",
+        "otsu_threshold",
+        "rle_stats",
+        "simplify_vw",
+        "poly_centroid",
     ):
         fn = qcat[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())

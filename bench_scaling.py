@@ -85,6 +85,17 @@ elif workload == "dedup":
 
     def run():
         return fdedup.simhash_near_dup(docs, max_hamming=3).count()
+elif workload == "enhance":
+    # image-enhance leg (axis B): PNG decode + integral-image box
+    # blur per payload -- one Arrow stage, zero shuffles; scaling is
+    # bounded only by decode/filter CPU
+    from raster_tools_spark import synth
+    from raster_tools_spark.functions import image_enhance
+
+    def run():
+        images = synth.images_df(spark, n_units, tiles_axis=256,
+                                 partitions=64)
+        return image_enhance.box_blur_stats(images, 2).count()
 else:  # heavy: mask_difference-class overlay
     import pandas as pd
 
@@ -299,12 +310,19 @@ def main():
     deff = (dhi["rows_per_sec"] / dlo["rows_per_sec"]) / (
         levels[1] / levels[0]
     )
+    elo = run_level("enhance", levels[0], n_images)
+    ehi = run_level("enhance", levels[1], n_images)
+    eeff = (ehi["rows_per_sec"] / elo["rows_per_sec"]) / (
+        levels[1] / levels[0]
+    )
     ceiling = host_ceiling(*levels)
     result = {"N": lo, "fourN": hi, "efficiency": round(eff, 3),
               "heavy_N": hlo, "heavy_fourN": hhi,
               "heavy_efficiency": round(heff, 3),
               "dedup_N": dlo, "dedup_fourN": dhi,
               "dedup_efficiency": round(deff, 3),
+              "enhance_N": elo, "enhance_fourN": ehi,
+              "enhance_efficiency": round(eeff, 3),
               "host_ceiling_eff": round(ceiling, 3), "images": n_images,
               "heavy_feats": n_feats, "dedup_docs": n_docs}
     print(json.dumps(result))
@@ -337,6 +355,9 @@ best-of-2.
 | dedup (banded SimHash) docs/sec @ N={levels[0]} cores | {dlo['rows_per_sec']} | local[{levels[0]}], {dlo['secs']} s |
 | dedup (banded SimHash) docs/sec @ 4N={levels[1]} cores | {dhi['rows_per_sec']} | local[{levels[1]}], {dhi['secs']} s |
 | dedup scaling efficiency N->4N | **{deff:.3f}** | LLM-pipeline leg (pure-JVM md5 + banded equi-join), {n_docs} docs |
+| image enhance imgs/sec @ N={levels[0]} cores | {elo['rows_per_sec']} | local[{levels[0]}], {elo['secs']} s |
+| image enhance imgs/sec @ 4N={levels[1]} cores | {ehi['rows_per_sec']} | local[{levels[1]}], {ehi['secs']} s |
+| image enhance scaling efficiency N->4N | **{eeff:.3f}** | axis-B leg (PNG decode + integral box blur, {n_images} payloads, zero shuffles) |
 | host pure-CPU ceiling ({levels[0]}->{levels[1]} procs) | {ceiling:.3f} | numpy multiprocessing calibration |
 
 Both legs sit strictly within the box's 16 physical cores, modeling

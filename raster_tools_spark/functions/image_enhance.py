@@ -291,3 +291,118 @@ def rle_stats(images: DataFrame) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         do, schema=RLE_SCHEMA
     )
+
+
+SOBEL_SCHEMA = (
+    "image_id string, edge_sum long, edge_max int, n_edge_px long"
+)
+
+
+def sobel_stats(images: DataFrame, edge_thresh: int = 200) -> DataFrame:
+    """Integer Sobel gradient magnitude (|gx| + |gy|, the L1 variant)
+    over interior pixels; per-image edge energy, peak gradient, and
+    the count of pixels above ``edge_thresh`` (an edge-density
+    quality signal for image curation).  Exact int64 arithmetic --
+    the SQL mirror recomputes both kernels with a bounded 3x3
+    neighborhood self-join."""
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples():
+                px = codecs.decode(bytes(t.bytes), t.fmt)
+                p = px.astype(np.int64)
+                gx = (
+                    p[:-2, 2:] + 2 * p[1:-1, 2:] + p[2:, 2:]
+                    - p[:-2, :-2] - 2 * p[1:-1, :-2] - p[2:, :-2]
+                )
+                gy = (
+                    p[2:, :-2] + 2 * p[2:, 1:-1] + p[2:, 2:]
+                    - p[:-2, :-2] - 2 * p[:-2, 1:-1] - p[:-2, 2:]
+                )
+                mag = np.abs(gx) + np.abs(gy)
+                rows.append(
+                    (t.image_id, int(mag.sum()), int(mag.max()),
+                     int((mag > edge_thresh).sum()))
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["image_id", "edge_sum", "edge_max",
+                             "n_edge_px"],
+                )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        do, schema=SOBEL_SCHEMA
+    )
+
+
+QUADTREE_SCHEMA = (
+    "image_id string, n_leaves long, n_singles long, comp_x1000 long"
+)
+
+
+def quadtree_stats(images: DataFrame, threshold: int = 128) -> DataFrame:
+    """Quadtree compression estimate of the thresholded bitmap
+    (reference analog: the quad-tree downsample at utils.py:38-51,
+    A2 in SURVEY §2, inverted into an adaptive-subdivision encoder).
+
+    The u8 plane is binarized at ``threshold`` and subdivided on a
+    virtual 64x64 grid (block sizes 64 down to 1, clamped to the
+    actual extent): a block is a LEAF when all covered pixels agree
+    and no ancestor was already uniform.  Returns the leaf count, the
+    single-pixel leaf count, and ``1000 * n_px // n_leaves`` (the
+    compression ratio, exact).  Deterministic integers throughout;
+    the DuckDB mirror rebuilds all seven block levels with grouped
+    min/max aggregations."""
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples():
+                px = codecs.decode(bytes(t.bytes), t.fmt)
+                b = (px >= threshold).astype(np.int64)
+                per = _quadtree_leaf_counts(b)
+                n_leaves = sum(per)
+                rows.append(
+                    (t.image_id, n_leaves, per[-1],
+                     1000 * px.size // n_leaves)
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["image_id", "n_leaves", "n_singles",
+                             "comp_x1000"],
+                )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        do, schema=QUADTREE_SCHEMA
+    )
+
+
+def _quadtree_leaf_counts(plane: np.ndarray, size: int = 64) -> list:
+    """Leaves per level 0..log2(size) of the clamped quadtree."""
+    h, w = plane.shape
+    pad_min = np.full((size, size), 1 << 20, np.int64)
+    pad_max = np.full((size, size), -1, np.int64)
+    pad_min[:h, :w] = plane
+    pad_max[:h, :w] = plane
+    levels = size.bit_length()  # 64 -> 7 levels
+    parent_uniform = None
+    per = []
+    for lvl in range(levels):
+        bs = size >> lvl
+        nb = size // bs
+        mn = pad_min.reshape(nb, bs, nb, bs).min(axis=(1, 3))
+        mx = pad_max.reshape(nb, bs, nb, bs).max(axis=(1, 3))
+        present = mx >= 0
+        uniform = present & (mn == mx)
+        if lvl == 0:
+            leaf = uniform
+            parent_uniform = uniform
+        else:
+            pu = np.repeat(np.repeat(parent_uniform, 2, 0), 2, 1)
+            leaf = uniform & ~pu & present
+            parent_uniform = uniform | pu
+        per.append(int(leaf.sum()))
+    return per

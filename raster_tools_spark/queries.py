@@ -3486,6 +3486,29 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rle_stats"] = rle_stats
 
+    def sobel_edges(spark, sf_dir):
+        """Integer Sobel |gx|+|gy| over interior pixels; per-image
+        edge energy / peak / edge-pixel count (curation quality
+        signal).  Exact vs a 3x3 neighborhood self-join oracle."""
+        from .functions import image_enhance
+
+        images = synth.linear_images_df(spark, 12, tiles_axis=16)
+        return image_enhance.sobel_stats(images, edge_thresh=200)
+
+    q["sobel_edges"] = sobel_edges
+
+    def quadtree_compress(spark, sf_dir):
+        """Adaptive quadtree subdivision of the thresholded bitmap
+        (A2's quad aggregation inverted into an encoder): leaf count,
+        single-pixel leaves, and exact compression ratio, mirrored by
+        seven levels of grouped min/max in SQL."""
+        from .functions import image_enhance
+
+        images = synth.linear_images_df(spark, 12, tiles_axis=16)
+        return image_enhance.quadtree_stats(images, threshold=128)
+
+    q["quadtree_compress"] = quadtree_compress
+
     def simplify_vw(spark, sf_dir):
         """One-pass Visvalingam-Whyatt simplification of 200 synthetic
         41-vertex polylines, pure JVM (lag/lead + filter + row_number,
@@ -3582,6 +3605,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- newest round-5 additions (image enhancement axis +
         #    pure-JVM vertex-table geometry) --
         "box_blur", "hist_equalize", "otsu_threshold", "rle_stats",
+        "sobel_edges", "quadtree_compress",
         "simplify_vw", "poly_centroid",
         # -- round-5 additions (sketches, ranking, corpus dedup,
         #    bloom join) --
@@ -6382,6 +6406,81 @@ def oracle_sql() -> Dict[str, str]:
            CAST(MAX(len) AS INTEGER) AS max_run,
            CAST(3 * COUNT(*) AS BIGINT) AS rle_bytes
     FROM agg GROUP BY image_id
+    """
+
+    o["sobel_edges"] = f"""
+    WITH {synth.linear_pixels_sql(12, 16)},
+    nb AS (
+      SELECT a.idx, a.image_id, a.i, a.j,
+             SUM(b.v
+                 * (CASE b.j - a.j WHEN 1 THEN 1 WHEN -1 THEN -1
+                    ELSE 0 END)
+                 * (CASE WHEN b.i = a.i THEN 2 ELSE 1 END)) AS gx,
+             SUM(b.v
+                 * (CASE b.i - a.i WHEN 1 THEN 1 WHEN -1 THEN -1
+                    ELSE 0 END)
+                 * (CASE WHEN b.j = a.j THEN 2 ELSE 1 END)) AS gy
+      FROM lpix a
+      JOIN limg m ON m.idx = a.idx
+      JOIN lpix b ON b.idx = a.idx
+        AND b.i BETWEEN a.i - 1 AND a.i + 1
+        AND b.j BETWEEN a.j - 1 AND a.j + 1
+      WHERE a.i BETWEEN 1 AND m.h - 2
+        AND a.j BETWEEN 1 AND m.w - 2
+      GROUP BY a.idx, a.image_id, a.i, a.j
+    )
+    SELECT image_id,
+           CAST(SUM(abs(gx) + abs(gy)) AS BIGINT) AS edge_sum,
+           CAST(MAX(abs(gx) + abs(gy)) AS INTEGER) AS edge_max,
+           COUNT(*) FILTER (abs(gx) + abs(gy) > 200) AS n_edge_px
+    FROM nb GROUP BY image_id
+    """
+
+    _qt_lvls = ",\n".join(
+        f"""lvl{_l} AS (
+      SELECT idx, i // {64 >> _l} AS bi, j // {64 >> _l} AS bj,
+             CASE WHEN MIN(v) = MAX(v) THEN 1 ELSE 0 END AS u
+      FROM bpix GROUP BY idx, i // {64 >> _l}, j // {64 >> _l}
+    )"""
+        for _l in range(7)
+    )
+    _qt_anc = (
+        "a0 AS (SELECT idx, bi, bj, u, 0 AS pab, u AS ab FROM lvl0)"
+        + "".join(
+            f""",
+    a{_l} AS (
+      SELECT c.idx, c.bi, c.bj, c.u, p.ab AS pab,
+             GREATEST(c.u, p.ab) AS ab
+      FROM lvl{_l} c JOIN a{_l - 1} p
+        ON p.idx = c.idx AND p.bi = c.bi // 2 AND p.bj = c.bj // 2
+    )"""
+            for _l in range(1, 7)
+        )
+    )
+    _qt_leaves = " UNION ALL ".join(
+        f"SELECT idx, {_l} AS lvl, COUNT(*) AS c FROM a{_l} "
+        f"WHERE u = 1 AND pab = 0 GROUP BY idx"
+        for _l in range(7)
+    )
+    o["quadtree_compress"] = f"""
+    WITH {synth.linear_pixels_sql(12, 16)},
+    bpix AS (
+      SELECT idx, i, j, CASE WHEN v >= 128 THEN 1 ELSE 0 END AS v
+      FROM lpix
+    ),
+    {_qt_lvls},
+    {_qt_anc},
+    lv AS ({_qt_leaves}),
+    tot AS (
+      SELECT idx, SUM(c) AS n_leaves,
+             COALESCE(SUM(c) FILTER (lvl = 6), 0) AS n_singles
+      FROM lv GROUP BY idx
+    )
+    SELECT m.image_id,
+           CAST(t.n_leaves AS BIGINT) AS n_leaves,
+           CAST(t.n_singles AS BIGINT) AS n_singles,
+           CAST(1000 * m.w * m.h // t.n_leaves AS BIGINT) AS comp_x1000
+    FROM tot t JOIN limg m ON m.idx = t.idx
     """
 
     o["simplify_vw"] = """
