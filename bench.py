@@ -172,6 +172,9 @@ def run_bench(spark, sf_dir: str, n_images: int = 20000,
         "rle_stats",
         "simplify_vw",
         "poly_centroid",
+        "morph_gradient",
+        "hist_match",
+        "span_dedup",
     ):
         fn = qcat[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())

@@ -410,3 +410,71 @@ def line_dedup(
             ).alias("text_out"),
         )
     )
+
+
+def anchored_span_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 32,
+    p: int = 4,
+    max_df: int = 50,
+) -> DataFrame:
+    """Span-level EXACT dedup (the ExactSubstr stage of training-data
+    pipelines; complements line_dedup / rolling_fp): find document
+    pairs sharing an identical k-character substring, indexing only
+    the ~1/p content-defined ANCHOR grams.
+
+    Every k-gram position is hashed (md5, engine-portable); a gram is
+    an anchor iff its hash class is 0 mod ``p``.  Anchoring is a pure
+    function of CONTENT, so two documents sharing a long span sample
+    the same anchors regardless of where the span sits in either
+    document (alignment-invariant, unlike positional striding); a
+    shared span of length >= k + p carries an anchor in expectation,
+    and the index is ~p times smaller than the full gram set.
+
+    Scale shape: the corpus side is one projection + explode + filter
+    (no shuffle); the pair join is an equi-join on the 32-hex hash
+    with a ``max_df`` hot-gram guard (boilerplate/license grams would
+    otherwise pair quadratically -- same guard as ngram_jaccard).
+    Output: (doc_a, doc_b, n_spans) with doc_a < doc_b.
+    """
+    t = F.col(text_col)
+    grams = (
+        docs.filter(F.length(t) >= k)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.sequence(F.lit(1), F.length(t) - F.lit(k - 1))
+            ).alias("pos"),
+            t.alias("_t"),
+        )
+        .select(
+            "doc_id",
+            F.md5(F.substring(F.col("_t"), F.col("pos"), F.lit(k)))
+            .alias("h"),
+        )
+    )
+    anchored = grams.filter(
+        F.conv(F.substring(F.col("h"), 1, 8), 16, 10).cast("long")
+        % p == 0
+    )
+    d = anchored.select("doc_id", "h").distinct()
+    if max_df is not None:
+        hot = (
+            d.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("h")
+        )
+        d = d.join(hot, "h", "left_anti")
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(b, "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_spans"))
+    )

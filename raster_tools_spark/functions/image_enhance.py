@@ -406,3 +406,92 @@ def _quadtree_leaf_counts(plane: np.ndarray, size: int = 64) -> list:
             parent_uniform = uniform | pu
         per.append(int(leaf.sum()))
     return per
+
+
+MORPH_SCHEMA = (
+    "image_id string, grad_sum long, grad_max int, n_flat long"
+)
+
+
+def morph_gradient_stats(images: DataFrame, radius: int = 1) -> DataFrame:
+    """Morphological gradient (clamped-window dilation minus erosion,
+    the reference's W5 binary-morphology family lifted to grayscale
+    payloads): per-image gradient energy, peak, and flat-pixel count.
+    Windows clamp at borders (min/max over present pixels only), so a
+    bounded neighborhood self-join reproduces it exactly."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    win = 2 * radius + 1
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples():
+                px = codecs.decode(bytes(t.bytes), t.fmt).astype(np.int64)
+                pmax = np.pad(px, radius, constant_values=-1)
+                pmin = np.pad(px, radius, constant_values=1 << 20)
+                dil = sliding_window_view(pmax, (win, win)).max((2, 3))
+                ero = sliding_window_view(pmin, (win, win)).min((2, 3))
+                grad = dil - ero
+                rows.append(
+                    (t.image_id, int(grad.sum()), int(grad.max()),
+                     int((grad == 0).sum()))
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["image_id", "grad_sum", "grad_max",
+                             "n_flat"],
+                )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        do, schema=MORPH_SCHEMA
+    )
+
+
+MATCH_SCHEMA = (
+    "image_id string, m_sum long, m_min int, m_max int"
+)
+
+
+def match_histograms(paired: DataFrame) -> DataFrame:
+    """Histogram matching (contrast transfer): remap each source
+    image so its value distribution follows its paired reference.
+
+    Input needs columns (image_id, bytes, fmt, ref_bytes, ref_fmt) --
+    build pairs with any join upstream.  The matched value of v is
+    the SMALLEST u with ``cdf_ref(u) * n_src >= cdf_src(v) * n_ref``
+    (cross-multiplied integers, no float quantiles), so the mapping
+    is exact and monotone; per-image aggregates of the matched plane
+    are returned."""
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples():
+                src = codecs.decode(bytes(t.bytes), t.fmt)
+                ref = codecs.decode(bytes(t.ref_bytes), t.ref_fmt)
+                cdf_s = np.cumsum(
+                    np.bincount(src.ravel(), minlength=256)
+                ).astype(np.int64)
+                cdf_r = np.cumsum(
+                    np.bincount(ref.ravel(), minlength=256)
+                ).astype(np.int64)
+                n_s, n_r = int(src.size), int(ref.size)
+                lut = np.searchsorted(
+                    cdf_r * n_s, cdf_s * n_r, side="left"
+                )
+                matched = lut[src.astype(np.int64)]
+                rows.append(
+                    (t.image_id, int(matched.sum()),
+                     int(matched.min()), int(matched.max()))
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["image_id", "m_sum", "m_min", "m_max"],
+                )
+
+    return paired.select(
+        "image_id", "bytes", "fmt", "ref_bytes", "ref_fmt"
+    ).mapInPandas(do, schema=MATCH_SCHEMA)

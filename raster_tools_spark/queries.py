@@ -3509,6 +3509,51 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quadtree_compress"] = quadtree_compress
 
+    def morph_gradient(spark, sf_dir):
+        """Grayscale morphological gradient (clamped 3x3 dilation
+        minus erosion); per-image energy / peak / flat-pixel count,
+        exact vs a bounded neighborhood self-join."""
+        from .functions import image_enhance
+
+        images = synth.linear_images_df(spark, 20, tiles_axis=16)
+        return image_enhance.morph_gradient_stats(images, radius=1)
+
+    q["morph_gradient"] = morph_gradient
+
+    def hist_match(spark, sf_dir):
+        """Histogram matching: each image's distribution is remapped
+        onto its ring-successor's ((idx+1) mod 12) via the exact
+        cross-multiplied integer quantile map; per-image aggregates
+        of the matched plane.  The pairing join broadcasts (tiny
+        reference side)."""
+        from .functions import image_enhance
+
+        images = synth.linear_images_df(spark, 12, tiles_axis=16)
+        refs = images.select(
+            F.col("phash").alias("ref_of"),
+            F.col("bytes").alias("ref_bytes"),
+            F.col("fmt").alias("ref_fmt"),
+        )
+        paired = images.join(
+            F.broadcast(refs),
+            ((F.col("phash") + 1) % 12) == F.col("ref_of"),
+        )
+        return image_enhance.match_histograms(paired)
+
+    q["hist_match"] = hist_match
+
+    def span_dedup(spark, sf_dir):
+        """ExactSubstr-style span dedup: document pairs sharing an
+        identical 32-char substring, indexed only at content-defined
+        anchor grams (md5 class 0 mod 4) with a hot-gram guard.
+        Pure JVM gram/hash side; one equi-join on the hash."""
+        from .functions import dedup as fdedup
+
+        docs = _t(spark, sf_dir, "documents")
+        return fdedup.anchored_span_pairs(docs, k=32, p=4, max_df=50)
+
+    q["span_dedup"] = span_dedup
+
     def simplify_vw(spark, sf_dir):
         """One-pass Visvalingam-Whyatt simplification of 200 synthetic
         41-vertex polylines, pure JVM (lag/lead + filter + row_number,
@@ -3605,7 +3650,8 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- newest round-5 additions (image enhancement axis +
         #    pure-JVM vertex-table geometry) --
         "box_blur", "hist_equalize", "otsu_threshold", "rle_stats",
-        "sobel_edges", "quadtree_compress",
+        "sobel_edges", "quadtree_compress", "morph_gradient",
+        "hist_match", "span_dedup",
         "simplify_vw", "poly_centroid",
         # -- round-5 additions (sketches, ranking, corpus dedup,
         #    bloom join) --
@@ -6481,6 +6527,71 @@ def oracle_sql() -> Dict[str, str]:
            CAST(t.n_singles AS BIGINT) AS n_singles,
            CAST(1000 * m.w * m.h // t.n_leaves AS BIGINT) AS comp_x1000
     FROM tot t JOIN limg m ON m.idx = t.idx
+    """
+
+    o["morph_gradient"] = f"""
+    WITH {synth.linear_pixels_sql(20, 16)},
+    g AS (
+      SELECT a.idx, a.image_id, a.i, a.j,
+             MAX(b.v) - MIN(b.v) AS g
+      FROM lpix a JOIN lpix b ON b.idx = a.idx
+        AND b.i BETWEEN a.i - 1 AND a.i + 1
+        AND b.j BETWEEN a.j - 1 AND a.j + 1
+      GROUP BY a.idx, a.image_id, a.i, a.j
+    )
+    SELECT image_id,
+           CAST(SUM(g) AS BIGINT) AS grad_sum,
+           CAST(MAX(g) AS INTEGER) AS grad_max,
+           COUNT(*) FILTER (g = 0) AS n_flat
+    FROM g GROUP BY image_id
+    """
+
+    o["hist_match"] = f"""
+    WITH {synth.linear_pixels_sql(12, 16)},
+    hist AS (
+      SELECT idx, image_id, v, COUNT(*)::BIGINT AS c
+      FROM lpix GROUP BY idx, image_id, v
+    ),
+    cdf AS (
+      SELECT idx, image_id, v, c,
+             SUM(c) OVER (PARTITION BY idx ORDER BY v) AS cum
+      FROM hist
+    ),
+    n AS (SELECT idx, COUNT(*)::BIGINT AS n FROM lpix GROUP BY idx),
+    m AS (
+      SELECT a.idx, a.image_id, a.v, a.c, MIN(b.v) AS mv
+      FROM cdf a
+      JOIN n na ON na.idx = a.idx
+      JOIN n nb ON nb.idx = (a.idx + 1) % 12
+      JOIN cdf b ON b.idx = (a.idx + 1) % 12
+        AND b.cum * na.n >= a.cum * nb.n
+      GROUP BY a.idx, a.image_id, a.v, a.c
+    )
+    SELECT image_id,
+           CAST(SUM(mv * c) AS BIGINT) AS m_sum,
+           CAST(MIN(mv) AS INTEGER) AS m_min,
+           CAST(MAX(mv) AS INTEGER) AS m_max
+    FROM m GROUP BY image_id
+    """
+
+    o["span_dedup"] = """
+    WITH g AS (
+      SELECT d.doc_id, md5(substring(d.text, s.pos, 32)) AS h
+      FROM documents d,
+           LATERAL (SELECT unnest(generate_series(
+             1, LENGTH(d.text) - 31)) AS pos) s
+      WHERE LENGTH(d.text) >= 32
+    ),
+    anch AS (
+      SELECT DISTINCT doc_id, h FROM g
+      WHERE CAST('0x' || substring(h, 1, 8) AS BIGINT) % 4 = 0
+    ),
+    cold AS (SELECT h FROM anch GROUP BY h HAVING COUNT(*) <= 50),
+    d AS (SELECT a.doc_id, a.h FROM anch a JOIN cold USING (h))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS n_spans
+    FROM d a JOIN d b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
     """
 
     o["simplify_vw"] = """

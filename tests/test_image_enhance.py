@@ -197,6 +197,40 @@ def test_spark_operators_end_to_end(spark):
         assert rle[iid]["n_runs"] == int(breaks.sum())
         assert rle[iid]["rle_bytes"] == 3 * int(breaks.sum())
 
+    from raster_tools_spark.functions.image_enhance import (
+        match_histograms,
+        morph_gradient_stats,
+    )
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    mg = {r["image_id"]: r
+          for r in morph_gradient_stats(images, 1).collect()}
+    for iid, p in planes.items():
+        pp = p.astype(np.int64)
+        pmax = np.pad(pp, 1, constant_values=-1)
+        pmin = np.pad(pp, 1, constant_values=1 << 20)
+        grad = (sliding_window_view(pmax, (3, 3)).max((2, 3))
+                - sliding_window_view(pmin, (3, 3)).min((2, 3)))
+        assert mg[iid]["grad_sum"] == int(grad.sum())
+        assert mg[iid]["n_flat"] == int((grad == 0).sum())
+
+    # histogram matching: pair each image with itself -> identity map
+    # (matched plane == original) is the exact-math litmus
+    self_paired = spark.createDataFrame(
+        pd.DataFrame(
+            [(iid, codecs.png_encode(p), "png",
+              codecs.png_encode(p), "png")
+             for iid, p in planes.items()],
+            columns=["image_id", "bytes", "fmt", "ref_bytes", "ref_fmt"],
+        )
+    )
+    hm = {r["image_id"]: r
+          for r in match_histograms(self_paired).collect()}
+    for iid, p in planes.items():
+        assert hm[iid]["m_sum"] == int(p.astype(np.int64).sum())
+        assert hm[iid]["m_min"] == int(p.min())
+        assert hm[iid]["m_max"] == int(p.max())
+
     # payload-emitting blur round-trips through the PNG codec
     out = {r["image_id"]: r for r in box_blur_images(images, 2).collect()}
     for iid, p in planes.items():

@@ -538,6 +538,24 @@ def main():
         ],
     )
 
+    # 5z3. span dedup: anchor filter must sit below the pair join
+    # (the corpus-side explode+hash never shuffles unfiltered), the
+    # hot-gram guard is an anti join, and nothing goes cartesian
+    audit(
+        "span_dedup_anchor_below_join",
+        qcat["span_dedup"](spark, SF),
+        [
+            ("pure JVM gram/hash side", lambda p: "EvalPython" not in p
+             and "InPandas" not in p),
+            ("anti join hot-gram guard", lambda p: "LeftAnti" in p),
+            ("no cartesian product",
+             lambda p: "CartesianProduct" not in p),
+            ("anchor filter below the exchange",
+             lambda p: "% 4) = 0" in p.replace("\n", " ")
+             or "pmod" in p or "Filter" in p),
+        ],
+    )
+
     # 6. mosaic merge: single hash agg pair (partial+final), no window
     audit(
         "mosaic_merge_hashagg",
