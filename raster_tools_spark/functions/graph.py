@@ -153,3 +153,77 @@ def dedup_clusters(
         F.col("comp").alias("cluster"),
         (F.col("node") == F.col("comp")).alias("is_representative"),
     )
+
+
+def pagerank_fixed(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 3,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank in EXACT integer arithmetic.
+
+    Iterative algorithms are normally impossible to oracle-check
+    bit-for-bit because float summation order varies per engine; this
+    implementation keeps every rank as an integer NUMERATOR over the
+    common denominator ``N * (40 * outdeg)^k`` (damping 17/20, so one
+    step multiplies the denominator by 40*outdeg), making the result
+    a pure integer recurrence: any engine that sums the same int64
+    values gets the same bits.  Requires a CONSTANT out-degree graph
+    (asserted); general graphs fall back to per-node degree scaling,
+    which reintroduces rationals -- out of scope here.
+
+    Returns (node, pr_num long, pr double) after ``iterations``
+    damped steps from the uniform start; ``pr = pr_num /
+    (N * (40*outdeg)^k)``, a single exact-int-to-IEEE conversion.
+
+    Scale shape: each step is one shuffle (join on src + aggregate on
+    dst); the node side stays partitioned by node id across steps.
+    int64 bound: numerators stay <= denominator = N*(40*outdeg)^k,
+    so k=3, outdeg<=3 is safe for N up to ~5e12 nodes.
+    """
+    n = nodes.count()
+    outdeg_rows = (
+        edges.groupBy(src_col).count().select("count").distinct().collect()
+    )
+    assert len(outdeg_rows) == 1, "pagerank_fixed needs constant out-degree"
+    outdeg = outdeg_rows[0]["count"]
+    step = 40 * outdeg
+
+    ranks = nodes.select(
+        F.col(node_col).alias("node"), F.lit(1).cast("long").alias("num")
+    )
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    base = 1  # (40*outdeg)^k
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum("num").alias("in_num"))
+        )
+        # teleport term (1-d)/N = 3/(20N) over the new denominator
+        # N*(40*outdeg)^(k+1) is 6*outdeg*base; link term is
+        # d * sum(pr_j)/outdeg = 17 * 2 * sum(num_j) over the same
+        teleport = 6 * outdeg * base
+        ranks = (
+            nodes.select(F.col(node_col).alias("node"))
+            .join(contrib, F.col("node") == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(34) * F.coalesce(F.col("in_num"), F.lit(0))
+                ).cast("long").alias("num"),
+            )
+        )
+        base *= step
+    denom = float(n) * float(base)
+    return ranks.select(
+        "node",
+        F.col("num").alias("pr_num"),
+        (F.col("num").cast("double") / F.lit(denom)).alias("pr"),
+    )

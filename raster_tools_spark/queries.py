@@ -3554,6 +3554,30 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["span_dedup"] = span_dedup
 
+    def pagerank(spark, sf_dir):
+        """Fixed-3-iteration PageRank on a deterministic out-degree-2
+        functional graph (2000 nodes), kept ORACLE-HARD by running
+        the recurrence in exact integer numerators over the common
+        denominator N*(80)^k -- the first iterative-algorithm row
+        whose VALUES (not just row counts) are bit-checked."""
+        from .functions import graph as fgraph
+
+        n = 2000
+        nodes = spark.range(n).select(F.col("id").alias("node"))
+        e1 = nodes.select(
+            F.col("node").alias("src"),
+            ((F.col("node") * 7 + 3) % n).alias("dst"),
+        )
+        e2 = nodes.select(
+            F.col("node").alias("src"),
+            ((F.col("node") * 13 + 5) % n).alias("dst"),
+        )
+        return fgraph.pagerank_fixed(
+            nodes, e1.unionByName(e2), iterations=3
+        )
+
+    q["pagerank"] = pagerank
+
     def simplify_vw(spark, sf_dir):
         """One-pass Visvalingam-Whyatt simplification of 200 synthetic
         41-vertex polylines, pure JVM (lag/lead + filter + row_number,
@@ -3651,7 +3675,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    pure-JVM vertex-table geometry) --
         "box_blur", "hist_equalize", "otsu_threshold", "rle_stats",
         "sobel_edges", "quadtree_compress", "morph_gradient",
-        "hist_match", "span_dedup",
+        "hist_match", "span_dedup", "pagerank",
         "simplify_vw", "poly_centroid",
         # -- round-5 additions (sketches, ranking, corpus dedup,
         #    bloom join) --
@@ -6592,6 +6616,45 @@ def oracle_sql() -> Dict[str, str]:
            COUNT(*) AS n_spans
     FROM d a JOIN d b ON a.h = b.h AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
+    """
+
+    o["pagerank"] = f"""
+    WITH nodes AS (
+      SELECT unnest(generate_series(0, 1999)) AS node
+    ),
+    e AS (
+      SELECT node AS src, (node*7 + 3) % 2000 AS dst FROM nodes
+      UNION ALL
+      SELECT node AS src, (node*13 + 5) % 2000 AS dst FROM nodes
+    ),
+    r0 AS (SELECT node, 1::BIGINT AS num FROM nodes),
+    r1 AS (
+      SELECT n.node,
+             (12 + 34*COALESCE(SUM(r.num), 0))::BIGINT AS num
+      FROM nodes n
+      LEFT JOIN e ON e.dst = n.node
+      LEFT JOIN r0 r ON r.node = e.src
+      GROUP BY n.node
+    ),
+    r2 AS (
+      SELECT n.node,
+             (960 + 34*COALESCE(SUM(r.num), 0))::BIGINT AS num
+      FROM nodes n
+      LEFT JOIN e ON e.dst = n.node
+      LEFT JOIN r1 r ON r.node = e.src
+      GROUP BY n.node
+    ),
+    r3 AS (
+      SELECT n.node,
+             (76800 + 34*COALESCE(SUM(r.num), 0))::BIGINT AS num
+      FROM nodes n
+      LEFT JOIN e ON e.dst = n.node
+      LEFT JOIN r2 r ON r.node = e.src
+      GROUP BY n.node
+    )
+    SELECT node, num AS pr_num,
+           CAST(num AS DOUBLE) / {2000.0 * 512000.0!r} AS pr
+    FROM r3
     """
 
     o["simplify_vw"] = """
