@@ -474,3 +474,28 @@ def bm25_scores(
         )
         .filter(F.col("score") > 0.0)
     )
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus text normalization (the cleanup stage every training
+    pipeline runs before dedup): lowercase, strip non-printable-ASCII
+    bytes, collapse whitespace runs, trim.  Pure JVM regex in the
+    Java/RE2-common dialect (same portability contract as
+    redact_pii), zero shuffles; ``clean_fp`` (md5 of the normalized
+    text) is the downstream exact-dedup key.
+
+    Returns (doc_id, clean_text, n_chars_clean, clean_fp).
+    """
+    t = F.lower(F.col(text_col))
+    # whitespace chars -> plain space FIRST (so tabs/newlines act as
+    # separators instead of being dropped by the printable filter),
+    # then strip non-printables, then collapse the surviving spaces
+    t = F.regexp_replace(t, r"\s", " ")
+    t = F.regexp_replace(t, r"[^\x20-\x7e]+", "")
+    t = F.trim(F.regexp_replace(t, r" +", " "))
+    return docs.select(
+        "doc_id",
+        t.alias("clean_text"),
+        F.length(t).alias("n_chars_clean"),
+        F.md5(t).alias("clean_fp"),
+    )

@@ -3578,6 +3578,17 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pagerank"] = pagerank
 
+    def text_clean(spark, sf_dir):
+        """Corpus normalization: lowercase, whitespace-to-space,
+        printable-ASCII filter, space collapse + trim; md5 of the
+        normalized text is the downstream dedup key.  Pure JVM regex
+        (Java/RE2-common dialect), zero shuffles."""
+        from .functions import text as ftext
+
+        return ftext.normalize_text(_t(spark, sf_dir, "documents"))
+
+    q["text_clean"] = text_clean
+
     def simplify_vw(spark, sf_dir):
         """One-pass Visvalingam-Whyatt simplification of 200 synthetic
         41-vertex polylines, pure JVM (lag/lead + filter + row_number,
@@ -3675,7 +3686,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    pure-JVM vertex-table geometry) --
         "box_blur", "hist_equalize", "otsu_threshold", "rle_stats",
         "sobel_edges", "quadtree_compress", "morph_gradient",
-        "hist_match", "span_dedup", "pagerank",
+        "hist_match", "span_dedup", "pagerank", "text_clean",
         "simplify_vw", "poly_centroid",
         # -- round-5 additions (sketches, ranking, corpus dedup,
         #    bloom join) --
@@ -6655,6 +6666,26 @@ def oracle_sql() -> Dict[str, str]:
     SELECT node, num AS pr_num,
            CAST(num AS DOUBLE) / {2000.0 * 512000.0!r} AS pr
     FROM r3
+    """
+
+    o["text_clean"] = r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(lower(text), '\s', ' ', 'g'),
+               '[^\x20-\x7e]+', '', 'g'),
+             ' +', ' ', 'g')) AS clean_text,
+           LENGTH(trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(lower(text), '\s', ' ', 'g'),
+               '[^\x20-\x7e]+', '', 'g'),
+             ' +', ' ', 'g'))) AS n_chars_clean,
+           md5(trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(lower(text), '\s', ' ', 'g'),
+               '[^\x20-\x7e]+', '', 'g'),
+             ' +', ' ', 'g'))) AS clean_fp
+    FROM documents
     """
 
     o["simplify_vw"] = """

@@ -57,3 +57,22 @@ def test_hot_gram_guard_suppresses_boilerplate(spark):
 def test_short_docs_are_skipped(spark):
     rows = [(1, "tiny"), (2, "also tiny"), (3, "x" * 31)]
     assert anchored_span_pairs(_docs_df(spark, rows)).count() == 0
+
+
+def test_normalize_text_golden(spark):
+    from raster_tools_spark.functions.text import normalize_text
+
+    rows = [
+        (1, "  HeLLo\tWoRld  "),
+        (2, "tab\tand\nnewline"),
+        (3, "a  b   c"),
+        (4, "ümläut mix ok"),
+    ]
+    out = {r["doc_id"]: r for r in normalize_text(
+        _docs_df(spark, rows)).collect()}
+    assert out[1]["clean_text"] == "hello world"
+    assert out[2]["clean_text"] == "tab and newline"
+    assert out[3]["clean_text"] == "a b c"
+    # non-ASCII chars drop, leaving the printable skeleton
+    assert out[4]["clean_text"] == "mlut mix ok"
+    assert out[4]["n_chars_clean"] == len("mlut mix ok")

@@ -39,8 +39,14 @@ def value_hash(pdf: pd.DataFrame) -> str:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    record = None
+    if "--record" in argv:
+        i = argv.index("--record")
+        record = argv[i + 1]
+        del argv[i: i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
     from raster_tools_spark.session import get_spark
@@ -55,6 +61,7 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    results = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -67,6 +74,7 @@ def main():
         if name not in oracles:
             print(f"{name:24s} rows-only: {len(got)} rows "
                   f"cols={list(got.columns)}")
+            results[name] = {"status": "rows-only", "rows": len(got)}
             if len(got) == 0 and name != "pip_polygon":
                 failures.append(name)
             continue
@@ -84,12 +92,32 @@ def main():
             f"{name:24s} {status}  rows {len(got)}/{len(exp)} "
             f"cols_match={ok_cols} hash_match={ok_hash}"
         )
+        results[name] = {
+            "status": status, "rows": len(got), "oracle_rows": len(exp),
+            "cols_match": ok_cols, "hash_match": ok_hash,
+        }
         if status == "FAIL":
             failures.append(name)
             if not ok_cols:
                 print(f"  spark cols: {sorted(got.columns)}")
                 print(f"  duck  cols: {sorted(exp.columns)}")
     spark.stop()
+    if record:
+        import json
+        n_hard = sum(1 for v in results.values()
+                     if v.get("hash_match"))
+        n_rows_only = sum(1 for v in results.values()
+                          if v["status"] == "rows-only")
+        with open(record, "w") as f:
+            json.dump({
+                "note": f"full-registry correctness sweep at {sf_dir} "
+                        "via tools/check_oracles.py",
+                "oracle_hard_green": n_hard,
+                "rows_only": n_rows_only,
+                "failures": failures,
+                "queries": results,
+            }, f, indent=1)
+        print(f"recorded {record}")
     if failures:
         print("FAILURES:", failures)
         sys.exit(1)
