@@ -312,3 +312,21 @@ def zevenbergen_thorne(
 
 def hillshade_kernel(padded: np.ndarray) -> np.ndarray:
     return zevenbergen_thorne(padded)
+
+
+def aspect_octant_kernel(padded: np.ndarray) -> np.ndarray:
+    """8-way aspect (slope-direction) classification from the same
+    ZT gradient pair the hillshade uses (reference hillshade.py:23-48
+    conventions): octant code = 4*[gx>0] + 2*[gy>0] + [|gx|>|gy|],
+    class 8 for flat cells.  Pure sign/magnitude comparisons on the
+    dyadic-exact gradients, so a SQL twin classifying the closed-form
+    gradient values agrees bit-for-bit."""
+    gx, gy = _zt_gradients(padded.astype(np.float64), 0.5, 0.5)
+    code = (
+        (gx > 0).astype(np.uint8) * 4
+        + (gy > 0).astype(np.uint8) * 2
+        + (np.abs(gx) > np.abs(gy)).astype(np.uint8)
+    )
+    flat = (gx == 0) & (gy == 0)
+    code[flat] = 8
+    return code

@@ -3589,6 +3589,49 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_clean"] = text_clean
 
+    def aspect_class(spark, sf_dir):
+        """8-way aspect octant classification of the f4 DEM planes
+        through the SAME halo exchange the hillshade oracle proves
+        per pixel; per-tile class histogram.  The octant is decided
+        by sign/magnitude comparisons on dyadic-exact gradients, so
+        the closed-form SQL twin classifies identically."""
+        from .operators import focal
+
+        images = synth.linear_f4_images_df(spark, 100, tiles_axis=16)
+        images = images.filter((F.col("w") == 64) & (F.col("h") == 64))
+        tiles = images.selectExpr(
+            "(CAST(10 AS BIGINT) << 56)"
+            " | (CAST((phash DIV 15) % 4 AS BIGINT) << 28)"
+            " | CAST((phash DIV 15) DIV 4 AS BIGINT) AS cell_id",
+            "bytes", "fmt",
+        )
+        out = focal.halo_stencil(
+            tiles, focal.aspect_octant_kernel, margin=1, tile_px=64
+        )
+
+        def counts(batches):
+            for pdf in batches:
+                rows = []
+                for t in pdf.itertuples():
+                    px = codecs_mod.decode(bytes(t.bytes), t.fmt)
+                    bc = np.bincount(px.ravel(), minlength=9)
+                    for c in range(9):
+                        if bc[c]:
+                            rows.append(
+                                (_cell_hi(t.cell_id),
+                                 _cell_lo(t.cell_id), c, int(bc[c]))
+                            )
+                if rows:
+                    yield pd.DataFrame(
+                        rows, columns=["ix", "iy", "cls", "n"]
+                    )
+
+        return out.mapInPandas(
+            counts, schema="ix int, iy int, cls int, n long"
+        )
+
+    q["aspect_class"] = aspect_class
+
     def simplify_vw(spark, sf_dir):
         """One-pass Visvalingam-Whyatt simplification of 200 synthetic
         41-vertex polylines, pure JVM (lag/lead + filter + row_number,
@@ -3687,6 +3730,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "box_blur", "hist_equalize", "otsu_threshold", "rle_stats",
         "sobel_edges", "quadtree_compress", "morph_gradient",
         "hist_match", "span_dedup", "pagerank", "text_clean",
+        "aspect_class",
         "simplify_vw", "poly_centroid",
         # -- round-5 additions (sketches, ranking, corpus dedup,
         #    bloom join) --
@@ -6627,6 +6671,68 @@ def oracle_sql() -> Dict[str, str]:
            COUNT(*) AS n_spans
     FROM d a JOIN d b ON a.h = b.h AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
+    """
+
+    o["aspect_class"] = """
+    WITH htiles AS (
+      SELECT g.t, CAST(g.t % 4 AS INT) AS ix,
+             CAST(g.t // 4 AS INT) AS iy,
+             ((g.t * 15) * 37) % 199 AS seed
+      FROM (SELECT unnest(generate_series(0, 6)) AS t) g
+    ),
+    nbrs AS (
+      SELECT c.ix, c.iy, c.seed,
+             n.seed AS seed_n, s.seed AS seed_s,
+             w.seed AS seed_w, e.seed AS seed_e
+      FROM htiles c
+      LEFT JOIN htiles n ON n.ix = c.ix AND n.iy = c.iy - 1
+      LEFT JOIN htiles s ON s.ix = c.ix AND s.iy = c.iy + 1
+      LEFT JOIN htiles w ON w.ix = c.ix - 1 AND w.iy = c.iy
+      LEFT JOIN htiles e ON e.ix = c.ix + 1 AND e.iy = c.iy
+    ),
+    hpx AS (
+      SELECT ix, iy, seed, seed_n, seed_s, seed_w, seed_e,
+             CAST(gi.i AS INT) AS i, CAST(gj.j AS INT) AS j
+      FROM nbrs,
+           LATERAL (SELECT unnest(generate_series(0, 63)) AS i) gi,
+           LATERAL (SELECT unnest(generate_series(0, 63)) AS j) gj
+    ),
+    grad AS (
+      SELECT ix, iy, i, j,
+        CAST(CASE
+          WHEN i = 0 AND seed_n IS NOT NULL THEN
+            ((3.0*seed + 0.5 + 0.25*j)
+             - (3.0*seed_n + 31.5 + 0.25*j)) / 2.0
+          WHEN i = 0 THEN 0.25
+          WHEN i = 63 AND seed_s IS NOT NULL THEN
+            ((3.0*seed_s + 0.25*j)
+             - (3.0*seed + 31.0 + 0.25*j)) / 2.0
+          WHEN i = 63 THEN 0.25
+          ELSE 0.5 END AS DOUBLE) AS gy_raw,
+        CAST(CASE
+          WHEN j = 0 AND seed_w IS NOT NULL THEN
+            ((3.0*seed + 0.25 + 0.5*i)
+             - (3.0*seed_w + 15.75 + 0.5*i)) / 2.0
+          WHEN j = 0 THEN 0.125
+          WHEN j = 63 AND seed_e IS NOT NULL THEN
+            ((3.0*seed_e + 0.5*i)
+             - (3.0*seed + 15.5 + 0.5*i)) / 2.0
+          WHEN j = 63 THEN 0.125
+          ELSE 0.25 END AS DOUBLE) AS gx_raw
+      FROM hpx
+    ),
+    sel AS (
+      SELECT ix, iy,
+        CASE WHEN gx_raw * -4.0 = 0 AND gy_raw * 4.0 = 0 THEN 8
+             ELSE (CASE WHEN gx_raw * -4.0 > 0 THEN 4 ELSE 0 END
+                 + CASE WHEN gy_raw * 4.0 > 0 THEN 2 ELSE 0 END
+                 + CASE WHEN abs(gx_raw * -4.0) > abs(gy_raw * 4.0)
+                        THEN 1 ELSE 0 END)
+        END AS cls
+      FROM grad
+    )
+    SELECT ix, iy, CAST(cls AS INTEGER) AS cls, COUNT(*) AS n
+    FROM sel GROUP BY ix, iy, cls
     """
 
     o["pagerank"] = f"""

@@ -83,3 +83,20 @@ def test_hillshade_golden_values():
     xs = np.tile(np.arange(8, dtype=np.uint8) * 10, (8, 1))
     sloped = focal.zevenbergen_thorne(xs[:, ::-1])
     assert sloped[4, 4] != out[4, 4]
+
+
+def test_aspect_octant_kernel_ramps():
+    import numpy as np
+
+    from raster_tools_spark.operators.focal import aspect_octant_kernel
+
+    # east-ascending ramp: gradient purely in x -> one non-flat octant
+    ramp = np.tile(np.arange(8.0), (8, 1))
+    cls = aspect_octant_kernel(ramp)
+    inner = cls[1:-1, 1:-1]
+    assert len(np.unique(inner)) == 1 and inner[0, 0] != 8
+    # flat plane -> class 8 everywhere
+    assert (aspect_octant_kernel(np.full((6, 6), 3.0)) == 8).all()
+    # transposing the ramp flips the |gx|>|gy| bit and the axis bits
+    cls_t = aspect_octant_kernel(ramp.T)
+    assert cls_t[2, 2] != cls[2, 2]
