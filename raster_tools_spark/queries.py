@@ -3632,6 +3632,28 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["aspect_class"] = aspect_class
 
+    def streaming_image_stats(spark, sf_dir):
+        """REAL Structured Streaming run over image payloads: the 12
+        deterministic PNGs are staged to a file source (kafka-shaped
+        in production), streamed 2 files per trigger through the
+        stateless Arrow box-blur stage, and drained into a memory
+        sink -- then hash-checked against the SAME SQL mirror as the
+        batch box_blur row.  Streaming x image axis, oracle-hard."""
+        import os
+
+        from .streaming import image_stream as sim
+
+        path = "/tmp/rts_stream_images_12"
+        if not os.path.isdir(path):
+            synth.linear_images_df(spark, 12, tiles_axis=16).select(
+                "image_id", "bytes", "w", "h", "fmt"
+            ).repartition(6).write.mode("overwrite").parquet(path)
+        return sim.run_image_stats_to_memory(
+            spark, path, query_name="q_streaming_image_stats"
+        )
+
+    q["streaming_image_stats"] = streaming_image_stats
+
     def simplify_vw(spark, sf_dir):
         """One-pass Visvalingam-Whyatt simplification of 200 synthetic
         41-vertex polylines, pure JVM (lag/lead + filter + row_number,
@@ -3730,7 +3752,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "box_blur", "hist_equalize", "otsu_threshold", "rle_stats",
         "sobel_edges", "quadtree_compress", "morph_gradient",
         "hist_match", "span_dedup", "pagerank", "text_clean",
-        "aspect_class",
+        "aspect_class", "streaming_image_stats",
         "simplify_vw", "poly_centroid",
         # -- round-5 additions (sketches, ranking, corpus dedup,
         #    bloom join) --
@@ -6793,6 +6815,8 @@ def oracle_sql() -> Dict[str, str]:
              ' +', ' ', 'g'))) AS clean_fp
     FROM documents
     """
+
+    o["streaming_image_stats"] = o["box_blur"]
 
     o["simplify_vw"] = """
     WITH verts AS (
