@@ -175,6 +175,14 @@ def run_bench(spark, sf_dir: str, n_images: int = 20000,
         "morph_gradient",
         "hist_match",
         "span_dedup",
+        "pagerank",
+        "text_clean",
+        "aspect_class",
+        "streaming_image_stats",
+        "interval_union",
+        "contrast_stretch",
+        "funnel",
+        "priority_sample",
     ):
         fn = qcat[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())

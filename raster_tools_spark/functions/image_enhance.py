@@ -495,3 +495,48 @@ def match_histograms(paired: DataFrame) -> DataFrame:
     return paired.select(
         "image_id", "bytes", "fmt", "ref_bytes", "ref_fmt"
     ).mapInPandas(do, schema=MATCH_SCHEMA)
+
+
+STRETCH_SCHEMA = (
+    "image_id string, st_sum long, st_min int, st_max int, n_sat long"
+)
+
+
+def contrast_stretch_stats(
+    images: DataFrame, lo_pct: int = 2, hi_pct: int = 98
+) -> DataFrame:
+    """Percentile contrast stretch (the 2-98% linear stretch of
+    remote-sensing viewers), integer-exact: the cut points are the
+    smallest values whose CDF crosses ceil(pct*n/100) (integer
+    cross-multiplication, no float quantiles), and the remap clamps
+    BEFORE scaling so no negative division is involved (DuckDB //
+    truncates toward zero while numpy floors -- avoided entirely).
+    Returns per-image aggregates plus the saturated-pixel count."""
+    assert 0 < lo_pct < hi_pct < 100
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples():
+                px = codecs.decode(bytes(t.bytes), t.fmt).astype(np.int64)
+                cdf = np.cumsum(np.bincount(px.ravel(), minlength=256))
+                n = px.size
+                p_lo = int(np.argmax(cdf * 100 >= lo_pct * n))
+                p_hi = int(np.argmax(cdf * 100 >= hi_pct * n))
+                den = max(p_hi - p_lo, 1)
+                st = (np.clip(px, p_lo, p_hi) - p_lo) * 255 // den
+                rows.append(
+                    (t.image_id, int(st.sum()), int(st.min()),
+                     int(st.max()),
+                     int(((st == 0) | (st == 255)).sum()))
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["image_id", "st_sum", "st_min", "st_max",
+                             "n_sat"],
+                )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        do, schema=STRETCH_SCHEMA
+    )

@@ -210,3 +210,52 @@ def asof_join_bucketed(
         )
         .drop("_v")
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    stages: tuple = ("view", "click", "purchase"),
+    budget_minutes: int = 1440,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel conversion: how many users perform each stage
+    STRICTLY AFTER their previous stage's first qualifying event and
+    within ``budget_minutes`` of it (the product-analytics funnel,
+    built from first-occurrence semantics so it is deterministic and
+    SQL-mirrorable -- no per-row path state).
+
+    Scale shape: stage k is one filtered aggregation producing at
+    most one row per user; each subsequent stage joins that (tiny,
+    auto-broadcast) frontier against the filtered event stream --
+    the 100-TB event side is never shuffled, only scanned with a
+    pushed-down type filter per stage.
+
+    Returns ONE row: (n_<stage1>, n_<stage2>, ...).
+    """
+    u, ts = F.col(user_col), F.col(ts_col)
+    frontier = (
+        events.filter(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t"))
+    )
+    counts = [frontier.count()]
+    for stage in stages[1:]:
+        nxt = (
+            events.filter(F.col(type_col) == stage)
+            .join(F.broadcast(frontier), user_col)
+            .filter(
+                (ts > F.col("_t"))
+                & (ts <= F.col("_t")
+                   + F.expr(f"INTERVAL {budget_minutes} MINUTES"))
+            )
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("_t"))
+        )
+        frontier = nxt
+        counts.append(frontier.count())
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        [tuple(counts)], schema=", ".join(f"n_{s} long" for s in stages)
+    )

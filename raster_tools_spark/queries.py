@@ -3654,6 +3654,71 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_image_stats"] = streaming_image_stats
 
+    def interval_union(spark, sf_dir):
+        """Interval SET arithmetic (gaps-and-islands): merge
+        overlapping [ts, ts + (event_id%7+1)*2min) windows per
+        event_type; island count / covered time / longest island /
+        max merge factor.  Pure JVM single-shuffle window plan."""
+        from .functions import intervals as fint
+
+        iv = _t(spark, sf_dir, "events").select(
+            F.col("event_type"),
+            F.unix_micros(F.col("ts")).alias("s"),
+            (
+                F.unix_micros(F.col("ts"))
+                + (F.col("event_id") % 7 + 1) * 120000000
+            ).alias("e"),
+        )
+        return fint.interval_union(iv, "event_type", "s", "e")
+
+    q["interval_union"] = interval_union
+
+    def contrast_stretch(spark, sf_dir):
+        """2-98% percentile linear stretch; integer cut points via
+        CDF cross-multiplication, clamp-before-scale so no negative
+        division exists to disagree on (DuckDB truncates, numpy
+        floors).  Per-image aggregates + saturated-pixel count."""
+        from .functions import image_enhance
+
+        images = synth.linear_images_df(spark, 40, tiles_axis=16)
+        return image_enhance.contrast_stretch_stats(images, 2, 98)
+
+    q["contrast_stretch"] = contrast_stretch
+
+    def funnel(spark, sf_dir):
+        """Ordered view->click->purchase funnel with a 24h budget per
+        hop, first-occurrence semantics; the 100-TB event side is
+        only scanned (type filter pushed down), each frontier is a
+        broadcast.  One summary row."""
+        from .functions import temporal as ftemp
+
+        return ftemp.funnel_counts(
+            _t(spark, sf_dir, "events"),
+            stages=("view", "click", "purchase"),
+            budget_minutes=1440,
+        )
+
+    q["funnel"] = funnel
+
+    def priority_sample(spark, sf_dir):
+        """Deterministic uniform k-per-group sample without
+        replacement: top-3 docs per lang by md5 priority (salted),
+        reproducible by any engine with md5 -- the corpus sampling
+        primitive that needs no RNG state.  Single window shuffle."""
+        w = Window.partitionBy("lang").orderBy(
+            F.md5(F.concat(F.lit("ps1"),
+                           F.col("doc_id").cast("string"))).desc(),
+            F.col("doc_id"),
+        )
+        return (
+            _t(spark, sf_dir, "documents")
+            .select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") <= 3)
+            .select("doc_id", "lang", F.col("rn").cast("long").alias("rn"))
+        )
+
+    q["priority_sample"] = priority_sample
+
     def simplify_vw(spark, sf_dir):
         """One-pass Visvalingam-Whyatt simplification of 200 synthetic
         41-vertex polylines, pure JVM (lag/lead + filter + row_number,
@@ -3752,7 +3817,8 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "box_blur", "hist_equalize", "otsu_threshold", "rle_stats",
         "sobel_edges", "quadtree_compress", "morph_gradient",
         "hist_match", "span_dedup", "pagerank", "text_clean",
-        "aspect_class", "streaming_image_stats",
+        "aspect_class", "streaming_image_stats", "interval_union",
+        "contrast_stretch", "funnel", "priority_sample",
         "simplify_vw", "poly_centroid",
         # -- round-5 additions (sketches, ranking, corpus dedup,
         #    bloom join) --
@@ -6817,6 +6883,107 @@ def oracle_sql() -> Dict[str, str]:
     """
 
     o["streaming_image_stats"] = o["box_blur"]
+
+    o["interval_union"] = """
+    WITH iv AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS s,
+             CAST(epoch_us(ts) AS BIGINT)
+               + (event_id % 7 + 1) * 120000000 AS e
+      FROM events
+    ),
+    marked AS (
+      SELECT event_type, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                  PARTITION BY event_type ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -4611686018427387904) THEN 1 ELSE 0 END AS brk
+      FROM iv
+    ),
+    isl AS (
+      SELECT event_type, s, e,
+             SUM(brk) OVER (PARTITION BY event_type ORDER BY s, e
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked
+    ),
+    agg AS (
+      SELECT event_type, island,
+             MIN(s) AS is_, MAX(e) AS ie, COUNT(*)::BIGINT AS n
+      FROM isl GROUP BY event_type, island
+    )
+    SELECT event_type, COUNT(*) AS n_islands,
+           CAST(SUM(ie - is_) AS BIGINT) AS covered,
+           CAST(MAX(ie - is_) AS BIGINT) AS longest,
+           CAST(MAX(n) AS BIGINT) AS max_merged
+    FROM agg GROUP BY event_type
+    """
+
+    o["contrast_stretch"] = f"""
+    WITH {synth.linear_pixels_sql(40, 16)},
+    cdf AS (
+      SELECT idx, image_id, v, COUNT(*)::BIGINT AS c,
+             SUM(COUNT(*)) OVER (PARTITION BY idx ORDER BY v) AS cum
+      FROM lpix GROUP BY idx, image_id, v
+    ),
+    n AS (SELECT idx, COUNT(*)::BIGINT AS n FROM lpix GROUP BY idx),
+    plo AS (
+      SELECT c.idx, MIN(c.v) AS p
+      FROM cdf c JOIN n ON n.idx = c.idx
+      WHERE c.cum * 100 >= 2 * n.n GROUP BY c.idx
+    ),
+    phi AS (
+      SELECT c.idx, MIN(c.v) AS p
+      FROM cdf c JOIN n ON n.idx = c.idx
+      WHERE c.cum * 100 >= 98 * n.n GROUP BY c.idx
+    ),
+    st AS (
+      SELECT c.idx, c.image_id, c.c,
+             (LEAST(GREATEST(c.v, lo.p), hi.p) - lo.p) * 255
+               // GREATEST(hi.p - lo.p, 1) AS sv
+      FROM cdf c
+      JOIN plo lo ON lo.idx = c.idx
+      JOIN phi hi ON hi.idx = c.idx
+    )
+    SELECT image_id,
+           CAST(SUM(sv * c) AS BIGINT) AS st_sum,
+           CAST(MIN(sv) AS INTEGER) AS st_min,
+           CAST(MAX(sv) AS INTEGER) AS st_max,
+           CAST(COALESCE(SUM(c) FILTER (sv = 0 OR sv = 255), 0)
+                AS BIGINT) AS n_sat
+    FROM st GROUP BY image_id
+    """
+
+    o["funnel"] = """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+        AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 1440 MINUTE
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON s2.user_id = e.user_id
+        AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 1440 MINUTE
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s1) AS n_view,
+           (SELECT COUNT(*) FROM s2) AS n_click,
+           (SELECT COUNT(*) FROM s3) AS n_purchase
+    """
+
+    o["priority_sample"] = """
+    SELECT doc_id, lang, rn FROM (
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY md5('ps1' || CAST(doc_id AS VARCHAR)) DESC,
+                        doc_id) AS BIGINT) AS rn
+      FROM documents
+    ) WHERE rn <= 3
+    """
 
     o["simplify_vw"] = """
     WITH verts AS (

@@ -92,6 +92,29 @@ def test_otsu_matches_exhaustive_float_scan():
     assert _otsu_threshold(px) == best_t
 
 
+def test_contrast_stretch_golden():
+    from raster_tools_spark.functions.image_enhance import (  # noqa: F401
+        contrast_stretch_stats,
+    )
+    px = _plane(7).astype(np.int64)
+    cdf = np.cumsum(np.bincount(px.ravel(), minlength=256))
+    n = px.size
+    p_lo = int(np.argmax(cdf * 100 >= 2 * n))
+    p_hi = int(np.argmax(cdf * 100 >= 98 * n))
+    st = (np.clip(px, p_lo, p_hi) - p_lo) * 255 // max(p_hi - p_lo, 1)
+    assert st.min() == 0 and st.max() == 255
+    # monotone remap: ordering preserved
+    order = np.argsort(px.ravel(), kind="stable")
+    assert (np.diff(st.ravel()[order]) >= 0).all()
+    # constant image: den guard keeps output all-zero
+    flat = np.full((5, 5), 99, np.int64)
+    c2 = np.cumsum(np.bincount(flat.ravel(), minlength=256))
+    lo = int(np.argmax(c2 * 100 >= 2 * 25))
+    hi = int(np.argmax(c2 * 100 >= 98 * 25))
+    assert lo == hi == 99
+    assert ((np.clip(flat, lo, hi) - lo) * 255 // max(hi - lo, 1) == 0).all()
+
+
 def test_sobel_flat_image_has_zero_energy():
     from raster_tools_spark.functions.image_enhance import sobel_stats  # noqa
     p = np.full((8, 8), 9, np.uint8)

@@ -556,6 +556,19 @@ def main():
         ],
     )
 
+    # 5z4. interval union: pure JVM, one shuffle, window+aggs fused
+    audit(
+        "interval_union_pure_jvm",
+        qcat["interval_union"](spark, SF),
+        [
+            ("zero python stages", lambda p: "EvalPython" not in p
+             and "InPandas" not in p),
+            ("no cartesian product",
+             lambda p: "CartesianProduct" not in p),
+            ("window present", lambda p: "Window" in p),
+        ],
+    )
+
     # 6. mosaic merge: single hash agg pair (partial+final), no window
     audit(
         "mosaic_merge_hashagg",
