@@ -3661,13 +3661,11 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         max merge factor.  Pure JVM single-shuffle window plan."""
         from .functions import intervals as fint
 
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
         iv = _t(spark, sf_dir, "events").select(
             F.col("event_type"),
-            F.unix_micros(F.col("ts")).alias("s"),
-            (
-                F.unix_micros(F.col("ts"))
-                + (F.col("event_id") % 7 + 1) * 120000000
-            ).alias("e"),
+            us.alias("s"),
+            (us + (F.col("event_id") % 7 + 1) * 120000000).alias("e"),
         )
         return fint.interval_union(iv, "event_type", "s", "e")
 
