@@ -478,3 +478,54 @@ def anchored_span_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_spans"))
     )
+
+
+def levenshtein_near_dup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 6,
+    prefix_len: int = 16,
+    len_band: int = 8,
+) -> DataFrame:
+    """Edit-distance near-dup pairs with BLOCKED candidate generation:
+    lowercase-normalize, block on (first ``prefix_len`` chars), keep
+    only pairs whose lengths differ by <= ``len_band`` (a free lower
+    bound on edit distance), then score survivors with the exact
+    JVM ``levenshtein`` and keep dist <= ``max_dist``.
+
+    Scale shape: the corpus NEVER self-joins -- the equi-join key is
+    the prefix block, so candidate volume is sum over blocks of
+    |block|^2, bounded in practice by the prefix selectivity (tune
+    ``prefix_len`` up for boilerplate-heavy corpora; pair it with a
+    ``max_df``-style hot-block drop if a block explodes).  The length
+    band is applied INSIDE the join condition so over-length pairs
+    die before the O(L^2) distance kernel, which runs whole-stage
+    JVM-side (no Python).  Edit distance is exact unit-cost
+    Levenshtein -- identical in Spark and DuckDB, so the operator is
+    bit-checkable end to end.
+
+    Returns (doc_a, doc_b, dist int) with doc_a < doc_b.
+    """
+    n = docs.select(
+        F.col(id_col).alias("_id"),
+        F.lower(F.col(text_col)).alias("_t"),
+    ).withColumn("_blk", F.substring("_t", 1, prefix_len))
+    a, b = n.alias("a"), n.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk"))
+            & (F.col("a._id") < F.col("b._id"))
+            & (
+                F.abs(F.length("a._t") - F.length("b._t"))
+                <= F.lit(len_band)
+            ),
+        )
+        .select(
+            F.col("a._id").alias("doc_a"),
+            F.col("b._id").alias("doc_b"),
+            F.levenshtein("a._t", "b._t").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

@@ -227,3 +227,84 @@ def pagerank_fixed(
         F.col("num").alias("pr_num"),
         (F.col("num").cast("double") / F.lit(denom)).alias("pr"),
     )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact triangle counting by DEGREE-ORDERED orientation (the
+    compact-forward / MapReduce NodeIterator++ scheme of Suri &
+    Vassilvitskii, WWW 2011): orient every undirected edge from the
+    lower-(degree, id) endpoint to the higher, enumerate length-2
+    paths u->v->w along the orientation, and close each path against
+    the oriented edge set.
+
+    Why this shape at 100 TB: naive path enumeration explodes on hub
+    nodes (a degree-d vertex yields d^2 wedges).  Orientation bounds
+    every out-degree by O(sqrt(m)) regardless of skew -- the hub's
+    wedges are charged to its (few) higher-degree neighbors -- so
+    the wedge relation is at most m^{3/2} rows in adversarial
+    graphs and near-linear on power-law ones.  The plan is three
+    hash joins + one agg, all on edge keys; no windows, no driver
+    state, AQE-skew-splittable.
+
+    Input edges are deduplicated and self-loops dropped; each
+    undirected edge may appear in either or both directions.
+    Returns ONE row: (n_triangles long, n_edges long, n_wedges long).
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    # orient by (degree, id): lower endpoint keeps the out-edge
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    oriented = (
+        e.join(du, "u").join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(
+                F.struct(F.col("v").alias("s"), F.col("u").alias("t"))
+            )
+            .alias("o")
+        )
+        .select("o.s", "o.t")
+    )
+    wedges = (
+        oriented.alias("x")
+        .join(
+            oriented.alias("y"), F.col("x.t") == F.col("y.s")
+        )
+        .select(
+            F.col("x.s").alias("a"),
+            F.col("x.t").alias("b"),
+            F.col("y.t").alias("c"),
+        )
+    )
+    closed = wedges.join(
+        oriented.select(
+            F.col("s").alias("a"), F.col("t").alias("c")
+        ).withColumn("_hit", F.lit(1)),
+        ["a", "c"],
+        "left",
+    )
+    tri = closed.agg(
+        F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_triangles")
+    )
+    return tri.crossJoin(e.agg(F.count("*").alias("n_edges"))).crossJoin(
+        wedges.agg(F.count("*").alias("n_wedges"))
+    )

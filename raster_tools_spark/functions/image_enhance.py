@@ -540,3 +540,195 @@ def contrast_stretch_stats(
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         do, schema=STRETCH_SCHEMA
     )
+
+
+MOMENTS_SCHEMA = (
+    "image_id string, m00 long, m10 long, m01 long, m20 long, "
+    "m02 long, m11 long, mu20n long, mu02n long, mu11n long"
+)
+
+
+def image_moments(images: DataFrame) -> DataFrame:
+    """Raw image moments m_pq = sum v * i^p * j^q (p+q <= 2) plus the
+    INTEGER NUMERATORS of the central moments: mu20n = m00*m20 -
+    m10^2, mu02n = m00*m02 - m01^2, mu11n = m00*m11 - m10*m01 (each
+    equals m00^2 * mu_pq, clearing the rational centroid) -- the
+    shape/orientation primitives of classical blob analysis, kept in
+    exact int64 so every engine agrees bit-for-bit.
+
+    Scale shape: one decode per row, zero shuffles; per image the
+    moments are six integer dot products against coordinate ramps
+    (O(pixels), numpy-vectorized).  int64 bound: m00*m20 <=
+    255^2 * h^3 * w^2 / 3 -- safe beyond 1024x1024 payloads.
+    """
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples():
+                px = codecs.decode(bytes(t.bytes), t.fmt).astype(np.int64)
+                h, w = px.shape
+                ii = np.arange(h, dtype=np.int64)[:, None]
+                jj = np.arange(w, dtype=np.int64)[None, :]
+                m00 = int(px.sum())
+                m10 = int((px * ii).sum())
+                m01 = int((px * jj).sum())
+                m20 = int((px * ii * ii).sum())
+                m02 = int((px * jj * jj).sum())
+                m11 = int((px * ii * jj).sum())
+                rows.append(
+                    (
+                        t.image_id, m00, m10, m01, m20, m02, m11,
+                        m00 * m20 - m10 * m10,
+                        m00 * m02 - m01 * m01,
+                        m00 * m11 - m10 * m01,
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "image_id", "m00", "m10", "m01", "m20", "m02",
+                        "m11", "mu20n", "mu02n", "mu11n",
+                    ],
+                )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        do, schema=MOMENTS_SCHEMA
+    )
+
+
+SSD_SCHEMA = (
+    "image_id string, best_i int, best_j int, best_ssd long, "
+    "n_offsets long"
+)
+
+
+def ssd_template_match(
+    images: DataFrame, template: np.ndarray
+) -> DataFrame:
+    """Exact template matching by sum-of-squared-differences: slide
+    ``template`` (small, e.g. 4x4) over every valid offset of each
+    payload, return the argmin offset (ties -> smallest (i, j)) and
+    its SSD.  SSD instead of normalized cross-correlation keeps the
+    whole operator in integer arithmetic, hence bit-checkable.
+
+    Scale shape: embarrassingly parallel mapInPandas, zero shuffles;
+    per image the cost is O(pixels * |template|) as |template| 
+    vectorized shifts of the full plane (NOT a Python loop over
+    offsets), so a 4x4 template costs 16 plane passes.  Large
+    templates should switch to FFT correlation (the multimodal
+    module's DCT machinery); small trackers/logos fit this path.
+    """
+    th, tw = template.shape
+    tmpl = template.astype(np.int64)
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples():
+                px = codecs.decode(bytes(t.bytes), t.fmt).astype(np.int64)
+                h, w = px.shape
+                oh, ow = h - th + 1, w - tw + 1
+                ssd = np.zeros((oh, ow), dtype=np.int64)
+                for a in range(th):
+                    for b in range(tw):
+                        d = px[a:a + oh, b:b + ow] - tmpl[a, b]
+                        ssd += d * d
+                flat = int(np.argmin(ssd))  # row-major: first minimum
+                bi, bj = divmod(flat, ow)
+                rows.append(
+                    (
+                        t.image_id, int(bi), int(bj),
+                        int(ssd[bi, bj]), int(oh) * int(ow),
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "image_id", "best_i", "best_j", "best_ssd",
+                        "n_offsets",
+                    ],
+                )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        do, schema=SSD_SCHEMA
+    )
+
+
+BLOB_SCHEMA = (
+    "image_id string, n_mask long, n_blobs long, max_blob long, "
+    "sum_blob_sq long"
+)
+
+
+def blob_stats(images: DataFrame, threshold: int = 255) -> DataFrame:
+    """8-connected component labeling of the per-image mask
+    ``v >= threshold`` (generic union-find -- no assumption about
+    mask shape), emitting per-image blob statistics: mask size, blob
+    count, largest blob, and sum of squared blob sizes (the
+    'fragmentation' score used to rank images by speckle).
+
+    Scale shape: labeling is per-payload (images are independent),
+    so the operator is a zero-shuffle mapInPandas; cost per image is
+    O(mask px * alpha) union-find.  Components SPANNING payloads
+    (tiled rasters) are the separate distributed machinery of
+    functions/graph.connected_components -- this operator is the
+    within-payload fast path a curation pipeline wants for billions
+    of small images.
+    """
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples():
+                px = codecs.decode(bytes(t.bytes), t.fmt)
+                mask = px >= threshold
+                sizes = _blob_sizes(mask)
+                rows.append(
+                    (
+                        t.image_id,
+                        int(mask.sum()),
+                        len(sizes),
+                        int(max(sizes)) if sizes else 0,
+                        int(sum(s * s for s in sizes)),
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "image_id", "n_mask", "n_blobs", "max_blob",
+                        "sum_blob_sq",
+                    ],
+                )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        do, schema=BLOB_SCHEMA
+    )
+
+
+def _blob_sizes(mask: np.ndarray) -> list:
+    """Union-find over the True cells of ``mask``, 8-connectivity;
+    returns the component sizes (unordered)."""
+    coords = np.argwhere(mask)
+    idx = {(int(i), int(j)): k for k, (i, j) in enumerate(coords)}
+    parent = list(range(len(coords)))
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for (i, j), k in idx.items():
+        for di, dj in ((-1, -1), (-1, 0), (-1, 1), (0, -1)):
+            nb = idx.get((i + di, j + dj))
+            if nb is not None:
+                ra, rb = find(k), find(nb)
+                if ra != rb:
+                    parent[rb] = ra
+    from collections import Counter
+
+    return list(Counter(find(k) for k in range(len(coords))).values())

@@ -259,3 +259,75 @@ def funnel_counts(
     return spark.createDataFrame(
         [tuple(counts)], schema=", ".join(f"n_{s} long" for s in stages)
     )
+
+
+def gap_fill(
+    series: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Time-series gap fill with linear interpolation: given sparse
+    per-key (integer bucket, value) observations, emit the DENSE
+    per-key bucket grid from each key's first to last observation,
+    filling missing buckets by linear interpolation between the
+    nearest preceding and following observations (the hypertable
+    ``time_bucket_gapfill`` + ``interpolate`` primitive; the
+    reference has no temporal axis -- this serves its event-table
+    users, SURVEY §2.7 scalar/temporal family).
+
+    Scale shape: the dense grid is GENERATED, not joined from a
+    calendar table -- per-key (min, max) bounds are one hash agg,
+    ``sequence() + explode`` expands them executor-side, and one
+    left join + one per-key ordered window produce the carried
+    prev/next anchors.  Two shuffles total (bounds agg reuses the
+    grid join's hash partitioning); nothing is ever collected.  A
+    key's grid length is bounded by its observed time span, so a
+    100-TB corpus with bounded span per key cannot blow up the
+    explode; span-unbounded keys should be range-chunked first.
+
+    All interpolation arithmetic is plain IEEE double with a fixed
+    expression shape, so an engine mirroring the same expressions
+    reproduces the bits; callers wanting hash-stable output should
+    floor-scale (``floor(x * 10000) / 10000``).
+
+    Returns (key, bucket, v double interpolated, filled boolean).
+    """
+    k, b = F.col(key_col), F.col(bucket_col)
+    obs = series.select(
+        k.alias("_k"), b.cast("long").alias("_b"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    grid = (
+        obs.groupBy("_k")
+        .agg(F.min("_b").alias("_b0"), F.max("_b").alias("_b1"))
+        .select("_k", F.explode(F.sequence("_b0", "_b1")).alias("_b"))
+    )
+    g = grid.join(obs, ["_k", "_b"], "left")
+    wp = (
+        Window.partitionBy("_k").orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("_k").orderBy("_b")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    anchor_b = F.when(F.col("_v").isNotNull(), F.col("_b"))
+    g = g.select(
+        "_k", "_b", "_v",
+        F.last("_v", ignorenulls=True).over(wp).alias("_pv"),
+        F.last(anchor_b, ignorenulls=True).over(wp).alias("_pb"),
+        F.first("_v", ignorenulls=True).over(wn).alias("_nv"),
+        F.first(anchor_b, ignorenulls=True).over(wn).alias("_nb"),
+    )
+    interp = F.col("_pv") + (F.col("_nv") - F.col("_pv")) * (
+        (F.col("_b") - F.col("_pb")).cast("double")
+        / (F.col("_nb") - F.col("_pb")).cast("double")
+    )
+    return g.select(
+        F.col("_k").alias(key_col),
+        F.col("_b").alias(bucket_col),
+        F.when(F.col("_v").isNotNull(), F.col("_v"))
+        .otherwise(interp).alias("v"),
+        F.col("_v").isNull().alias("filled"),
+    )
