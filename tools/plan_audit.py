@@ -569,6 +569,83 @@ def main():
         ],
     )
 
+
+    # 5z5. round-5 late batch: grouping sets / pivot collapse to ONE
+    # shuffle; gap fill generates its grid (no calendar join); the
+    # blocked fuzzy join and triangle joins never go cartesian; the
+    # three image operators never shuffle at all.
+    audit(
+        "rollup_single_shuffle",
+        qcat["rollup_agg"](spark, SF),
+        [
+            ("rollup expands in-place", lambda p: "Expand" in p),
+            ("partial+final hash agg", lambda p: "HashAggregate" in p),
+            ("exactly one exchange",
+             lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 1),
+        ],
+    )
+    audit(
+        "pivot_single_shuffle",
+        qcat["pivot_wide"](spark, SF),
+        [
+            ("single hash-agg pass", lambda p: "HashAggregate" in p),
+            ("fact shuffles once, post-partial-agg; the second "
+             "exchange carries only |groups x statuses| rows",
+             lambda p: len(re.findall(r"\(\d+\) Exchange", p)) <= 2
+             and re.search(r"Exchange \(3\)\s*\n\s*\+- HashAggregate",
+                           p) is not None),
+            ("zero python stages", lambda p: "EvalPython" not in p
+             and "InPandas" not in p),
+        ],
+    )
+    audit(
+        "gap_fill_generated_grid",
+        qcat["gap_fill"](spark, SF),
+        [
+            ("grid generated executor-side (explode), not joined "
+             "from a calendar table", lambda p: "Generate" in p),
+            ("no cartesian product",
+             lambda p: "CartesianProduct" not in p),
+            ("single window pass carries all four anchors",
+             lambda p: p.count("Window") <= 2),
+            ("zero python stages", lambda p: "EvalPython" not in p
+             and "InPandas" not in p),
+        ],
+    )
+    audit(
+        "triangle_count_no_cartesian",
+        qcat["triangle_count"](spark, SF),
+        [
+            ("wedge/closure joins are equi-joins, never cartesian",
+             lambda p: "CartesianProduct" not in p),
+            ("zero python stages", lambda p: "EvalPython" not in p
+             and "InPandas" not in p),
+        ],
+    )
+    audit(
+        "fuzzy_dedup_blocked_join",
+        qcat["fuzzy_dedup"](spark, SF),
+        [
+            ("corpus joins on the prefix block (equi), not cartesian",
+             lambda p: "CartesianProduct" not in p
+             and "NestedLoop" not in p),
+            ("levenshtein kernel runs JVM-side",
+             lambda p: "levenshtein" in p and "EvalPython" not in p
+             and "InPandas" not in p),
+        ],
+    )
+    for img_q in ("image_moments", "ssd_match", "blob_label"):
+        audit(
+            f"{img_q}_zero_shuffle",
+            qcat[img_q](spark, SF),
+            [
+                ("per-payload operator never shuffles",
+                 lambda p: p.count("Exchange") == 0),
+                ("arrow-batched python stage",
+                 lambda p: "InPandas" in p),
+            ],
+        )
+
     # 6. mosaic merge: single hash agg pair (partial+final), no window
     audit(
         "mosaic_merge_hashagg",
