@@ -183,6 +183,15 @@ def run_bench(spark, sf_dir: str, n_images: int = 20000,
         "contrast_stretch",
         "funnel",
         "priority_sample",
+        # round-5 late batch
+        "rollup_agg",
+        "pivot_wide",
+        "gap_fill",
+        "triangle_count",
+        "fuzzy_dedup",
+        "image_moments",
+        "ssd_match",
+        "blob_label",
     ):
         fn = qcat[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())

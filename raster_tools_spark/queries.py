@@ -3595,6 +3595,96 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["blob_label"] = blob_label
 
+    def cohort_retention(spark, sf_dir):
+        """Cohort retention matrix: users grouped by first-seen week
+        (cohort), counted distinct per (cohort, week offset) -- the
+        product-analytics retention triangle.  One pass computes
+        first-seen via a min agg; the big event stream shuffles once
+        on user for the cohort join (broadcast when the user dim is
+        small), then once for the (cohort, offset) count-distinct."""
+        ev = _t(spark, sf_dir, "events").select(
+            "user_id",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) div 604800000000"
+            ).alias("wk"),
+        )
+        first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+        return (
+            ev.join(F.broadcast(first), "user_id")
+            .groupBy("cohort", (F.col("wk") - F.col("cohort")).alias("offset"))
+            .agg(F.countDistinct("user_id").alias("n_users"))
+        )
+
+    q["cohort_retention"] = cohort_retention
+
+    def skyline(spark, sf_dir):
+        """2-D skyline (Pareto frontier) of lineitem on (maximize
+        extendedprice, maximize quantity): rows no other row weakly
+        dominates with one strict inequality.  The scalable shape is
+        NOT the quadratic NOT EXISTS the oracle runs: collapse to max
+        quantity per price (one hash agg), then a single ordered
+        window pass keeps prices whose max-quantity beats the running
+        max of all strictly-higher prices -- O(n log n) total, one
+        shuffle + one window, vs the oracle's O(n^2) self-join."""
+        li = _t(spark, sf_dir, "lineitem")
+        per_p = li.groupBy(
+            F.col("l_extendedprice").alias("price")
+        ).agg(F.max("l_quantity").alias("qty"))
+        w = (
+            Window.orderBy(F.col("price").desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return (
+            per_p.withColumn("_prevmax", F.max("qty").over(w))
+            .filter(
+                F.col("_prevmax").isNull()
+                | (F.col("qty") > F.col("_prevmax"))
+            )
+            .select("price", "qty")
+        )
+
+    q["skyline"] = skyline
+
+    def event_transitions(spark, sf_dir):
+        """First-order Markov transition counts over per-user event
+        streams: lag() over the (ts, event_id)-total-ordered stream,
+        then a count per (prev_type, type) pair.  One shuffle for the
+        per-user window, one tiny agg -- the transition matrix of a
+        100-TB clickstream without ever materializing sequences."""
+        ev = _t(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            ev.withColumn("prev_type", F.lag("event_type").over(w))
+            .filter(F.col("prev_type").isNotNull())
+            .groupBy("prev_type", F.col("event_type").alias("next_type"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    q["event_transitions"] = event_transitions
+
+    def unpivot_long(spark, sf_dir):
+        """UNPIVOT (wide -> long), the inverse reshape of pivot_wide:
+        lineitem's four charge columns melted to (measure, value)
+        rows with per-measure decimal-exact totals.  stack() expands
+        executor-side inside the projection -- no shuffle beyond the
+        final tiny agg, vs four self-unions that would rescan the
+        fact four times."""
+        li = _t(spark, sf_dir, "lineitem")
+        melted = li.select(
+            "l_returnflag",
+            F.expr(
+                "stack(4, 'qty', l_quantity, 'price', l_extendedprice,"
+                " 'disc', l_discount, 'tax', l_tax)"
+            ).alias("measure", "value"),
+        )
+        return melted.groupBy("l_returnflag", "measure").agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum(F.col("value")).alias("total"),
+        )
+
+    q["unpivot_long"] = unpivot_long
+
+
 
     def box_blur(spark, sf_dir):
         """Integral-image box filter (radius 2, clamped windows) over
@@ -3970,6 +4060,8 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    template-match/blobs) --
         "rollup_agg", "pivot_wide", "gap_fill", "triangle_count",
         "fuzzy_dedup", "image_moments", "ssd_match", "blob_label",
+        "cohort_retention", "skyline", "event_transitions",
+        "unpivot_long",
         # -- round-5 additions (image enhancement axis +
         #    pure-JVM vertex-table geometry) --
         "box_blur", "hist_equalize", "otsu_threshold", "rle_stats",
@@ -6855,6 +6947,60 @@ def oracle_sql() -> Dict[str, str]:
     )
     SELECT m.image_id, m.n_mask, p.n_blobs, p.max_blob, p.sum_blob_sq
     FROM msk m JOIN per p USING (idx)
+    """
+
+
+    o["cohort_retention"] = """
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+    ),
+    first AS (SELECT user_id, MIN(wk) AS cohort FROM ev GROUP BY 1)
+    SELECT f.cohort, e.wk - f.cohort AS "offset",
+           COUNT(DISTINCT e.user_id)::BIGINT AS n_users
+    FROM ev e JOIN first f USING (user_id)
+    GROUP BY 1, 2
+    """
+
+    o["skyline"] = """
+    WITH pts AS (
+      SELECT DISTINCT l_extendedprice AS price, l_quantity AS qty
+      FROM lineitem
+    )
+    SELECT a.price, a.qty FROM pts a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts b
+      WHERE b.price >= a.price AND b.qty >= a.qty
+        AND (b.price > a.price OR b.qty > a.qty)
+    )
+    """
+
+    o["event_transitions"] = """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           COUNT(*)::BIGINT AS n
+    FROM s WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """
+
+    o["unpivot_long"] = """
+    WITH m AS (
+      SELECT l_returnflag, 'qty' AS measure, l_quantity AS value
+      FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'price', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'disc', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'tax', l_tax FROM lineitem
+    )
+    SELECT l_returnflag, measure, COUNT(*)::BIGINT AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total
+    FROM m GROUP BY 1, 2
     """
 
     o["grouped_quantile"] = """

@@ -189,3 +189,41 @@ def test_blob_stats_8_connectivity(spark):
 
 def test_blob_sizes_empty_mask():
     assert image_enhance._blob_sizes(np.zeros((5, 5), bool)) == []
+
+
+# ---------------------------------------------------------------------------
+# skyline window formulation == brute-force dominance
+# ---------------------------------------------------------------------------
+
+def test_skyline_window_equals_bruteforce(spark):
+    rng = np.random.default_rng(11)
+    pts = [
+        (float(p), float(q))
+        for p, q in zip(
+            rng.integers(0, 50, 200), rng.integers(0, 50, 200)
+        )
+    ]
+    df = spark.createDataFrame(pts, "l_extendedprice double, l_quantity double")
+    from pyspark.sql import Window
+
+    per_p = df.groupBy(F.col("l_extendedprice").alias("price")).agg(
+        F.max("l_quantity").alias("qty")
+    )
+    w = Window.orderBy(F.col("price").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    got = sorted(
+        (r["price"], r["qty"])
+        for r in per_p.withColumn("_pm", F.max("qty").over(w))
+        .filter(F.col("_pm").isNull() | (F.col("qty") > F.col("_pm")))
+        .collect()
+    )
+    uniq = set(pts)
+    brute = sorted(
+        (p, q)
+        for p, q in uniq
+        if not any(
+            bp >= p and bq >= q and (bp > p or bq > q) for bp, bq in uniq
+        )
+    )
+    assert got == brute
