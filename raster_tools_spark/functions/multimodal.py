@@ -204,7 +204,14 @@ def perceptual_hash(
                 freq = dct @ small @ dct.T
                 low = freq[:keep, :keep].ravel()
                 med = np.median(low[1:])  # DC excluded
-                bits = (low > med).astype(np.uint64)
+                # 1e-9 tie guard: with an odd coefficient count the
+                # median IS one of the coefficients, and "that value
+                # > itself" sits on a float knife edge -- any engine
+                # recomputing the same coefficient with a different
+                # summation order lands an ulp away and flips the
+                # bit.  Real inter-coefficient margins are >= 1e-3;
+                # the guard only pins the self-tie deterministically.
+                bits = (low > med + 1e-9).astype(np.uint64)
                 val = np.uint64(0)
                 for i, b in enumerate(bits):
                     val |= np.uint64(b) << np.uint64(i)

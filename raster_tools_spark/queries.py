@@ -2264,11 +2264,16 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash_near_dup"] = simhash_near_dup
 
     def image_near_dup_phash(spark, sf_dir):
-        """Image-dedup pass over pixels (rows-only: the DCT hash has
-        no SQL mirror; recall/invariance are property-tested in
-        tests/test_phash.py): each synthetic base image gets a
-        +1-brightness twin, and the banded pHash pairing must marry
-        the twins without an all-pairs join."""
+        """Image-dedup pass over pixels, ORACLE-HARD: the full DCT
+        pHash pipeline (decode, 2x2 block means, orthonormal DCT-II,
+        median threshold with the 1e-9 self-tie guard, 64-bit pack,
+        banded Hamming join) is replayed in closed-form SQL -- the
+        cos-basis double sum, the median, the bit pack, and the
+        band equi-join all recomputed by DuckDB from the same pixel
+        formula.  Each synthetic base image gets a +1-brightness
+        twin, and the banded pairing must marry the twins without an
+        all-pairs join; recall/invariance are additionally
+        property-tested in tests/test_phash.py."""
         from .functions import multimodal
 
         def gen(batches):
@@ -4061,7 +4066,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg", "pivot_wide", "gap_fill", "triangle_count",
         "fuzzy_dedup", "image_moments", "ssd_match", "blob_label",
         "cohort_retention", "skyline", "event_transitions",
-        "unpivot_long",
+        "unpivot_long", "image_near_dup_phash",
         # -- round-5 additions (image enhancement axis +
         #    pure-JVM vertex-table geometry) --
         "box_blur", "hist_equalize", "otsu_threshold", "rle_stats",
@@ -4077,8 +4082,8 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new / changed in round 5 --
         "flow_direction", "flow_accumulation", "contour_footprint",
         "difference_polygons", "fill_voids", "difference_overlap",
-        "asof_rates", "asof_bucketed", "kmv_users", "ivf_ann",
-        "cm_heavy", "srs_webmerc", "srs_utm",
+        "asof_bucketed", "cm_heavy", "srs_webmerc", "srs_utm",
+        "asof_rates", "kmv_users", "ivf_ann",
         # -- oldest driver-green anchors (round 3), re-checked now --
         "grid_assign", "quad_rollup", "mosaic_merge", "rebase_diff",
         "reclass_lut", "clamp_filter", "skip_empty",
@@ -7001,6 +7006,73 @@ def oracle_sql() -> Dict[str, str]:
     SELECT l_returnflag, measure, COUNT(*)::BIGINT AS n,
            CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total
     FROM m GROUP BY 1, 2
+    """
+
+
+    o["image_near_dup_phash"] = """
+    WITH imgs AS (SELECT unnest(generate_series(0, 39)) AS k),
+    pix AS (
+      SELECT imgs.k, tt.t, gi.i, gj.j,
+             LEAST(CASE WHEN (gi.i + gj.j) % 17 = 0 THEN 255
+                   ELSE ((imgs.k*37) % 199 + 7*gi.i + 13*gj.j) % 251
+                   END + tt.t, 255) AS v
+      FROM imgs,
+           (SELECT unnest(generate_series(0, 1)) AS t) tt,
+           (SELECT unnest(generate_series(0, 63)) AS i) gi,
+           (SELECT unnest(generate_series(0, 63)) AS j) gj
+    ),
+    small AS (
+      SELECT k, t, i // 2 AS r, j // 2 AS c, SUM(v) / 4.0 AS s
+      FROM pix GROUP BY 1, 2, 3, 4
+    ),
+    basis AS (
+      SELECT u.u, x.x,
+             cos(pi() * (2*x.x + 1) * u.u / 64.0) *
+             CASE WHEN u.u = 0 THEN sqrt(1.0/32.0)
+                  ELSE sqrt(2.0/32.0) END AS m
+      FROM (SELECT unnest(generate_series(0, 7)) AS u) u,
+           (SELECT unnest(generate_series(0, 31)) AS x) x
+    ),
+    freq AS (
+      SELECT s.k, s.t, bu.u AS fu, bv.u AS fv,
+             SUM(bu.m * s.s * bv.m) AS f
+      FROM small s
+      JOIN basis bu ON bu.x = s.r
+      JOIN basis bv ON bv.x = s.c
+      GROUP BY 1, 2, 3, 4
+    ),
+    med AS (
+      SELECT k, t, median(f) AS med
+      FROM freq WHERE NOT (fu = 0 AND fv = 0) GROUP BY 1, 2
+    ),
+    hb AS (
+      SELECT f.k, f.t,
+             CAST(SUM(CASE WHEN f.f > m.med + 1e-9
+                           AND f.fu*8 + f.fv < 63
+                      THEN 1::BIGINT << (f.fu*8 + f.fv)
+                      ELSE 0 END) AS BIGINT) AS lo,
+             MAX(CASE WHEN f.f > m.med + 1e-9 AND f.fu*8 + f.fv = 63
+                 THEN 1 ELSE 0 END) AS hi
+      FROM freq f JOIN med m ON m.k = f.k AND m.t = f.t
+      GROUP BY 1, 2
+    ),
+    sig AS (
+      SELECT printf('img_%04d%s', k,
+                    CASE WHEN t = 0 THEN 'a' ELSE 'b' END) AS image_id,
+             CASE WHEN hi = 1 THEN lo - 9223372036854775807 - 1
+                  ELSE lo END AS phash
+      FROM hb
+    ),
+    bnd AS (
+      SELECT image_id, phash, gb.b AS band,
+             (phash >> (gb.b * 8)) & 255 AS key
+      FROM sig, LATERAL (SELECT unnest(generate_series(0, 7)) AS b) gb
+    )
+    SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+    FROM bnd a JOIN bnd b
+      ON a.band = b.band AND a.key = b.key AND a.image_id < b.image_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 6
     """
 
     o["grouped_quantile"] = """
