@@ -2305,10 +2305,14 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["image_near_dup_phash"] = image_near_dup_phash
 
     def audio_near_dup(spark, sf_dir):
-        """Audio-dedup pass over raw PCM (rows-only: the FFT band
-        fingerprint has no SQL mirror; recall is property-tested in
-        test_phash.py): planted same-tone twins must marry through
-        the banded fp64 Hamming join without an all-pairs scan."""
+        """Audio-dedup pass over raw PCM, ORACLE-HARD: the whole
+        fingerprint pipeline -- int16 synthesis, Hann window, 1024-pt
+        frame DFT (replayed in SQL as a radix-32 two-stage
+        Cooley-Tukey sum), per-frame peak-bin argmax, 64-band OR
+        fingerprint, banded Hamming join -- is recomputed from
+        scratch by DuckDB.  Planted same-tone twins must marry
+        through the banded fp64 join without an all-pairs scan;
+        recall is additionally property-tested in test_phash.py."""
         from .functions import multimodal
 
         sr = 16000
@@ -4066,7 +4070,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg", "pivot_wide", "gap_fill", "triangle_count",
         "fuzzy_dedup", "image_moments", "ssd_match", "blob_label",
         "cohort_retention", "skyline", "event_transitions",
-        "unpivot_long", "image_near_dup_phash",
+        "unpivot_long", "image_near_dup_phash", "audio_near_dup",
         # -- round-5 additions (image enhancement axis +
         #    pure-JVM vertex-table geometry) --
         "box_blur", "hist_equalize", "otsu_threshold", "rle_stats",
@@ -7073,6 +7077,85 @@ def oracle_sql() -> Dict[str, str]:
     FROM bnd a JOIN bnd b
       ON a.band = b.band AND a.key = b.key AND a.image_id < b.image_id
     WHERE bit_count(xor(a.phash, b.phash)) <= 6
+    """
+
+
+    # full spectral-fingerprint mirror: the 1024-point frame DFT is
+    # decomposed n = 32a + b, so stage 1 sums 32 partial spectra per
+    # frame and stage 2 applies the twiddle -- ~35M terms instead of
+    # the 377M of a naive DFT cross join.  argmax margins between the
+    # top two bins are >= 2x (tones sit exactly on bins), so float
+    # summation-order differences cannot flip the peak.
+    o["audio_near_dup"] = """
+    WITH clips AS (
+      SELECT k.k, tt.t AS tw FROM
+        (SELECT unnest(generate_series(0, 23)) AS k) k,
+        (SELECT unnest(generate_series(0, 1)) AS t) tt
+    ),
+    samp AS (
+      SELECT c.k, c.tw, m.m // 1024 AS fr,
+             (m.m % 1024) // 32 AS a, (m.m % 1024) % 32 AS b,
+             trunc(LEAST(GREATEST(
+                 sin(2*pi() * ((2*c.k + 5.5) * 125.0) * (m.m / 16000.0))
+                 + c.tw * 0.004 *
+                   sin(2*pi() * 7901.0 * (m.m / 16000.0) + c.k),
+               -1.0), 1.0) * 32000.0)
+             * (0.5 - 0.5*cos(2*pi() * (m.m % 1024) / 1023.0)) AS xw
+      FROM clips c,
+           (SELECT unnest(generate_series(0, 15359)) AS m) m
+    ),
+    s1 AS (
+      SELECT k, tw, fr, km.km, b,
+             SUM(xw * cos(2*pi() * km.km * a / 32.0)) AS sre,
+             -SUM(xw * sin(2*pi() * km.km * a / 32.0)) AS sim
+      FROM samp, (SELECT unnest(generate_series(0, 31)) AS km) km
+      GROUP BY 1, 2, 3, 4, 5
+    ),
+    s2 AS (
+      SELECT s1.k, s1.tw, s1.fr, kk.kk,
+             SUM(sre * cos(2*pi() * kk.kk * b / 1024.0)
+                 + sim * sin(2*pi() * kk.kk * b / 1024.0)) AS re,
+             SUM(sim * cos(2*pi() * kk.kk * b / 1024.0)
+                 - sre * sin(2*pi() * kk.kk * b / 1024.0)) AS im
+      FROM s1, (SELECT unnest(generate_series(1, 512)) AS kk) kk
+      WHERE kk.kk % 32 = s1.km
+      GROUP BY 1, 2, 3, 4
+    ),
+    peak AS (
+      SELECT k, tw, fr, kk,
+             row_number() OVER (PARTITION BY k, tw, fr
+               ORDER BY re*re + im*im DESC, kk ASC) AS rn
+      FROM s2
+    ),
+    bands AS (
+      SELECT DISTINCT k, tw,
+             LEAST(CAST(floor((kk * (16000.0/1024.0)) / 8000.0 * 64)
+                        AS BIGINT), 63) AS band
+      FROM peak WHERE rn = 1
+    ),
+    hb AS (
+      SELECT k, tw,
+             CAST(SUM(CASE WHEN band < 63 THEN 1::BIGINT << band
+                      ELSE 0 END) AS BIGINT) AS lo,
+             MAX(CASE WHEN band = 63 THEN 1 ELSE 0 END) AS hi
+      FROM bands GROUP BY 1, 2
+    ),
+    sig AS (
+      SELECT printf('clip_%04d%s', k,
+                    CASE WHEN tw = 0 THEN 'a' ELSE 'b' END) AS clip_id,
+             CASE WHEN hi = 1 THEN lo - 9223372036854775807 - 1
+                  ELSE lo END AS fp
+      FROM hb
+    ),
+    bnd AS (
+      SELECT clip_id, fp, gb.g AS band, (fp >> (gb.g*8)) & 255 AS key
+      FROM sig, LATERAL (SELECT unnest(generate_series(0, 7)) AS g) gb
+    )
+    SELECT DISTINCT x.clip_id AS id_a, y.clip_id AS id_b,
+           CAST(bit_count(xor(x.fp, y.fp)) AS INTEGER) AS hamming
+    FROM bnd x JOIN bnd y
+      ON x.band = y.band AND x.key = y.key AND x.clip_id < y.clip_id
+    WHERE bit_count(xor(x.fp, y.fp)) <= 1
     """
 
     o["grouped_quantile"] = """
