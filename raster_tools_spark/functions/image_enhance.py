@@ -630,6 +630,10 @@ def ssd_template_match(
                 px = codecs.decode(bytes(t.bytes), t.fmt).astype(np.int64)
                 h, w = px.shape
                 oh, ow = h - th + 1, w - tw + 1
+                if oh <= 0 or ow <= 0:
+                    # image smaller than the template: no valid offset
+                    rows.append((t.image_id, None, None, None, 0))
+                    continue
                 ssd = np.zeros((oh, ow), dtype=np.int64)
                 for a in range(th):
                     for b in range(tw):

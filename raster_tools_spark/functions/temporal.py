@@ -293,6 +293,13 @@ def gap_fill(
 
     Returns (key, bucket, v double interpolated, filled boolean).
     """
+    reserved = {"v", "filled"}
+    clash = sorted(reserved.intersection({key_col, bucket_col}))
+    if clash:
+        raise ValueError(
+            f"gap_fill reserves output column names {sorted(reserved)};"
+            f" rename {clash} first"
+        )
     k, b = F.col(key_col), F.col(bucket_col)
     obs = series.select(
         k.alias("_k"), b.cast("long").alias("_b"),

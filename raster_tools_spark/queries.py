@@ -3618,8 +3618,12 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("wk"),
         )
         first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+        # no broadcast hint: the user dimension is per-user (can be
+        # billions of rows at corpus scale); the equi-join reuses the
+        # event stream's user_id hash partitioning, and AQE will
+        # broadcast on its own whenever the dim is actually small
         return (
-            ev.join(F.broadcast(first), "user_id")
+            ev.join(first, "user_id")
             .groupBy("cohort", (F.col("wk") - F.col("cohort")).alias("offset"))
             .agg(F.countDistinct("user_id").alias("n_users"))
         )
