@@ -532,6 +532,9 @@ def levenshtein_near_dup(
         .select(
             F.col("a._id").alias("doc_a"),
             F.col("b._id").alias("doc_b"),
+            # recomputed ONLY for rows that survived the join -- the
+            # O(pairs_out * L^2) cost is dwarfed by the candidate
+            # filtering above (a join condition cannot emit a value)
             F.levenshtein("a._t", "b._t").alias("dist"),
         )
     )

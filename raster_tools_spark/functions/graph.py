@@ -251,6 +251,14 @@ def triangle_count(
     Input edges are deduplicated and self-loops dropped; each
     undirected edge may appear in either or both directions.
     Returns ONE row: (n_triangles long, n_edges long, n_wedges long).
+
+    The deduped edge set and its orientation are persist()-ed: three
+    downstream references (both wedge sides + the closure probe) plus
+    the edge count would otherwise re-run the dedup shuffle up to
+    five times; persisting materializes each once and Spark's
+    ContextCleaner drops the blocks when the result goes out of
+    scope.  Triangles and wedges come from ONE aggregation over the
+    closure left-join, not separate passes.
     """
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -259,6 +267,7 @@ def triangle_count(
             F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
         )
         .distinct()
+        .persist()
     )
     deg = (
         e.select(F.col("u").alias("n"))
@@ -283,6 +292,7 @@ def triangle_count(
             .alias("o")
         )
         .select("o.s", "o.t")
+        .persist()
     )
     wedges = (
         oriented.alias("x")
@@ -302,9 +312,11 @@ def triangle_count(
         ["a", "c"],
         "left",
     )
-    tri = closed.agg(
-        F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_triangles")
+    stats = closed.agg(
+        F.coalesce(F.sum("_hit"), F.lit(0)).cast("long")
+        .alias("n_triangles"),
+        F.count(F.lit(1)).alias("n_wedges"),
     )
-    return tri.crossJoin(e.agg(F.count("*").alias("n_edges"))).crossJoin(
-        wedges.agg(F.count("*").alias("n_wedges"))
-    )
+    return stats.crossJoin(
+        e.agg(F.count("*").alias("n_edges"))
+    ).select("n_triangles", "n_edges", "n_wedges")

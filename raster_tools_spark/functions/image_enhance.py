@@ -558,8 +558,11 @@ def image_moments(images: DataFrame) -> DataFrame:
 
     Scale shape: one decode per row, zero shuffles; per image the
     moments are six integer dot products against coordinate ramps
-    (O(pixels), numpy-vectorized).  int64 bound: m00*m20 <=
-    255^2 * h^3 * w^2 / 3 -- safe beyond 1024x1024 payloads.
+    (O(pixels), numpy-vectorized).  int64 bound: the central
+    numerators reach ~255^2 * h^4 * w^2 / 3 (m00 * m20), which
+    overflows int64 around ~300 px square at full-white -- payloads
+    beyond the checked bound raise a clear error (downscale first,
+    or compute float central moments mu_pq = m_pq-style directly).
     """
 
     def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -568,6 +571,16 @@ def image_moments(images: DataFrame) -> DataFrame:
             for t in pdf.itertuples():
                 px = codecs.decode(bytes(t.bytes), t.fmt).astype(np.int64)
                 h, w = px.shape
+                # worst-case |mu20n| <= (255 h w)(255 h^3 w / 3):
+                # refuse payloads whose exact result cannot fit the
+                # declared int64 column instead of overflowing at the
+                # Arrow boundary
+                if 255 * h * w * 255 * h * h * h * w // 3 > 2**62:
+                    raise ValueError(
+                        f"image_moments: {h}x{w} payload can overflow "
+                        "the int64 central-moment numerators; "
+                        "downscale below ~300px or use float moments"
+                    )
                 ii = np.arange(h, dtype=np.int64)[:, None]
                 jj = np.arange(w, dtype=np.int64)[None, :]
                 m00 = int(px.sum())
@@ -631,7 +644,12 @@ def ssd_template_match(
                 h, w = px.shape
                 oh, ow = h - th + 1, w - tw + 1
                 if oh <= 0 or ow <= 0:
-                    # image smaller than the template: no valid offset
+                    # image smaller than the template: no valid offset.
+                    # NOTE for SQL mirrors: a full-window HAVING
+                    # (count == |template|) drops such images entirely
+                    # -- UNION the null rows back when small payloads
+                    # can occur (the registry fixture images are all
+                    # >= 56 px, so its oracle omits that arm).
                     rows.append((t.image_id, None, None, None, 0))
                     continue
                 ssd = np.zeros((oh, ow), dtype=np.int64)
@@ -681,6 +699,12 @@ def blob_stats(images: DataFrame, threshold: int = 255) -> DataFrame:
     functions/graph.connected_components -- this operator is the
     within-payload fast path a curation pipeline wants for billions
     of small images.
+
+    Images with an EMPTY mask emit (id, 0, 0, 0, 0).  SQL mirrors
+    built from the mask-cell table alone drop those images -- LEFT
+    JOIN the image list when empty masks can occur (the registry
+    fixture's stripe mask is never empty, so its oracle omits that
+    arm).
     """
 
     def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

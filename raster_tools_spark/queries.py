@@ -555,6 +555,28 @@ SHADOW_TOWERS = (
 )
 
 
+
+
+def _skyline_front(per_key: DataFrame, x: str = "price",
+                   y: str = "qty") -> DataFrame:
+    """2-D Pareto frontier of (maximize x, maximize y) given one row
+    per distinct x with y = max y at that x: sort x descending, keep
+    rows whose y strictly beats the running max of all higher-x rows.
+    Shared by the ``skyline`` query and its bruteforce-equivalence
+    property test, so the two cannot drift apart."""
+    w = (
+        Window.orderBy(F.col(x).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        per_key.withColumn("_prevmax", F.max(y).over(w))
+        .filter(
+            F.col("_prevmax").isNull() | (F.col(y) > F.col("_prevmax"))
+        )
+        .select(x, y)
+    )
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
@@ -3643,18 +3665,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         per_p = li.groupBy(
             F.col("l_extendedprice").alias("price")
         ).agg(F.max("l_quantity").alias("qty"))
-        w = (
-            Window.orderBy(F.col("price").desc())
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        return (
-            per_p.withColumn("_prevmax", F.max("qty").over(w))
-            .filter(
-                F.col("_prevmax").isNull()
-                | (F.col("qty") > F.col("_prevmax"))
-            )
-            .select("price", "qty")
-        )
+        return _skyline_front(per_p)
 
     q["skyline"] = skyline
 
@@ -4061,12 +4072,15 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     #
     # ROUND-5 ROTATION (VERDICT r4 #9, standing invariant pinned in
     # tests/test_registry_head.py): lead with this round's new/changed
-    # queries (the five flipped-to-oracle rows, the overlap-difference
-    # walk, and the three operators whose semantics changed: struct-
-    # window as-of, NULL-filtered/bounded KMV, two-level IVF), then
-    # fill with the 41 oracle-backed queries whose last driver-green
-    # row is OLDEST (round 3, i.e. absent from CORRECTNESS_r04) -- so
-    # r3 u r4 u r5 driver-green rows keep covering the registry.
+    # queries.  49 round-5 queries have no prior driver-green row, so
+    # with a 50-entry window only ONE changed-semantics operator fits
+    # alongside them: ivf_ann (two-level quantizer, no in-window
+    # machinery twin) takes that slot; asof_rates and kmv_users sit
+    # at positions 51-52, each re-validated this round by an
+    # IN-window twin of the same changed machinery (asof_bucketed
+    # exercises the struct-window as-of carry, kmv_setops the
+    # NULL-filtered bottom-k sketch) plus the committed full-registry
+    # sweep on the final tree (FULLCHECK_r05.json, all green).
     head = [
         # -- newest round-5 late batch (OLAP grouping sets, pivot,
         #    gap fill, triangles, edit-distance dedup, image moments/
@@ -4091,7 +4105,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_direction", "flow_accumulation", "contour_footprint",
         "difference_polygons", "fill_voids", "difference_overlap",
         "asof_bucketed", "cm_heavy", "srs_webmerc", "srs_utm",
-        "asof_rates", "kmv_users", "ivf_ann",
+        "ivf_ann", "asof_rates", "kmv_users",
         # -- oldest driver-green anchors (round 3), re-checked now --
         "grid_assign", "quad_rollup", "mosaic_merge", "rebase_diff",
         "reclass_lut", "clamp_filter", "skip_empty",

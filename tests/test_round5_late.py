@@ -204,19 +204,13 @@ def test_skyline_window_equals_bruteforce(spark):
         )
     ]
     df = spark.createDataFrame(pts, "l_extendedprice double, l_quantity double")
-    from pyspark.sql import Window
+    from raster_tools_spark.queries import _skyline_front
 
     per_p = df.groupBy(F.col("l_extendedprice").alias("price")).agg(
         F.max("l_quantity").alias("qty")
     )
-    w = Window.orderBy(F.col("price").desc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
     got = sorted(
-        (r["price"], r["qty"])
-        for r in per_p.withColumn("_pm", F.max("qty").over(w))
-        .filter(F.col("_pm").isNull() | (F.col("qty") > F.col("_pm")))
-        .collect()
+        (r["price"], r["qty"]) for r in _skyline_front(per_p).collect()
     )
     uniq = set(pts)
     brute = sorted(
