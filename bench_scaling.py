@@ -96,6 +96,25 @@ elif workload == "enhance":
         images = synth.images_df(spark, n_units, tiles_axis=256,
                                  partitions=64)
         return image_enhance.box_blur_stats(images, 2).count()
+elif workload == "graph":
+    # round-5 graph leg: degree-ordered triangle counting over a
+    # functional double-ring graph built JVM-side -- the scaling
+    # shape of the new graph-analytics family (equi-joins + hash
+    # aggs only, no windows, no python)
+    from pyspark.sql import functions as F
+    from raster_tools_spark.functions import graph as fgraph
+
+    nodes = spark.range(0, n_units, 1, 64).select(
+        F.col("id").alias("node"))
+    e1 = nodes.select(F.col("node").alias("src"),
+                      ((F.col("node") * 7 + 3) % n_units).alias("dst"))
+    e2 = nodes.select(F.col("node").alias("src"),
+                      ((F.col("node") * 13 + 5) % n_units).alias("dst"))
+    edges = e1.unionByName(e2).cache(); edges.count()
+
+    def run():
+        row = fgraph.triangle_count(edges).collect()[0]
+        return int(row["n_edges"])
 else:  # heavy: mask_difference-class overlay
     import pandas as pd
 
@@ -296,6 +315,38 @@ def main():
     n_docs = 500000
     if "--docs" in args:
         n_docs = int(args[args.index("--docs") + 1])
+
+    if "--graph-only" in args:
+        # run ONLY the round-5 graph leg and APPEND its section to
+        # BENCH/BASELINE.md, leaving the committed table untouched
+        n_nodes = int(args[args.index("--graph-only") + 1])
+        glo = run_level("graph", levels[0], n_nodes)
+        ghi = run_level("graph", levels[1], n_nodes)
+        geff = (ghi["rows_per_sec"] / glo["rows_per_sec"]) / (
+            levels[1] / levels[0]
+        )
+        result = {"graph_N": glo, "graph_fourN": ghi,
+                  "graph_efficiency": round(geff, 3),
+                  "graph_nodes": n_nodes}
+        print(json.dumps(result))
+        with open("BENCH/BASELINE.md", "a") as f:
+            f.write(f"""
+
+## Round-5 late-batch leg: triangle counting (graph analytics)
+
+Degree-ordered triangle counting (functions/graph.triangle_count)
+over a {n_nodes}-node functional double-ring graph ({2 * n_nodes}
+directed edge rows, JVM-generated): edge dedup, degree join,
+orientation, wedge join, closure probe -- equi-joins and hash aggs
+only.  rows/sec below = input nodes per second end-to-end.
+
+| metric | value | config |
+|---|---|---|
+| graph nodes/sec @ N={levels[0]} cores | {glo['rows_per_sec']} | local[{levels[0]}], {glo['secs']} s |
+| graph nodes/sec @ 4N={levels[1]} cores | {ghi['rows_per_sec']} | local[{levels[1]}], {ghi['secs']} s |
+| graph scaling efficiency N->4N | **{geff:.3f}** | target >= 0.8 |
+""")
+        return
 
     lo = run_level("pipeline", levels[0], n_images)
     hi = run_level("pipeline", levels[1], n_images)
