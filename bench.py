@@ -192,6 +192,10 @@ def run_bench(spark, sf_dir: str, n_images: int = 20000,
         "image_moments",
         "ssd_match",
         "blob_label",
+        "cohort_retention",
+        "skyline",
+        "event_transitions",
+        "unpivot_long",
     ):
         fn = qcat[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())
