@@ -41,6 +41,21 @@ def default_max_df(n_docs: int) -> int:
     return max(MAX_DF_MIN, int(n_docs * MAX_DF_FRACTION))
 
 
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Ensure at least 2x-cores partitions before a row-multiplying
+    pass (explode / per-position gram scan): a compressed text corpus
+    often scans as FEWER splits than cores (one 16 MB split at the
+    fixture scale), and the multiplication happens AFTER the split
+    decision, so a single task ends up holding millions of derived
+    rows.  Scale-adaptive: when the scan already has enough splits
+    (any real corpus), this is a no-op -- no shuffle is added."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * 2
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(id_col))
+
+
 def shingles_of_words(words: Column, n: int = N_SHINGLE) -> Column:
     """Distinct word n-gram shingles from a words-array COLUMN.
 
@@ -71,11 +86,17 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def _doc_shingles(docs: DataFrame, max_df) -> DataFrame:
-    sh = docs.select(
+    sh = _spread(docs, "doc_id").select(
         "doc_id", F.split(F.col("text"), " ").alias("_w")
     ).select(
-        "doc_id", F.explode(shingles_of_words(F.col("_w"))).alias("shingle")
-    )
+        # explode_OUTER + null filter rather than explode: the inferred
+        # generate filter would re-evaluate shingles_of_words at the
+        # scan (see line_dedup); shingle elements are never null
+        # (concat_ws), so this drops exactly the empty-array docs that
+        # plain explode drops
+        "doc_id",
+        F.explode_outer(shingles_of_words(F.col("_w"))).alias("shingle"),
+    ).filter(F.col("shingle").isNotNull())
     if max_df == "auto":
         # one count() job; on a parquet-backed docs table this is a
         # footer-metadata read, not a scan.  Callers with a known
@@ -197,7 +218,7 @@ def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
     the fingerprint is a HARD cross-engine check (xxhash64 previously
     forced a rows-only check)."""
     assert bits <= 60  # 15 hex chars fit a signed long
-    toks = docs.select(
+    toks = _spread(docs, "doc_id").select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     ).withColumn(
         "h",
@@ -238,16 +259,22 @@ def contamination(
     """
     def sh_of(docs):
         return (
-            docs.select(
+            _spread(docs, "doc_id")
+            .select(
                 "doc_id", F.split(F.col("text"), " ").alias("_w")
             )
             .filter(F.size("_w") >= n)
             .select(
+                # explode_OUTER + null filter: plain explode infers a
+                # size()/isnotnull generate filter that Catalyst
+                # substitutes into the narrow scan stage, re-running
+                # the shingle transform there (see _doc_shingles)
                 "doc_id",
-                F.explode(
+                F.explode_outer(
                     shingles_of_words(F.col("_w"), n)
                 ).alias("shingle"),
             )
+            .filter(F.col("shingle").isNotNull())
         )
 
     tsh = sh_of(train)
@@ -379,36 +406,56 @@ def line_dedup(
     applied at sub-document granularity, the standard first stage of
     an LLM training-data pipeline.
     """
-    lines = docs.select(
+    base = _spread(docs, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.split(F.col(text_col), line_sep).alias("_ls"),
-    ).select(
+    )
+    # decision pass on HASHES only (guide section-8 shape: decide with
+    # small rows, move the payload once): the exploded frame carries
+    # (doc_id, pos, 32-hex md5) -- never the line text -- so both the
+    # document-frequency shuffle and the keep-position shuffle move a
+    # few dozen bytes per line instead of the line itself
+    # posexplode_OUTER + null-pos filter == posexplode, but without
+    # the InferFiltersFromGenerate size()/isnotnull predicate, which
+    # Catalyst would substitute through the projection and push below
+    # the spread exchange -- re-evaluating the caller's (possibly
+    # expensive) text expression several times per row inside the
+    # narrow scan stage (measured: the whole line_dedup fixture ran
+    # single-task because of exactly that)
+    lines = base.select(
         "doc_id",
-        F.size("_ls").alias("n_total"),
-        F.posexplode("_ls").alias("pos", "line"),
-    ).withColumn("h", F.md5(F.col("line")))
+        F.posexplode_outer("_ls").alias("pos", "line"),
+    ).filter(F.col("pos").isNotNull()).select(
+        "doc_id", "pos", F.md5(F.col("line")).alias("h")
+    )
     hot = (
         lines.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("df"))
         .filter(F.col("df") >= min_df)
         .select("h")
     )
-    kept = lines.join(hot, "h", "left_anti")
-    return (
-        kept.groupBy("doc_id")
+    kept = (
+        lines.join(hot, "h", "left_anti")
+        .groupBy("doc_id")
         .agg(
-            F.first("n_total").alias("n_total"),
+            F.sort_array(F.collect_list("pos")).alias("_keep"),
             F.count(F.lit(1)).alias("n_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("pos", "line"))
-                    ),
-                    lambda s: s["line"],
-                ),
-                line_sep,
-            ).alias("text_out"),
         )
+    )
+    # re-attach the kept positions to the documents (equi-join on the
+    # doc id; inner join == "documents with >= 1 surviving line") and
+    # reassemble text locally from the original line array
+    return base.join(kept, "doc_id").select(
+        "doc_id",
+        F.size("_ls").alias("n_total"),
+        "n_kept",
+        F.array_join(
+            F.transform(
+                F.col("_keep"),
+                lambda i: F.element_at(F.col("_ls"), i + 1),
+            ),
+            line_sep,
+        ).alias("text_out"),
     )
 
 
@@ -433,32 +480,56 @@ def anchored_span_pairs(
     shared span of length >= k + p carries an anchor in expectation,
     and the index is ~p times smaller than the full gram set.
 
-    Scale shape: the corpus side is one projection + explode + filter
-    (no shuffle); the pair join is an equi-join on the 32-hex hash
-    with a ``max_df`` hot-gram guard (boilerplate/license grams would
-    otherwise pair quadratically -- same guard as ngram_jaccard).
+    Scale shape: the corpus side is one projection + repartitioned
+    mapInPandas batch pass (hashlib md5 over sliding byte windows --
+    the per-position JVM md5 expression ran ~3.6 us/gram and, worse,
+    inside however few tasks the parquet split produced, since the
+    explode multiplies rows AFTER the scan split decision; measured
+    49.8 s single-task at 50k docs).  Only the ~1/p anchor grams cross
+    back from Python.  The pair join is an equi-join on the 32-hex
+    hash with a ``max_df`` hot-gram guard (boilerplate/license grams
+    would otherwise pair quadratically -- same guard as ngram_jaccard).
     Output: (doc_a, doc_b, n_spans) with doc_a < doc_b.
     """
-    t = F.col(text_col)
-    grams = (
-        docs.filter(F.length(t) >= k)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(
-                F.sequence(F.lit(1), F.length(t) - F.lit(k - 1))
-            ).alias("pos"),
-            t.alias("_t"),
-        )
-        .select(
-            "doc_id",
-            F.md5(F.substring(F.col("_t"), F.col("pos"), F.lit(k)))
-            .alias("h"),
-        )
-    )
-    anchored = grams.filter(
-        F.conv(F.substring(F.col("h"), 1, 8), 16, 10).cast("long")
-        % p == 0
-    )
+    id_type = dict(docs.dtypes)[id_col]
+
+    def gen(batches):
+        import hashlib
+
+        for pdf in batches:
+            ids, hs = [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                if txt is None or len(txt) < k:
+                    continue
+                b = txt.encode("utf-8")
+                if len(b) != len(txt):
+                    # non-ASCII: substring() counts CHARS; hash the
+                    # UTF-8 bytes of each char-window exactly as the
+                    # JVM md5(substring(...)) did
+                    windows = [
+                        txt[pos : pos + k].encode("utf-8")
+                        for pos in range(len(txt) - k + 1)
+                    ]
+                else:
+                    windows = [
+                        b[pos : pos + k]
+                        for pos in range(len(txt) - k + 1)
+                    ]
+                for wb in windows:
+                    dig = hashlib.md5(wb).digest()
+                    # anchor iff the first 8 hex chars (= first 4
+                    # bytes, big-endian) are 0 mod p -- identical to
+                    # conv(substring(h, 1, 8), 16, 10) % p == 0
+                    if int.from_bytes(dig[:4], "big") % p == 0:
+                        ids.append(did)
+                        hs.append(dig.hex())
+            import pandas as pd
+
+            yield pd.DataFrame({"doc_id": ids, "h": hs})
+
+    anchored = _spread(
+        docs.select(F.col(id_col), F.col(text_col)), id_col
+    ).mapInPandas(gen, schema=f"doc_id {id_type}, h string")
     d = anchored.select("doc_id", "h").distinct()
     if max_df is not None:
         hot = (
@@ -512,6 +583,10 @@ def levenshtein_near_dup(
         F.lower(F.col(text_col)).alias("_t"),
     ).withColumn("_blk", F.substring("_t", 1, prefix_len))
     a, b = n.alias("a"), n.alias("b")
+    # dist <= max_dist implies |len(a) - len(b)| <= max_dist, so the
+    # band can be tightened to min(len_band, max_dist) for free --
+    # pairs in the gap would run the kernel only to be rejected
+    eff_band = min(len_band, max_dist)
     # the distance threshold is the LAST conjunct of the join
     # condition on purpose: conjuncts evaluate in order, so the id
     # and length-band predicates kill most same-block pairs before
@@ -525,9 +600,13 @@ def levenshtein_near_dup(
             & (F.col("a._id") < F.col("b._id"))
             & (
                 F.abs(F.length("a._t") - F.length("b._t"))
-                <= F.lit(len_band)
+                <= F.lit(eff_band)
             )
-            & (F.levenshtein("a._t", "b._t") <= max_dist),
+            # thresholded levenshtein runs the BANDED O(L * max_dist)
+            # DP (early bail-out) instead of the full O(L^2) table;
+            # it returns -1 when the distance exceeds the threshold,
+            # so >= 0 is exactly dist <= max_dist
+            & (F.levenshtein("a._t", "b._t", max_dist) >= 0),
         )
         .select(
             F.col("a._id").alias("doc_a"),
