@@ -49,6 +49,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _fan(df: DataFrame, key: str) -> DataFrame:
+    """Scale-adaptive fan-out before compute-heavy per-row work: the
+    fixture tables are single-row-group parquet files, so their scans
+    are effectively ONE task no matter the split config (a split
+    without the row-group midpoint reads nothing).  When the scan has
+    fewer partitions than cores, hash-repartition by a deterministic
+    key so downstream expression work parallelizes; on a real
+    many-file corpus the scan already has enough splits and this is a
+    no-op (no shuffle added)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * 2
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(key))
+
+
 def _dsum(col) -> F.Column:
     """Decimal-backed double sum: exact and order-independent, so Spark
     and DuckDB agree bit-for-bit regardless of aggregation order."""
@@ -560,16 +576,48 @@ SHADOW_TOWERS = (
 def _skyline_front(per_key: DataFrame, x: str = "price",
                    y: str = "qty") -> DataFrame:
     """2-D Pareto frontier of (maximize x, maximize y) given one row
-    per distinct x with y = max y at that x: sort x descending, keep
-    rows whose y strictly beats the running max of all higher-x rows.
-    Shared by the ``skyline`` query and its bruteforce-equivalence
-    property test, so the two cannot drift apart."""
-    w = (
-        Window.orderBy(F.col(x).desc())
+    per distinct x with y = max y at that x: keep rows whose y
+    strictly beats the running max of all higher-x rows.  Shared by
+    the ``skyline`` query and its bruteforce-equivalence property
+    test, so the two cannot drift apart.
+
+    Distributed scan shape (the classic prefix-max decomposition; the
+    former ``Window.orderBy`` with no partitionBy shuffled every
+    distinct x to ONE task): range-partition by x descending, compute
+    the prefix max WITHIN each range partition, and combine with the
+    broadcast prefix max of all strictly-higher partitions --
+    ``greatest`` of the two running maxima is exactly the global
+    prefix max, because range partitioning makes every row of a
+    lower-index partition strictly greater in x (one row per distinct
+    x).  The only unpartitioned window left runs over one row per
+    RANGE PARTITION (<= 2x cores rows), not over the data."""
+    sc = per_key.sparkSession.sparkContext
+    n_parts = max(2, sc.defaultParallelism)
+    ranged = per_key.repartitionByRange(
+        n_parts, F.col(x).desc()
+    ).withColumn("_pid", F.spark_partition_id())
+    wl = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col(x).desc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    local = ranged.withColumn("_lprev", F.max(y).over(wl))
+    pmax = ranged.groupBy("_pid").agg(F.max(y).alias("_pmax"))
+    wp = (
+        Window.orderBy(F.col("_pid").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    higher = pmax.withColumn("_hprev", F.max("_pmax").over(wp)).select(
+        "_pid", "_hprev"
+    )
     return (
-        per_key.withColumn("_prevmax", F.max(y).over(w))
+        local.join(F.broadcast(higher), "_pid")
+        # greatest() is null only when BOTH inputs are null -- i.e.
+        # the first row of the highest-x partition, matching the
+        # former single-window NULL-prefix semantics
+        .withColumn(
+            "_prevmax", F.greatest(F.col("_lprev"), F.col("_hprev"))
+        )
         .filter(
             F.col("_prevmax").isNull() | (F.col(y) > F.col("_prevmax"))
         )
@@ -1295,11 +1343,15 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         the oracle can rebuild the identical text."""
         from .sources import xyz as src_xyz
 
-        lines = _t(spark, sf_dir, "events").selectExpr(
+        lines = _fan(_t(spark, sf_dir, "events"), "event_id").selectExpr(
             f"concat(cast({_PX} as string), ' ', "
             f"cast({_PY} as string), ' ', cast(value as string)) as value"
         )
-        pts = src_xyz.parse_xyz(lines)
+        # the envelope aggregate and the binning pass would otherwise
+        # each re-run the double->string->double round trip; checkpoint
+        # the parsed points lazily so the text is parsed ONCE (the
+        # broadcast envelope job materializes it, binning reuses it)
+        pts = src_xyz.parse_xyz(lines).localCheckpoint(eager=False)
         return src_xyz.bin_stats(pts, width=4096.0, height=4096.0)
 
     q["xyz_bin"] = xyz_bin
