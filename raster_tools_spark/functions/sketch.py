@@ -91,9 +91,11 @@ def kmv_distinct(
     # engines agree by construction (Spark's collect_list silently
     # drops NULL hashes; a DISTINCT-based oracle would keep a NULL
     # row that shifts n_kept) -- a key with only NULLs vanishes
-    hashed = df.filter(F.col(val_col).isNotNull()).select(
-        F.col(key_col).alias("key"), h.alias("h")
-    )
+    from .dedup import _spread
+
+    hashed = _spread(
+        df.filter(F.col(val_col).isNotNull()), val_col
+    ).select(F.col(key_col).alias("key"), h.alias("h"))
     # two-stage bottom-k merge (the sketch's own merge property):
     # each input partition reduces to <= k distinct hashes per key,
     # then the <= k * n_partitions survivors merge per key -- no

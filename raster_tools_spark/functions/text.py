@@ -160,13 +160,21 @@ def repetition_metrics(docs: DataFrame, text_col: str = "text"
     floor-scaled to 6 dp so the DuckDB oracle is exact; only
     documents with >= 3 words qualify.  Returns (doc_id,
     top_bigram_frac, dup_trigram_frac)."""
+    from .dedup import _spread
+
     words = F.split(F.col(text_col), " ")
-    d = docs.select("doc_id", words.alias("w")).filter(
-        F.size("w") >= 3
-    )
+    d = _spread(docs, "doc_id").select(
+        "doc_id", words.alias("w")
+    ).filter(F.size("w") >= 3)
 
     def grams(n):
-        return F.explode(
+        # explode_OUTER: plain explode infers a size()/isnotnull
+        # generate filter that Catalyst substitutes through the
+        # projection into the narrow scan stage, re-running the whole
+        # gram transform there; gram elements are never null
+        # (concat_ws) and d guarantees non-empty arrays, so OUTER
+        # changes nothing except suppressing that inferred filter
+        return F.explode_outer(
             F.transform(
                 F.sequence(F.lit(0), F.size("w") - n),
                 lambda i: F.concat_ws(
@@ -428,8 +436,10 @@ def bm25_scores(
     grouped SUM), so the floating-point association is deterministic
     and an external SQL engine reproduces the score bit-for-bit.
     """
+    from .dedup import _spread
+
     terms = list(terms)
-    d = docs.select(
+    d = _spread(docs, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.split(F.col(text_col), " ").alias("_w"),
     ).select(
@@ -445,6 +455,11 @@ def bm25_scores(
             for i, t in enumerate(terms)
         ],
     )
+    # the stats pass and the scoring pass would otherwise each
+    # re-tokenize the corpus; checkpoint the tiny (doc_id, dl, tf*)
+    # projection so tokenization runs once (the broadcast stats job
+    # materializes it, scoring reuses the blocks)
+    d = d.localCheckpoint(eager=False)
     stats = d.agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum("dl").alias("_sumdl"),
