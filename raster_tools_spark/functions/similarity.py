@@ -103,10 +103,15 @@ def cosine_topk(
     Returns (qid, cid, sim, rn) with sim rounded to 6 dp and
     deterministic tie-break on cid.
     """
+    from .dedup import _spread
+
     q = queries.select(
         F.col(id_q).alias("qid"), F.col(vec_q).alias("qv")
     ).withColumn("qn", _norm(F.col("qv")))
-    c = candidates.select(
+    # the candidate corpus usually scans as fewer splits than cores
+    # (single-row-group fixture parquet); spread it so the broadcast
+    # nested-loop scoring runs at full width (no-op on real corpora)
+    c = _spread(candidates, id_c).select(
         F.col(id_c).alias("cid"), F.col(vec_c).alias("cv")
     ).withColumn("cn", _norm(F.col("cv")))
     pairs = q.crossJoin(c)

@@ -115,14 +115,15 @@ def retile(
     tile_px = int(cell_edge(res) / CELL_SIZE)
     src = images_cells.withColumn(
         "cell_id",
-        F.explode(
+        # explode_outer + null filter below: see zonal._image_cover_udf
+        F.explode_outer(
             _image_cover_udf(res)(
                 F.col("x0"), F.col("y_top"), F.col("w"), F.col("h")
             )
         ),
     ).select(
         "cell_id", "image_id", "bytes", "fmt", "x0", "y_top", "w", "h"
-    )
+    ).filter(F.col("cell_id").isNotNull())
     return src.groupBy("cell_id").applyInPandas(
         lambda pdf: _assemble(pdf, tile_px, nodata), schema=RETILE_SCHEMA
     )

@@ -64,18 +64,54 @@ def percentile_from_hist(hist: np.ndarray, q: float) -> float:
 
 
 def _image_cover_udf(res: int):
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def cover(x0: pd.Series, y_top: pd.Series, w: pd.Series, h: pd.Series
-              ) -> pd.Series:
-        out = []
-        for a, b, ww, hh in zip(x0, y_top, w, h):
-            out.append(
-                covering_cells(
-                    (a, a + ww * CELL_SIZE, b - hh * CELL_SIZE, b), res,
-                    closed_bottom=False,  # pixel centers strictly interior
-                )
+    """Covering cell ids of an image tile at ``res`` as a pure JVM
+    array expression (closed_bottom=False -- pixel centers strictly
+    interior).  Bit-for-bit the grid.covering_cells arithmetic
+    (floor/ceil on IEEE doubles, same clamps, same pack), but
+    whole-stage-codegen instead of an ArrowEvalPython hop: the former
+    pandas UDF put a Python round trip on the full image scan of every
+    zonal/retile pipeline (measured 2.9 s of flagship zonal's 5.8 s in
+    the pre-decode candidate stage).  Returns a builder so call sites
+    keep the ``_image_cover_udf(res)(x0, y_top, w, h)`` shape."""
+    from ..grid import WORLD_TOP, cell_edge
+
+    edge = float(cell_edge(res))
+    n_axis = 1 << (res + 2)
+
+    def cover(x0, y_top, w, h):
+        jx1 = F.floor(x0 / F.lit(edge)).cast("long")
+        jx2 = F.ceil((x0 + w * F.lit(CELL_SIZE)) / F.lit(edge)).cast(
+            "long"
+        )
+        jy1 = F.floor((F.lit(WORLD_TOP) - y_top) / F.lit(edge)).cast(
+            "long"
+        )
+        jy2 = F.ceil(
+            (F.lit(WORLD_TOP) - (y_top - h * F.lit(CELL_SIZE)))
+            / F.lit(edge)
+        ).cast("long")
+        jx2 = F.greatest(jx2, jx1 + 1)
+        jy2 = F.greatest(jy2, jy1 + 1)
+        jx1 = F.greatest(jx1, F.lit(0).cast("long"))
+        jx2 = F.least(jx2, F.lit(n_axis).cast("long"))
+        jy1 = F.greatest(jy1, F.lit(0).cast("long"))
+        jy2 = F.least(jy2, F.lit(n_axis).cast("long"))
+        packed = F.flatten(
+            F.transform(
+                F.sequence(jy1, jy2 - 1),
+                lambda iy: F.transform(
+                    F.sequence(jx1, jx2 - 1),
+                    lambda ix: F.shiftleft(F.lit(res).cast("long"), 56)
+                    .bitwiseOR(F.shiftleft(ix, 28))
+                    .bitwiseOR(iy),
+                ),
             )
-        return pd.Series(out)
+        )
+        # fully out-of-world tiles clamp to an empty range; sequence()
+        # would count DOWN there, so guard with an empty array
+        return F.when(
+            (jx2 > jx1) & (jy2 > jy1), packed
+        ).otherwise(F.array().cast("array<bigint>"))
 
     return cover
 
@@ -302,12 +338,17 @@ def rgb_zonal(
 
     img = images_cells.withColumn(
         "icell",
-        F.explode(
+        # explode_outer + null filter below: plain explode infers a
+        # size()/isnotnull generate filter that would re-evaluate the
+        # whole cover expression per conjunct in the scan stage
+        F.explode_outer(
             _image_cover_udf(join_res)(
                 F.col("x0"), F.col("y_top"), F.col("w"), F.col("h")
             )
         ),
-    ).select("image_id", "bytes", "fmt", "x0", "y_top", "icell")
+    ).select(
+        "image_id", "bytes", "fmt", "x0", "y_top", "icell"
+    ).filter(F.col("icell").isNotNull())
 
     from .pip import _covering_udf
 
@@ -421,12 +462,17 @@ def floor_level(
 
     img = images_cells.withColumn(
         "icell",
-        F.explode(
+        # explode_outer + null filter below: plain explode infers a
+        # size()/isnotnull generate filter that would re-evaluate the
+        # whole cover expression per conjunct in the scan stage
+        F.explode_outer(
             _image_cover_udf(join_res)(
                 F.col("x0"), F.col("y_top"), F.col("w"), F.col("h")
             )
         ),
-    ).select("image_id", "bytes", "fmt", "x0", "y_top", "icell")
+    ).select(
+        "image_id", "bytes", "fmt", "x0", "y_top", "icell"
+    ).filter(F.col("icell").isNotNull())
     pcells = polygons.withColumn(
         "pcell", F.explode(cover_udf(join_res, dist)(F.col("geom_wkb")))
     ).select("feat_id", "geom_wkb", "pcell")
@@ -526,12 +572,17 @@ def zonal_stats(
     """
     img = images_cells.withColumn(
         "icell",
-        F.explode(
+        # explode_outer + null filter below: plain explode infers a
+        # size()/isnotnull generate filter that would re-evaluate the
+        # whole cover expression per conjunct in the scan stage
+        F.explode_outer(
             _image_cover_udf(join_res)(
                 F.col("x0"), F.col("y_top"), F.col("w"), F.col("h")
             )
         ),
-    ).select("image_id", "bytes", "fmt", "x0", "y_top", "w", "h", "icell")
+    ).select(
+        "image_id", "bytes", "fmt", "x0", "y_top", "w", "h", "icell"
+    ).filter(F.col("icell").isNotNull())
 
     # one Python pass for envelope + covering cells (the pip operator's
     # consolidated meta UDF; hot_cover unbounded -- zonal has no
