@@ -571,11 +571,15 @@ def image_moments(images: DataFrame) -> DataFrame:
             for t in pdf.itertuples():
                 px = codecs.decode(bytes(t.bytes), t.fmt).astype(np.int64)
                 h, w = px.shape
-                # worst-case |mu20n| <= (255 h w)(255 h^3 w / 3):
-                # refuse payloads whose exact result cannot fit the
-                # declared int64 column instead of overflowing at the
-                # Arrow boundary
-                if 255 * h * w * 255 * h * h * h * w // 3 > 2**62:
+                # worst-case |mu20n| <= (255 h w)(255 h^3 w / 3) and
+                # |mu02n| <= (255 h w)(255 w^3 h / 3): check BOTH axes
+                # (a 2 x 10000 payload passes the row-axis bound while
+                # the column-axis numerator overflows) and refuse
+                # payloads whose exact result cannot fit the declared
+                # int64 column instead of overflowing at the Arrow
+                # boundary
+                s = max(h, w)
+                if 255 * h * w * 255 * s * s * s * min(h, w) // 3 > 2**62:
                     raise ValueError(
                         f"image_moments: {h}x{w} payload can overflow "
                         "the int64 central-moment numerators; "

@@ -152,6 +152,27 @@ def test_image_moments_match_numpy(spark):
     assert r["mu11n"] == m00 * int((px * ii * jj).sum()) - m10 * m01
 
 
+def test_image_moments_guard_covers_both_axes(spark):
+    """ADVICE r5: the int64 overflow guard bounded only the row-axis
+    central numerator (mu20n ~ 255^2 h^4 w^2 / 3); a wide 2 x N image
+    passed it while mu02n (~255^2 w^4 h^2 / 3) silently overflowed.
+    The guard now bounds max(h, w) on the cubed axis, so the wide
+    orientation must refuse exactly like the tall one."""
+    import pyspark.errors
+
+    wide = np.full((2, 10000), 255, dtype=np.uint8)
+    with pytest.raises(pyspark.errors.PythonException,
+                       match="image_moments"):
+        image_enhance.image_moments(
+            _one_image_df(spark, wide)
+        ).collect()
+    # square payloads inside the bound keep working
+    ok = np.full((64, 64), 255, dtype=np.uint8)
+    assert image_enhance.image_moments(
+        _one_image_df(spark, ok)
+    ).count() == 1
+
+
 def test_ssd_template_match_finds_planted_template(spark):
     rng = np.random.default_rng(7)
     px = rng.integers(0, 200, size=(30, 25))
