@@ -137,8 +137,11 @@ def main():
         [
             ("no cartesian product", lambda p: "CartesianProduct" not in p),
             (
-                "equi-join on sig",
-                lambda p: ("SortMergeJoin" in p) or ("HashJoin" in p),
+                # r6: the within-bucket self-join became a grouped
+                # Arrow batch per (band, sig) bucket with local top-k
+                # -- same bucketed candidate model, no all-pair rows
+                "bucketed scoring (grouped per (band, sig))",
+                lambda p: "FlatMapGroupsInPandas" in p,
             ),
         ],
     )
@@ -545,14 +548,15 @@ def main():
         "span_dedup_anchor_below_join",
         qcat["span_dedup"](spark, SF),
         [
-            ("pure JVM gram/hash side", lambda p: "EvalPython" not in p
-             and "InPandas" not in p),
+            # r6: the per-position md5 moved to a batched mapInPandas
+            # pass that emits only anchors (same predicate); the join
+            # side is unchanged
+            ("anchor grams from one batched pass, join side JVM",
+             lambda p: "MapInPandas" in p
+             and re.search(r"md5\(substring", p) is None),
             ("anti join hot-gram guard", lambda p: "LeftAnti" in p),
             ("no cartesian product",
              lambda p: "CartesianProduct" not in p),
-            ("anchor filter below the exchange",
-             lambda p: "% 4) = 0" in p.replace("\n", " ")
-             or "pmod" in p or "Filter" in p),
         ],
     )
 
@@ -653,6 +657,74 @@ def main():
         [
             ("hash aggregate", lambda p: "HashAggregate" in p),
             ("no window/sort path", lambda p: "Window" not in p),
+        ],
+    )
+
+    # 7. round-6 optimization gates
+    audit(
+        "skyline_distributed_front",
+        qcat["skyline"](spark, SF),
+        [
+            ("front is range-partitioned by price desc (no data-wide "
+             "single-partition window)",
+             lambda p: re.search(
+                 r"rangepartitioning\(price#\d+ DESC", p) is not None),
+            ("per-partition prefix-max window keyed by partition id",
+             lambda p: re.search(r"hashpartitioning\(_pid#\d+", p)
+             is not None),
+        ],
+    )
+    audit(
+        "ivf_ann_local_topk",
+        qcat["ivf_ann"](spark, SF),
+        [
+            ("per-list scoring is one cogrouped Arrow batch (no "
+             "per-pair HOF dot / no all-candidate window input)",
+             lambda p: "FlatMapCoGroupsInPandas" in p),
+            ("no cartesian", lambda p: "CartesianProduct" not in p),
+        ],
+    )
+    audit(
+        "lsh_ann_local_topk",
+        qcat["lsh_ann"](spark, SF),
+        [
+            ("per-bucket scoring is one grouped Arrow batch",
+             lambda p: "FlatMapGroupsInPandas" in p),
+            ("no cartesian", lambda p: "CartesianProduct" not in p),
+        ],
+    )
+    audit(
+        "span_dedup_batch_anchor",
+        qcat["span_dedup"](spark, SF),
+        [
+            ("anchor grams come from a batched mapInPandas pass, not "
+             "a per-position JVM md5 explode",
+             lambda p: "MapInPandas" in p
+             and re.search(r"md5\(substring", p) is None),
+            ("pair join stays an equi-join on the hash",
+             lambda p: "CartesianProduct" not in p),
+        ],
+    )
+    audit(
+        "retile_cover_jvm",
+        qcat["retile_tiles"](spark, SF),
+        [
+            ("covering-cell generation is pure JVM (no EvalPython "
+             "before the tile assemble)",
+             lambda p: "EvalPython" not in p),
+            ("tile assemble is the only python stage",
+             lambda p: "InPandas" in p),
+        ],
+    )
+    audit(
+        "xyz_bin_parse_once",
+        qcat["xyz_bin"](spark, SF),
+        [
+            ("envelope and binning share one parsed materialization",
+             lambda p: p.count("Scan ExistingRDD") >= 2
+             and "localCheckpoint" in p),
+            ("no python stage in the binning path",
+             lambda p: "EvalPython" not in p and "InPandas" not in p),
         ],
     )
 
