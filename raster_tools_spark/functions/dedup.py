@@ -103,6 +103,12 @@ def _doc_shingles(docs: DataFrame, max_df) -> DataFrame:
         # corpus size can pass max_df explicitly to skip it.
         max_df = default_max_df(docs.count())
     if max_df is not None:
+        # the document-frequency guard and the anti-join left side are
+        # two consumers of the shingle pipeline; checkpoint the
+        # exploded (doc_id, shingle) rows lazily so the split/
+        # transform/explode runs once (the hot-set job materializes
+        # it, the anti-join reuses the blocks)
+        sh = sh.localCheckpoint(eager=False)
         hot = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
