@@ -716,6 +716,57 @@ def main():
              lambda p: "InPandas" in p),
         ],
     )
+    # r5 late-batch analytics sections (VERDICT r5 item 6)
+    audit(
+        "cohort_retention_two_agg",
+        qcat["cohort_retention"](spark, SF),
+        [
+            ("first-seen join is an equi-join (no cartesian)",
+             lambda p: "CartesianProduct" not in p
+             and "NestedLoop" not in p),
+            ("no window pass (min-agg cohort, not a sort)",
+             lambda p: "Window" not in p),
+        ],
+    )
+    audit(
+        "event_transitions_one_window",
+        qcat["event_transitions"](spark, SF),
+        [
+            ("exactly one per-user window",
+             lambda p: len(re.findall(r"\(\d+\) Window", p)) == 1),
+            ("window partitioned by user (never single-partition)",
+             lambda p: re.search(r"hashpartitioning\(user_id#\d+", p)
+             is not None),
+        ],
+    )
+    audit(
+        "gap_fill_no_explode_join",
+        qcat["gap_fill"](spark, SF),
+        [
+            ("no cartesian product", lambda p: "CartesianProduct" not in p),
+            ("pure JVM (no python stage)",
+             lambda p: "EvalPython" not in p and "InPandas" not in p),
+        ],
+    )
+    audit(
+        "unpivot_long_single_agg",
+        qcat["unpivot_long"](spark, SF),
+        [
+            ("stack expands in the projection; only the final agg "
+             "shuffles",
+             lambda p: len(re.findall(r"[+:]- Exchange ", p)) == 1),
+            ("no window/sort", lambda p: "Window" not in p),
+        ],
+    )
+    audit(
+        "pivot_wide_single_scan",
+        qcat["pivot_wide"](spark, SF),
+        [
+            ("one scan of the fact (pivot never self-unions)",
+             lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+            ("no cartesian product", lambda p: "CartesianProduct" not in p),
+        ],
+    )
     audit(
         "xyz_bin_parse_once",
         qcat["xyz_bin"](spark, SF),
