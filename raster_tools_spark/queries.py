@@ -935,13 +935,29 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cosine_topk"] = cosine_topk
 
     def running_sum(spark, sf_dir):
-        li = _t(spark, sf_dir, "lineitem")
+        # (shipdate, orderkey, linenumber) is NOT a total order within
+        # a supplier on every fixture (sf0.1 carries one duplicated
+        # key with two quantities), so the prefix sums at the tie rows
+        # were a per-run coin flip -- Spark's shuffle-fed sort broke
+        # the tie by arrival order while DuckDB's STABLE sort always
+        # realizes file order.  Append the scan position as the final
+        # key: the order becomes total and deterministically equal to
+        # the oracle's stable-sort realization; fixtures without ties
+        # are bit-for-bit unchanged.
+        li = _t(spark, sf_dir, "lineitem").withColumn(
+            "_scanpos",
+            F.struct(
+                F.col("_metadata.file_path"),
+                F.col("_metadata.row_index"),
+            ),
+        )
         w = (
             Window.partitionBy("l_suppkey")
             .orderBy(
                 F.col("l_shipdate").asc(),
                 F.col("l_orderkey").asc(),
                 F.col("l_linenumber").asc(),
+                F.col("_scanpos").asc(),
             )
             .rowsBetween(Window.unboundedPreceding, 0)
         )
