@@ -533,14 +533,18 @@ def anchored_span_pairs(
                     ):
                         seen.add(dig)
                         ids.append(did)
-                        hs.append(dig.hex())
+                        hs.append(dig)
             import pandas as pd
 
             yield pd.DataFrame({"doc_id": ids, "h": hs})
 
+    # h travels as the 16-byte digest, not 32 hex chars: the hash is
+    # only ever a grouping/join key here (never output), and the
+    # distinct + hot-guard + self-join exchanges all carry it -- half
+    # the key bytes per row (guide: narrower types on the shuffle)
     anchored = _spread(
         docs.select(F.col(id_col), F.col(text_col)), id_col
-    ).mapInPandas(gen, schema=f"doc_id {id_type}, h string")
+    ).mapInPandas(gen, schema=f"doc_id {id_type}, h binary")
     # the per-document set above already collapses within-document
     # repeats, but the DISTINCT is kept deliberately: its exchange is
     # the materialization point that the hot-gram aggregate and BOTH
