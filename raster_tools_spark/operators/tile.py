@@ -45,7 +45,13 @@ def _anchor_udf(tiles_axis: int):
             x0, y_top = anchor_of_phash_windowed(phash.to_numpy(), tiles_axis)
         return pd.DataFrame({"x0": x0, "y_top": y_top})
 
-    return anchor
+    # the function IS deterministic; the marking stops the optimizer
+    # from splitting the struct-field extraction into one full UDF
+    # evaluation PER consumer expression (observed: a Generate whose
+    # input derives from x0/y_top re-ran the anchor below the generate
+    # while the output projection ran it again -- guide 4.4's
+    # duplicated-BatchEvalPython disease, 2x the Python boundary cost)
+    return anchor.asNondeterministic()
 
 
 def cell_col(x: Column, y: Column, res: int) -> Column:

@@ -127,6 +127,16 @@ def _partials_stream(batches, expr: str | None = None):
     decode each image once (rows of an image are adjacent after
     sortWithinPartitions), parse each polygon's rings once per task.
 
+    Partials are PRE-AGGREGATED per feat_id within the task before
+    anything crosses back over Arrow: the finalize step is a pure
+    commutative merge (sums, min/max, histogram adds), so collapsing
+    the per-pair rows to one row per (task, feat) is result-identical
+    while shrinking the Python->JVM return and the partials shuffle
+    from O(pairs) rows x 256-long histograms to O(features) rows
+    (guide 2.3: aggregate before you shuffle).  The accumulator is
+    flushed if it ever exceeds ``_MAX_ACC_FEATS`` distinct features,
+    so task memory stays bounded on enormous polygon layers.
+
     ``expr``: optional whitelisted band expression applied to the
     masked data vector before stats (A8 semantics, rgb_zonal.py:95-98);
     histogram/percentiles are raw-value only (u8 domain)."""
@@ -136,10 +146,29 @@ def _partials_stream(batches, expr: str | None = None):
     n_bytes = 0
     seen: set = set()
     ring_cache: dict = {}
+    # feat_id -> [size, cnt, s, ss, mn, mx, hist, decode_bytes]
+    acc: dict = {}
+
+    def _flush():
+        rows = [
+            (fid, a[0], a[1], a[2], a[3],
+             a[4] if a[1] else float("nan"),
+             a[5] if a[1] else float("nan"),
+             a[6], a[7])
+            for fid, a in acc.items()
+        ]
+        acc.clear()
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "feat_id", "size", "cnt", "s", "ss", "mn", "mx",
+                "hist", "decode_bytes",
+            ],
+        )
+
     for pdf in batches:
         if len(pdf) == 0:
             continue
-        rows: List[tuple] = []
         for t in pdf.itertuples():
             if t.image_id != cur_img:
                 cur_img = t.image_id
@@ -170,32 +199,34 @@ def _partials_stream(batches, expr: str | None = None):
                 # non-u8 band (f4 DEM etc.): exact-histogram
                 # percentiles are a u8-domain feature; mean/std/min/max
                 # remain exact, median/p75/frac become NaN downstream
-                hist = np.zeros(256, dtype=np.int64)
+                hist = None
             if expr is not None and data.size:
                 stat_data = eval_band_expr(expr, data)
             else:
                 stat_data = data.astype(np.float64)
-            rows.append(
-                (
-                    t.feat_id,
-                    size,
-                    int(data.size),
-                    float(stat_data.sum(dtype=np.float64)),
-                    float((stat_data.astype(np.float64) ** 2).sum()),
-                    float(stat_data.min()) if data.size else float("nan"),
-                    float(stat_data.max()) if data.size else float("nan"),
-                    hist.tolist(),
-                    n_bytes,
-                )
-            )
-        if rows:
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "feat_id", "size", "cnt", "s", "ss", "mn", "mx",
-                    "hist", "decode_bytes",
-                ],
-            )
+            a = acc.get(t.feat_id)
+            if a is None:
+                a = [0, 0, 0.0, 0.0, math.inf, -math.inf,
+                     np.zeros(256, dtype=np.int64), 0]
+                acc[t.feat_id] = a
+            a[0] += size
+            a[1] += int(data.size)
+            a[2] += float(stat_data.sum(dtype=np.float64))
+            a[3] += float((stat_data.astype(np.float64) ** 2).sum())
+            if data.size:
+                a[4] = min(a[4], float(stat_data.min()))
+                a[5] = max(a[5], float(stat_data.max()))
+            if hist is not None:
+                a[6] += hist
+            a[7] += n_bytes
+            if len(acc) >= _MAX_ACC_FEATS:
+                yield _flush()
+        # batch boundary: keep accumulating (decode state carries over)
+    if acc:
+        yield _flush()
+
+
+_MAX_ACC_FEATS = 65536
 
 
 _EXPR_WHITELIST = {"v", "np", "clip", "sqrt", "log1p", "abs", "minimum",
@@ -589,9 +620,12 @@ def zonal_stats(
     # broadcast hot phase, every polygon enumerates its cells)
     from .pip import _poly_meta_udf
 
+    # checkpoint the meta BEFORE field extraction: the broadcast build
+    # and every extracted field otherwise re-run the pandas UDF (same
+    # fix as pip_join's polygon meta)
     pcells = polygons.withColumn(
         "_pm", _poly_meta_udf(join_res, 1 << 30)(F.col("geom_wkb"))
-    ).select(
+    ).localCheckpoint(eager=False).select(
         "feat_id", "geom_wkb",
         F.explode("_pm.cells").alias("pcell"),
         F.col("_pm.ex1").alias("_ex1"), F.col("_pm.ex2").alias("_ex2"),
