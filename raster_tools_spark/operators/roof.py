@@ -55,12 +55,33 @@ def _knn_edges(pts: np.ndarray, links: int, limit: float, chunk: int = 512):
             dd = pts[s:e, d:d + 1] - pts[None, :, d]
             d2 += dd * dd
         d2[np.arange(e - s), np.arange(s, e)] = np.inf  # exclude self
-        order = np.argsort(d2, axis=1, kind="stable")[:, :links]
-        dsel = np.take_along_axis(d2, order, axis=1)
+        # the k nearest WITHIN limit == (all within-limit candidates,
+        # stable-sorted by (d2, index), first k): any beyond-limit
+        # distance ranks after every within-limit one, so restricting
+        # the sort to the candidate set is exact.  argpartition over
+        # kth = max candidates per row replaces the full-row stable
+        # argsort (the former hot spot: O(n^2 log n) for a k of 4).
+        within = d2 < lim2
+        kmax = int(within.sum(axis=1).max(initial=0))
+        if kmax == 0:
+            continue
+        kth = min(max(kmax, links), n - 1)
+        d2m = np.where(within, d2, np.inf)
+        cand = np.argpartition(d2m, kth - 1, axis=1)[:, :kth]
+        dcand = np.take_along_axis(d2m, cand, axis=1)
+        # stable order by (distance, original index): lexsort keys are
+        # last-key-primary, so (cand, dcand) sorts by d2 then index
+        sub = np.lexsort((cand, dcand), axis=1)[:, :links]
+        order = np.take_along_axis(cand, sub, axis=1)
+        dsel = np.take_along_axis(dcand, sub, axis=1)
         ok = dsel < lim2
-        rows = np.repeat(np.arange(s, e), links).reshape(-1, links)
+        rows = np.repeat(np.arange(s, e), order.shape[1]).reshape(
+            -1, order.shape[1]
+        )
         starts.append(rows[ok])
         stops.append(order[ok])
+    if not starts:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
     return np.concatenate(starts), np.concatenate(stops)
 
 
