@@ -779,6 +779,31 @@ def main():
         ],
     )
 
+    # r6 optimization-round gates: single shared refine stage in the
+    # PIP join (the two phases union their candidates into ONE python
+    # runner) and no duplicated anchor evaluation in the zonal plan
+    audit(
+        "pip_single_refine",
+        qcat["pip_rect"](spark, SF),
+        [
+            ("exactly one MapInPandas refine stage for both phases",
+             lambda p: len(re.findall(r"\(\d+\) MapInPandas", p)) == 1),
+            ("point proxy and polygon meta are checkpointed "
+             "(ExistingRDD scans feed the joins)",
+             lambda p: p.count("Scan ExistingRDD") >= 2),
+        ],
+    )
+    audit(
+        "zonal_single_anchor_eval",
+        zdf,
+        [
+            ("anchor UDF evaluated once (was duplicated below the "
+             "cover Generate and again in the projection)",
+             lambda p: len(re.findall(r"\(\d+\) ArrowEvalPython", p))
+             == 1),
+        ],
+    )
+
     with open("docs/PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit\n\n"
