@@ -1,0 +1,139 @@
+"""Round-6 optimization internals: exact-equivalence tests for the
+kernels whose implementation changed (the round's rule: an
+optimization that changes an operator's internals gets a focused
+test proving the output did not)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from raster_tools_spark import codecs, wkb
+from raster_tools_spark.operators.roof import _knn_edges
+from raster_tools_spark.grid import CELL_SIZE, WORLD_TOP
+
+
+def _knn_edges_reference(pts, links, limit, chunk=512):
+    """The pre-round-6 implementation: full-row stable argsort."""
+    n = len(pts)
+    starts, stops = [], []
+    lim2 = limit * limit
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        d2 = np.zeros((e - s, n))
+        for d in range(pts.shape[1]):
+            dd = pts[s:e, d:d + 1] - pts[None, :, d]
+            d2 += dd * dd
+        d2[np.arange(e - s), np.arange(s, e)] = np.inf
+        order = np.argsort(d2, axis=1, kind="stable")[:, :links]
+        dsel = np.take_along_axis(d2, order, axis=1)
+        ok = dsel < lim2
+        rows = np.repeat(np.arange(s, e), links).reshape(-1, links)
+        starts.append(rows[ok])
+        stops.append(order[ok])
+    if not starts:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(starts), np.concatenate(stops)
+
+
+@pytest.mark.parametrize("links,limit", [(1, 0.2), (4, 0.5), (7, 1.5)])
+def test_knn_edges_matches_reference(links, limit):
+    rng = np.random.default_rng(7)
+    clouds = [
+        rng.random((500, 3)) * 3,                       # random
+        np.hstack(                                       # grid: exact ties
+            [np.mgrid[0:20, 0:17].reshape(2, -1).T * 0.3,
+             np.zeros((340, 1))]
+        ),
+        np.round(rng.random((400, 3)), 1),               # duplicate coords
+    ]
+    for pts in clouds:
+        a = _knn_edges_reference(pts, links, limit)
+        b = _knn_edges(pts, links, limit)
+        assert np.array_equal(a[0], b[0])
+        assert np.array_equal(a[1], b[1])
+
+
+def _rect_wkb(x1, y1, x2, y2):
+    return wkb.polygon_wkb(
+        np.array([(x1, y1), (x2, y1), (x2, y2), (x1, y2), (x1, y1)])
+    )
+
+
+def _mk_candidates():
+    """Two tiny images x three overlapping rect features, as the
+    candidate-pair batches _partials_stream consumes."""
+    rng = np.random.default_rng(3)
+    rows = []
+    for img_i in range(2):
+        px = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+        px[0, 0] = 255  # nodata pixel
+        b = codecs.png_encode(px)
+        x0 = img_i * 8 * CELL_SIZE
+        y_top = WORLD_TOP
+        for fid in range(3):
+            poly = _rect_wkb(
+                x0 + fid * CELL_SIZE, y_top - 8 * CELL_SIZE,
+                x0 + (fid + 4) * CELL_SIZE, y_top,
+            )
+            rows.append(
+                (f"img{img_i}", b, "png", x0, y_top, fid, poly, 255)
+            )
+    return pd.DataFrame(
+        rows,
+        columns=["image_id", "bytes", "fmt", "x0", "y_top",
+                 "feat_id", "geom_wkb", "nodata"],
+    )
+
+
+def _run_partials(batches, monkeypatch=None, max_feats=None):
+    from raster_tools_spark.operators import zonal as Z
+
+    if max_feats is not None:
+        monkeypatch.setattr(Z, "_MAX_ACC_FEATS", max_feats)
+    out = list(Z._partials_stream(iter(batches)))
+    return pd.concat(out, ignore_index=True) if out else pd.DataFrame()
+
+
+def _finalized(parts):
+    from raster_tools_spark.operators.zonal import _finalize
+
+    return (
+        pd.concat(
+            [_finalize(g) for _, g in parts.groupby("feat_id")],
+            ignore_index=True,
+        )
+        .sort_values("feat_id")
+        .reset_index(drop=True)
+    )
+
+
+def test_partials_preagg_flush_merge_identical(monkeypatch):
+    """Forcing the bounded-accumulator flush after every feature must
+    finalize to exactly the same per-feature stats as the unflushed
+    single-yield path (the commutative-merge property the
+    pre-aggregation relies on)."""
+    pdf = _mk_candidates()
+    one = _finalized(_run_partials([pdf]))
+    flushed = _finalized(_run_partials([pdf], monkeypatch, max_feats=1))
+    pd.testing.assert_frame_equal(one, flushed, check_exact=True)
+    # split across batches (decode state carries over) is also identical
+    split = _finalized(_run_partials([pdf.iloc[:4], pdf.iloc[4:]]))
+    pd.testing.assert_frame_equal(one, split, check_exact=True)
+    assert set(one["feat_id"]) == {0, 1, 2}
+    assert (one["cnt"] > 0).all()
+
+
+def test_span_anchor_byte_mod_identity():
+    """The one-byte anchor test used by anchored_span_pairs' hot loop
+    equals the big-endian-mod predicate whenever p divides 256."""
+    rng = np.random.default_rng(11)
+    digs = [bytes(rng.integers(0, 256, 16, dtype=np.uint8).tolist())
+            for _ in range(2000)]
+    for p in (2, 4, 8, 16, 32, 64, 128, 256):
+        assert 256 % p == 0
+        for d in digs[:500]:
+            assert (int.from_bytes(d[:4], "big") % p == 0) == (
+                d[3] % p == 0
+            )
