@@ -3610,8 +3610,15 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         obs = ev.groupBy(
             F.col("event_type"),
+            # floor-consistent bucketing: (a - pmod(a, b)) div b ==
+            # floor(a / b) exactly (integer math, no double rounding),
+            # matching DuckDB's // even for pre-1970 timestamps; plain
+            # `div` truncates toward zero and diverges there (ADVICE
+            # r5).  Identical on non-negative epochs.
             F.expr(
-                "unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000"
+                "(unix_micros(CAST(ts AS TIMESTAMP)) - "
+                "pmod(unix_micros(CAST(ts AS TIMESTAMP)), 3600000000))"
+                " div 3600000000"
             ).alias("bucket"),
         ).agg(_dsum(F.col("value")).alias("v"))
         filled = temporal.gap_fill(obs, "event_type", "bucket", "v")
@@ -3708,8 +3715,11 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         small), then once for the (cohort, offset) count-distinct."""
         ev = _t(spark, sf_dir, "events").select(
             "user_id",
+            # floor-consistent week bucket (see gap_fill's note)
             F.expr(
-                "unix_micros(CAST(ts AS TIMESTAMP)) div 604800000000"
+                "(unix_micros(CAST(ts AS TIMESTAMP)) - "
+                "pmod(unix_micros(CAST(ts AS TIMESTAMP)), 604800000000)"
+                ") div 604800000000"
             ).alias("wk"),
         )
         first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort"))

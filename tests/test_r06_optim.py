@@ -137,3 +137,18 @@ def test_span_anchor_byte_mod_identity():
             assert (int.from_bytes(d[:4], "big") % p == 0) == (
                 d[3] % p == 0
             )
+
+
+def test_floor_bucket_negative_epochs(spark):
+    """The pmod floor-division bucketing (gap_fill/cohort_retention)
+    must agree with mathematical floor for negative (pre-1970) epoch
+    micros, where plain `div` truncates toward zero (ADVICE r5)."""
+    micros = [-7_200_000_001, -3_600_000_000, -1, 0, 1,
+              3_599_999_999, 1_755_838_000_000_000]
+    df = spark.createDataFrame([(m,) for m in micros], "us long")
+    got = [
+        r.b for r in df.selectExpr(
+            "(us - pmod(us, 3600000000)) div 3600000000 AS b"
+        ).collect()
+    ]
+    assert got == [m // 3_600_000_000 for m in micros]
