@@ -74,41 +74,73 @@ def label(mask: np.ndarray) -> Tuple[np.ndarray, int]:
     default-structure semantics, numbered in row-major first-appearance
     order).
 
-    VECTORIZED min-label propagation: every mask pixel starts at its
-    flat index; Jacobi rounds take the minimum over the 4-neighborhood
-    until fixpoint (O(component diameter) whole-array numpy ops -- no
-    per-pixel Python).  The converged value is the component's minimum
-    flat index, so sorting the distinct minima reproduces ndimage's
-    scan-order numbering exactly.
+    Run-based two-pass union-find, fully vectorized: horizontal runs
+    are found with one diff over the row-padded mask, vertical
+    adjacencies between runs come from the pixel-wise AND of adjacent
+    rows, and the only Python loop is union-find over the UNIQUE
+    run-adjacency pairs (O(runs), not O(pixels)).  A component's root
+    run carries the minimum flat index, which is exactly its row-major
+    first appearance, so sorting roots by that minimum reproduces
+    ndimage's scan-order numbering.  Replaces the former Jacobi
+    min-propagation whose cost was O(component diameter) full-array
+    rounds -- ~100 ms/tile on 256 px footprint masks, now ~1 ms.
     """
     h, w = mask.shape
-    big = np.int64(h * w)
-    lab = np.where(
-        mask, np.arange(h * w, dtype=np.int64).reshape(h, w), big
-    )
-    # Jacobi rounds cost O(diameter); serpentine components have
-    # diameter O(n), so cap the rounds and fall back to the scanline
-    # union-find (near-linear worst case) when a pathological shape
-    # hasn't converged
-    max_rounds = 4 * (h + w)
-    for _ in range(max_rounds):
-        new = lab.copy()
-        np.minimum(new[1:, :], lab[:-1, :], out=new[1:, :])
-        np.minimum(new[:-1, :], lab[1:, :], out=new[:-1, :])
-        np.minimum(new[:, 1:], lab[:, :-1], out=new[:, 1:])
-        np.minimum(new[:, :-1], lab[:, 1:], out=new[:, :-1])
-        new[~mask] = big
-        if np.array_equal(new, lab):
-            break
-        lab = new
-    else:
-        return _label_unionfind(mask)
-    roots = np.unique(lab[mask])
+    m = np.asarray(mask, dtype=bool)
     labels = np.zeros((h, w), dtype=np.int32)
-    if roots.size:
-        labels[mask] = (
-            np.searchsorted(roots, lab[mask]) + 1
-        ).astype(np.int32)
+    if not m.any():
+        return labels, 0
+    # row-padded flat view so runs never wrap across rows
+    mp = np.zeros((h, w + 1), dtype=bool)
+    mp[:, :w] = m
+    flat = mp.ravel()
+    prev = np.empty_like(flat)
+    prev[0] = False
+    prev[1:] = flat[:-1]
+    is_start = flat & ~prev
+    # run id per padded-flat pixel (valid where flat is True)
+    rid_flat = np.cumsum(is_start) - 1
+    n_runs = int(is_start.sum())
+    run_start = np.nonzero(is_start)[0]  # padded flat index, ascending
+
+    parent = np.arange(n_runs, dtype=np.int64)
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    # vertical adjacency: pixels True in both row i and row i+1 unite
+    # their runs; dedup pairs first so the Python loop is O(runs)
+    both = mp[:-1, :w] & mp[1:, :w]
+    if both.any():
+        rid = rid_flat.reshape(h, w + 1)
+        up = rid[:-1, :w][both]
+        dn = rid[1:, :w][both]
+        pairs = np.unique(up * np.int64(n_runs) + dn)
+        for pair in pairs.tolist():
+            a, b = divmod(pair, n_runs)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by smaller root so the root's run_start stays
+                # the component minimum (run ids ascend with flat pos)
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+    # path-compress every run to its final root, vectorized doubling
+    while True:
+        pp = parent[parent]
+        if np.array_equal(pp, parent):
+            break
+        parent = pp
+    roots = np.unique(parent)
+    # scan-order numbering: roots ascend with their first run's start
+    # (the root IS the component's smallest run id by the union rule)
+    comp_of_run = np.searchsorted(roots, parent) + 1
+    lab_per_pixel = comp_of_run[rid_flat.reshape(h, w + 1)[:, :w][m]]
+    labels[m] = lab_per_pixel.astype(np.int32)
     return labels, int(roots.size)
 
 

@@ -152,3 +152,49 @@ def test_floor_bucket_negative_epochs(spark):
         ).collect()
     ]
     assert got == [m // 3_600_000_000 for m in micros]
+
+
+def _label_jacobi_reference(mask):
+    """The pre-round-6 label(): Jacobi min-propagation to fixpoint."""
+    h, w = mask.shape
+    big = np.int64(h * w)
+    lab = np.where(
+        mask, np.arange(h * w, dtype=np.int64).reshape(h, w), big
+    )
+    for _ in range(h * w + 2):  # true fixpoint, no round cap
+        new = lab.copy()
+        np.minimum(new[1:, :], lab[:-1, :], out=new[1:, :])
+        np.minimum(new[:-1, :], lab[1:, :], out=new[:-1, :])
+        np.minimum(new[:, 1:], lab[:, :-1], out=new[:, 1:])
+        np.minimum(new[:, :-1], lab[:, 1:], out=new[:, :-1])
+        new[~mask] = big
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    roots = np.unique(lab[mask])
+    labels = np.zeros((h, w), dtype=np.int32)
+    if roots.size:
+        labels[mask] = (
+            np.searchsorted(roots, lab[mask]) + 1
+        ).astype(np.int32)
+    return labels, int(roots.size)
+
+
+def test_label_runbased_matches_jacobi_reference():
+    from raster_tools_spark.fillnodata import label
+
+    rng = np.random.default_rng(13)
+    cases = [rng.random(shape) < p
+             for p in (0.2, 0.5, 0.8)
+             for shape in ((1, 1), (1, 17), (23, 1), (13, 17), (48, 48))
+             for _ in range(4)]
+    serp = np.zeros((40, 40), bool)
+    serp[::2, :] = True
+    serp[1::4, -1] = True
+    serp[3::4, 0] = True
+    cases += [serp, np.zeros((8, 8), bool), np.ones((8, 8), bool)]
+    for m in cases:
+        a_lab, a_n = _label_jacobi_reference(m)
+        b_lab, b_n = label(m)
+        assert a_n == b_n
+        assert np.array_equal(a_lab, b_lab)
