@@ -274,12 +274,27 @@ def nearest_values(
     chunk: int = 2048,
 ) -> np.ndarray:
     """Nearest-point value per query; distance ties break to the LOWEST
-    point index (deterministic, mirrored by the SQL oracle)."""
+    point index (deterministic, mirrored by the SQL oracle).
+
+    Large workloads (>4M point-query pairs) prune candidates per
+    spatial tile of queries before the scan; small ones -- including
+    every hash-exact grid_* oracle query -- take the direct scan
+    unchanged.  The pruned path is bit-identical: a point is dropped
+    for a tile only when its distance to the tile's query bbox exceeds
+    the tile's nearest-neighbor upper bound (min over points of the
+    max distance to the bbox corners) by a relative slack, so float
+    rounding can only ADD candidates; the survivors stay in ascending
+    point order and the per-pair arithmetic is the same expression, so
+    argmin's first-minimum rule picks the same lowest-index winner.
+    """
     pts = np.asarray(points, dtype=np.float64)
     z = np.asarray(z, dtype=np.float64)
     qx = np.asarray(qx, dtype=np.float64).ravel()
     qy = np.asarray(qy, dtype=np.float64).ravel()
     out = np.empty(qx.size)
+    if qx.size * len(pts) > 4_000_000 and len(pts) >= 32 and qx.size:
+        _nearest_pruned(pts, z, qx, qy, out)
+        return out
     for s in range(0, qx.size, chunk):
         e = min(s + chunk, qx.size)
         dx = qx[s:e, None] - pts[None, :, 0]
@@ -288,6 +303,44 @@ def nearest_values(
         # argmin returns the FIRST minimum -> lowest index on ties
         out[s:e] = z[np.argmin(d2, axis=1)]
     return out
+
+
+def _nearest_pruned(
+    pts: np.ndarray,
+    z: np.ndarray,
+    qx: np.ndarray,
+    qy: np.ndarray,
+    out: np.ndarray,
+    tiles: int = 16,
+) -> None:
+    """Tile-pruned exact nearest scan (see nearest_values docstring)."""
+    x1, x2 = qx.min(), qx.max()
+    y1, y2 = qy.min(), qy.max()
+    ts = max(x2 - x1, y2 - y1, 1e-9) / tiles
+    ti = np.minimum(((qx - x1) / ts).astype(np.int64), tiles - 1)
+    tj = np.minimum(((qy - y1) / ts).astype(np.int64), tiles - 1)
+    tid = ti * tiles + tj
+    order = np.argsort(tid, kind="stable")
+    tid_s = tid[order]
+    starts = np.searchsorted(tid_s, np.unique(tid_s)).tolist() + [qx.size]
+    px = pts[:, 0]
+    py = pts[:, 1]
+    for k in range(len(starts) - 1):
+        qsel = order[starts[k]: starts[k + 1]]
+        bx1, bx2 = qx[qsel].min(), qx[qsel].max()
+        by1, by2 = qy[qsel].min(), qy[qsel].max()
+        # point-to-bbox distance^2 and max distance^2 to bbox corners
+        ddx = np.maximum(np.maximum(bx1 - px, px - bx2), 0.0)
+        ddy = np.maximum(np.maximum(by1 - py, py - by2), 0.0)
+        dmin2 = ddx * ddx + ddy * ddy
+        mdx = np.maximum(np.abs(px - bx1), np.abs(px - bx2))
+        mdy = np.maximum(np.abs(py - by1), np.abs(py - by2))
+        dup2 = (mdx * mdx + mdy * mdy).min()
+        cand = np.nonzero(dmin2 <= dup2 * (1.0 + 1e-9) + 1e-12)[0]
+        dqx = qx[qsel, None] - px[None, cand]
+        dqy = qy[qsel, None] - py[None, cand]
+        d2 = dqx * dqx + dqy * dqy
+        out[qsel] = z[cand[np.argmin(d2, axis=1)]]
 
 
 def dedup_points(points: np.ndarray, z: np.ndarray):

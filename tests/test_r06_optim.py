@@ -198,3 +198,57 @@ def test_label_runbased_matches_jacobi_reference():
         b_lab, b_n = label(m)
         assert a_n == b_n
         assert np.array_equal(a_lab, b_lab)
+
+
+def _nearest_scan_reference(points, z, qx, qy, chunk=2048):
+    """The pre-round-6 nearest_values: direct chunked full scan."""
+    pts = np.asarray(points, dtype=np.float64)
+    z = np.asarray(z, dtype=np.float64)
+    qx = np.asarray(qx, dtype=np.float64).ravel()
+    qy = np.asarray(qy, dtype=np.float64).ravel()
+    out = np.empty(qx.size)
+    for s in range(0, qx.size, chunk):
+        e = min(s + chunk, qx.size)
+        dx = qx[s:e, None] - pts[None, :, 0]
+        dy = qy[s:e, None] - pts[None, :, 1]
+        d2 = dx * dx + dy * dy
+        out[s:e] = z[np.argmin(d2, axis=1)]
+    return out
+
+
+def test_nearest_pruned_matches_full_scan():
+    """The tile-pruned nearest path must be bit-identical to the full
+    scan, including the lowest-index rule on EXACT distance ties
+    (quantized coordinate clouds force many)."""
+    from raster_tools_spark.functions.triangulate import (
+        _nearest_pruned, nearest_values)
+
+    rng = np.random.RandomState(11)
+    for trial in range(45):
+        kind = trial % 3
+        n = rng.randint(33, 400)
+        if kind == 0:
+            pts = rng.rand(n, 2) * 10
+        elif kind == 1:
+            g = rng.randint(6, 14)
+            xs, ys = np.meshgrid(np.arange(g) * 0.5, np.arange(g) * 0.5)
+            pts = np.c_[xs.ravel(), ys.ravel()][:n]
+        else:
+            pts = np.round(rng.rand(n, 2) * 8) * 0.25  # exact ties
+        z = rng.rand(len(pts))
+        nq = rng.randint(200, 3000)
+        q = rng.rand(nq, 2) * 30 - 10
+        ref = _nearest_scan_reference(pts, z, q[:, 0], q[:, 1])
+        got = np.empty(nq)
+        _nearest_pruned(
+            np.asarray(pts, float), z, q[:, 0].copy(), q[:, 1].copy(),
+            got, tiles=int(rng.randint(2, 20)))
+        assert np.array_equal(ref, got), f"trial {trial}"
+    # the public gate: big workloads flip to the pruned path and still
+    # equal the reference scan
+    pts = rng.rand(600, 2) * 12
+    z = rng.rand(600)
+    q = rng.rand(8000, 2) * 40 - 14
+    assert np.array_equal(
+        nearest_values(pts, z, q[:, 0], q[:, 1]),
+        _nearest_scan_reference(pts, z, q[:, 0], q[:, 1]))
