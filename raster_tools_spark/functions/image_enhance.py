@@ -36,13 +36,6 @@ BOX_BLUR_SCHEMA = (
 )
 
 
-def _integral(px: np.ndarray) -> np.ndarray:
-    """(h+1, w+1) exclusive-prefix integral image, int64 exact."""
-    ii = np.zeros((px.shape[0] + 1, px.shape[1] + 1), dtype=np.int64)
-    np.cumsum(np.cumsum(px, axis=0, dtype=np.int64), axis=1, out=ii[1:, 1:])
-    return ii
-
-
 def box_blur_stats(images: DataFrame, radius: int = 2) -> DataFrame:
     """Clamped-window box mean via integral image.
 
@@ -86,20 +79,23 @@ def box_blur_stats(images: DataFrame, radius: int = 2) -> DataFrame:
 
 def _box_blur_plane(px: np.ndarray, radius: int) -> np.ndarray:
     h, w = px.shape
-    ii = _integral(px)
+    # int32 integral whenever the grand total cannot overflow it (any
+    # u8 image under ~8.4M px): every cumsum, band difference, and
+    # floor-divide then holds the identical integers 2x cheaper.
+    dt = np.int32 if px.size * 255 < 2 ** 31 else np.int64
+    ii = np.zeros((h + 1, w + 1), dtype=dt)
+    np.cumsum(np.cumsum(px, axis=0, dtype=dt), axis=1, out=ii[1:, 1:])
     i = np.arange(h)
     j = np.arange(w)
     i0 = np.maximum(i - radius, 0)
     i1 = np.minimum(i + radius + 1, h)
     j0 = np.maximum(j - radius, 0)
     j1 = np.minimum(j + radius + 1, w)
-    # window sums via the four integral-image corners
-    s = (
-        ii[np.ix_(i1, j1)]
-        - ii[np.ix_(i0, j1)]
-        - ii[np.ix_(i1, j0)]
-        + ii[np.ix_(i0, j0)]
-    )
+    # window sums: row-band differences first (plain row takes), then
+    # column differences -- the same four-corner integers reassociated
+    # exactly, without the four full 2-D fancy gathers of np.ix_
+    band = ii[i1] - ii[i0]
+    s = band[:, j1] - band[:, j0]
     cnt = (i1 - i0)[:, None] * (j1 - j0)[None, :]
     return (s // cnt).astype(np.int64)
 
