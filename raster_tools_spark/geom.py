@@ -157,17 +157,48 @@ def _scanline_fill(mask, rings, p, a, q, d, i0, i1, j0, j1):
     M = np.where(straddle, xint, np.inf)
     M.sort(axis=1)
     counts = straddle.sum(axis=1)
-    for r in range(i1 - i0):
-        m = counts[r]
-        if m == 0:
-            continue
-        row = M[r]
-        for k in range(0, m - 1, 2):
-            t_lo, t_hi = row[k], row[k + 1]
-            js = max(int(np.ceil((t_lo - p) / a - 0.5)), j0)
-            je = min(int(np.ceil((t_hi - p) / a - 0.5)), j1)
-            if je > js:
-                mask[i0 + r, js:je] = True
+    maxm = int(counts.max()) if counts.size else 0
+    if maxm < 2:
+        return
+    # vectorized interval fill: the same even-odd pairs ((0,1), (2,3),
+    # ...; an odd trailing crossing is skipped exactly as the scalar
+    # loop did), the same ceil((t - p)/a - 0.5) pixel arithmetic, then
+    # one difference-array accumulation instead of a Python loop over
+    # rows x intervals
+    lo = M[:, 0:maxm - 1:2]
+    hi = M[:, 1:maxm:2]
+    valid = np.arange(0, maxm - 1, 2)[None, :] < (counts[:, None] - 1)
+    with np.errstate(invalid="ignore"):
+        jsf = np.ceil((lo - p) / a - 0.5)
+        jef = np.ceil((hi - p) / a - 0.5)
+    jsf = np.where(valid, jsf, 0.0)
+    jef = np.where(valid, jef, 0.0)
+    # clamp BEFORE the int cast: ceil yields exact integral floats, so
+    # clamping to the integer bounds commutes with the cast while
+    # keeping huge intersections (near-horizontal edges) in range
+    js = np.clip(jsf, j0, j1).astype(np.int64)
+    je = np.clip(jef, j0, j1).astype(np.int64)
+    valid &= je > js
+    if not valid.any():
+        return
+    if maxm == 2:
+        # one interval per row (every convex ring): a broadcast range
+        # test needs no scatter or cumsum
+        cols = np.arange(j0, j1)
+        inside = (
+            valid[:, :1]
+            & (cols[None, :] >= js[:, :1])
+            & (cols[None, :] < je[:, :1])
+        )
+        mask[i0:i1, j0:j1] |= inside
+        return
+    rows, cols = np.nonzero(valid)
+    width1 = j1 - j0 + 1
+    diff = np.zeros((i1 - i0) * width1, dtype=np.int32)
+    np.add.at(diff, rows * width1 + (js[rows, cols] - j0), 1)
+    np.add.at(diff, rows * width1 + (je[rows, cols] - j0), -1)
+    inside = diff.reshape(i1 - i0, width1).cumsum(axis=1)[:, :-1] > 0
+    mask[i0:i1, j0:j1] |= inside
 
 
 def _ring_env(ring: np.ndarray):

@@ -252,3 +252,74 @@ def test_nearest_pruned_matches_full_scan():
     assert np.array_equal(
         nearest_values(pts, z, q[:, 0], q[:, 1]),
         _nearest_scan_reference(pts, z, q[:, 0], q[:, 1]))
+
+
+def _scanline_fill_reference(mask, rings, p, a, q, d, i0, i1, j0, j1):
+    """The pre-round-6 scalar fill: per-row Python loop over even-odd
+    intersection pairs."""
+    from raster_tools_spark.geom import _edges_of_rings
+
+    x1e, y1e, x2e, y2e = _edges_of_rings(rings)
+    ys = q + d * (np.arange(i0, i1, dtype=np.float64) + 0.5)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        straddle = (y1e[None, :] > ys[:, None]) != (
+            y2e[None, :] > ys[:, None]
+        )
+        xint = x1e + (ys[:, None] - y1e) * (x2e - x1e) / (y2e - y1e)
+    M = np.where(straddle, xint, np.inf)
+    M.sort(axis=1)
+    counts = straddle.sum(axis=1)
+    for r in range(i1 - i0):
+        m = counts[r]
+        if m == 0:
+            continue
+        row = M[r]
+        for k in range(0, m - 1, 2):
+            t_lo, t_hi = row[k], row[k + 1]
+            js = max(int(np.ceil((t_lo - p) / a - 0.5)), j0)
+            je = min(int(np.ceil((t_hi - p) / a - 0.5)), j1)
+            if je > js:
+                mask[i0 + r, js:je] = True
+
+
+def test_scanline_fill_vectorized_matches_scalar():
+    """The difference-array fill must reproduce the scalar loop bit-
+    for-bit over random simple/star/multi-ring polygons, including
+    rings landing exactly on pixel centers (forced dyadic vertices)."""
+    from raster_tools_spark.geom import _scanline_fill
+
+    rng = np.random.RandomState(5)
+    for trial in range(60):
+        h = int(rng.randint(4, 40))
+        w = int(rng.randint(4, 40))
+        p, a, q, d = 0.0, 1.0, float(h), -1.0
+        nring = 1 + (trial % 3 == 2)
+        rings = []
+        for _ in range(nring):
+            nv = int(rng.randint(3, 11))
+            cx, cy = rng.rand(2) * [w, h]
+            ang = np.sort(rng.rand(nv) * 2 * np.pi)
+            rad = rng.rand(nv) * (min(h, w) / 2) + 0.5
+            vx = cx + rad * np.cos(ang)
+            vy = cy + rad * np.sin(ang)
+            if trial % 4 == 0:  # dyadic: vertices on the center lattice
+                vx = np.round(vx * 2) / 2
+                vy = np.round(vy * 2) / 2
+            ring = np.c_[vx, vy]
+            rings.append(np.vstack([ring, ring[:1]]))
+        i0, i1 = 0, h
+        j0, j1 = 0, w
+        ref = np.zeros((h, w), dtype=bool)
+        got = np.zeros((h, w), dtype=bool)
+        _scanline_fill_reference(ref, rings, p, a, q, d, i0, i1, j0, j1)
+        _scanline_fill(got, rings, p, a, q, d, i0, i1, j0, j1)
+        assert np.array_equal(ref, got), f"trial {trial}"
+        # clipped sub-windows must agree too
+        si0, si1 = 1, max(2, h - 2)
+        sj0, sj1 = 1, max(2, w - 2)
+        ref2 = np.zeros((h, w), dtype=bool)
+        got2 = np.zeros((h, w), dtype=bool)
+        _scanline_fill_reference(
+            ref2, rings, p, a, q, d, si0, si1, sj0, sj1)
+        _scanline_fill(got2, rings, p, a, q, d, si0, si1, sj0, sj1)
+        assert np.array_equal(ref2, got2), f"trial {trial} clipped"
