@@ -108,6 +108,7 @@ def delaunay(points: np.ndarray) -> np.ndarray:
         return top + m
 
     top = put([(n, n + 1, n + 2)], 0)
+    n_live = 1  # tracked incrementally -- no O(top) recount per insert
 
     for i in range(n):
         px, py = allp[i]
@@ -128,8 +129,10 @@ def delaunay(points: np.ndarray) -> np.ndarray:
                 else:
                     edges[key] = e  # keep orientation of first sight
         alive[idx] = False
+        prev_top = top
         top = put([(e[0], e[1], i) for e in edges.values()], top)
-        if top > 256 and alive[:top].sum() * 3 < top:
+        n_live += (top - prev_top) - idx.size
+        if top > 256 and n_live * 3 < top:
             # compact: copy live rows down
             live = np.nonzero(alive[:top])[0]
             m = live.size
