@@ -738,11 +738,36 @@ def blob_stats(images: DataFrame, threshold: int = 255) -> DataFrame:
 
 
 def _blob_sizes(mask: np.ndarray) -> list:
-    """Union-find over the True cells of ``mask``, 8-connectivity;
-    returns the component sizes (unordered)."""
-    coords = np.argwhere(mask)
-    idx = {(int(i), int(j)): k for k, (i, j) in enumerate(coords)}
-    parent = list(range(len(coords)))
+    """Component sizes of the True cells, 8-connectivity; returned
+    unordered (every caller takes len/max/sum, so labeling order never
+    mattered).
+
+    Run-based union-find, the 8-connectivity sibling of
+    fillnodata.label: horizontal runs from one diff over the
+    row-padded mask, row-to-row adjacency from the pixel-wise AND of
+    the straight and both diagonal alignments, Python loop only over
+    UNIQUE run pairs -- O(runs), replacing the former per-pixel dict
+    walk whose ~us-per-pixel constant made megapixel masks cost
+    minutes."""
+    h, w = mask.shape
+    m = np.asarray(mask, dtype=bool)
+    if not m.any():
+        return []
+    mp = np.zeros((h, w + 1), dtype=bool)
+    mp[:, :w] = m
+    flat = mp.ravel()
+    prev = np.empty_like(flat)
+    prev[0] = False
+    prev[1:] = flat[:-1]
+    nxt = np.empty_like(flat)
+    nxt[-1] = False
+    nxt[:-1] = flat[1:]
+    is_start = flat & ~prev
+    rid_flat = np.cumsum(is_start) - 1
+    n_runs = int(is_start.sum())
+    run_len = np.nonzero(flat & ~nxt)[0] - np.nonzero(is_start)[0] + 1
+
+    parent = np.arange(n_runs, dtype=np.int64)
 
     def find(a: int) -> int:
         while parent[a] != a:
@@ -750,13 +775,29 @@ def _blob_sizes(mask: np.ndarray) -> list:
             a = parent[a]
         return a
 
-    for (i, j), k in idx.items():
-        for di, dj in ((-1, -1), (-1, 0), (-1, 1), (0, -1)):
-            nb = idx.get((i + di, j + dj))
-            if nb is not None:
-                ra, rb = find(k), find(nb)
-                if ra != rb:
-                    parent[rb] = ra
-    from collections import Counter
-
-    return list(Counter(find(k) for k in range(len(coords))).values())
+    rid = rid_flat.reshape(h, w + 1)
+    keys = []
+    for both, ru, rd in (
+        (mp[:-1, :w] & mp[1:, :w], rid[:-1, :w], rid[1:, :w]),
+        (mp[:-1, 1:w] & mp[1:, : w - 1], rid[:-1, 1:w],
+         rid[1:, : w - 1]),
+        (mp[:-1, : w - 1] & mp[1:, 1:w], rid[:-1, : w - 1],
+         rid[1:, 1:w]),
+    ):
+        if both.any():
+            keys.append(ru[both] * np.int64(n_runs) + rd[both])
+    if keys:
+        for pair in np.unique(np.concatenate(keys)).tolist():
+            a, b = divmod(pair, n_runs)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    # vectorized full path compression (pointer doubling)
+    while True:
+        pp = parent[parent]
+        if np.array_equal(pp, parent):
+            break
+        parent = pp
+    sizes = np.zeros(n_runs, dtype=np.int64)
+    np.add.at(sizes, parent, run_len)
+    return [int(s) for s in sizes[sizes > 0]]

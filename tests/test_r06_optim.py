@@ -323,3 +323,52 @@ def test_scanline_fill_vectorized_matches_scalar():
             ref2, rings, p, a, q, d, si0, si1, sj0, sj1)
         _scanline_fill(got2, rings, p, a, q, d, si0, si1, sj0, sj1)
         assert np.array_equal(ref2, got2), f"trial {trial} clipped"
+
+
+def _blob_sizes_reference(mask):
+    """The pre-round-6 per-pixel dict union-find, 8-connectivity."""
+    coords = np.argwhere(mask)
+    idx = {(int(i), int(j)): k for k, (i, j) in enumerate(coords)}
+    parent = list(range(len(coords)))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for (i, j), k in idx.items():
+        for di, dj in ((-1, -1), (-1, 0), (-1, 1), (0, -1)):
+            nb = idx.get((i + di, j + dj))
+            if nb is not None:
+                ra, rb = find(k), find(nb)
+                if ra != rb:
+                    parent[rb] = ra
+    from collections import Counter
+
+    return list(Counter(find(k) for k in range(len(coords))).values())
+
+
+def test_blob_sizes_runbased_matches_dict_reference():
+    """Size multisets must match the per-pixel reference exactly over
+    random densities, serpentines, diagonal-only chains, and
+    degenerate shapes (8-connectivity)."""
+    from raster_tools_spark.functions.image_enhance import _blob_sizes
+
+    rng = np.random.default_rng(29)
+    cases = [rng.random(shape) < p
+             for p in (0.15, 0.4, 0.6, 0.9)
+             for shape in ((1, 1), (1, 19), (23, 1), (14, 17), (40, 40))
+             for _ in range(3)]
+    diag = np.zeros((12, 12), bool)
+    for t in range(11):
+        diag[t, t] = True
+        diag[t, 11 - t] = True
+    serp = np.zeros((30, 30), bool)
+    serp[::2, :] = True
+    serp[1::4, -1] = True
+    serp[3::4, 0] = True
+    cases += [diag, serp, np.zeros((6, 6), bool), np.ones((6, 6), bool)]
+    for msk in cases:
+        assert (sorted(_blob_sizes(msk))
+                == sorted(_blob_sizes_reference(msk)))
