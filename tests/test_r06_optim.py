@@ -372,3 +372,28 @@ def test_blob_sizes_runbased_matches_dict_reference():
     for msk in cases:
         assert (sorted(_blob_sizes(msk))
                 == sorted(_blob_sizes_reference(msk)))
+
+
+def test_nearest_pruned_degenerate_geometry():
+    """Zero-extent query sets (every query identical) and far-away
+    clusters must take the pruned path without loss: the tile grid
+    degenerates to one cell and the bound still admits the winner."""
+    from raster_tools_spark.functions.triangulate import _nearest_pruned
+
+    rng = np.random.RandomState(3)
+    pts = rng.rand(200, 2) * 4 + 1000.0  # cluster far from queries
+    z = rng.rand(200)
+    # all queries the SAME point -> qx/qy extent exactly 0
+    qx = np.full(500, -5.0)
+    qy = np.full(500, 7.5)
+    ref = _nearest_scan_reference(pts, z, qx, qy)
+    got = np.empty(500)
+    _nearest_pruned(pts, z, qx.copy(), qy.copy(), got, tiles=16)
+    assert np.array_equal(ref, got)
+    # queries ON the cluster plus a distant tail in one call
+    qx2 = np.concatenate([pts[:100, 0], np.linspace(-50, 2000, 400)])
+    qy2 = np.concatenate([pts[:100, 1], np.full(400, 3.0)])
+    ref2 = _nearest_scan_reference(pts, z, qx2, qy2)
+    got2 = np.empty(qx2.size)
+    _nearest_pruned(pts, z, qx2.copy(), qy2.copy(), got2, tiles=7)
+    assert np.array_equal(ref2, got2)
