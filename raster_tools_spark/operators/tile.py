@@ -4,12 +4,13 @@ quadtree cells at resolutions 7..11 plus a Hilbert order key.
 The retile-semantics core (SURVEY.md section 3.1): the reference
 re-anchors its geo transform per index feature
 (raster_tools/retile.py:47 -> utils.py:82-92) and window-reads by
-inverse-affine grid math (utils.py:114-144).  Here the anchor is a
-deterministic function of ``phash`` (FIXTURES.md section 1) computed in
-ONE vectorized pandas UDF (uint64 wraparound math that ANSI-mode Spark
-SQL would reject), and everything downstream -- cell keys at every
-resolution, parent rollups -- is JVM-side floor arithmetic that stays
-inside whole-stage codegen.
+inverse-affine grid math (utils.py:114-144).  The anchor is a
+deterministic function of ``phash`` (FIXTURES.md section 1); the
+wrapping int64 Knuth multiply that ANSI-mode Spark SQL rejects is
+decomposed into overflow-free halves (see ``_anchor_cols``), so the
+anchor AND everything downstream -- cell keys at every resolution,
+parent rollups -- are JVM-side expressions that stay inside
+whole-stage codegen; no Python hop remains on the image scan path.
 
 Scale notes: no shuffle here at all; this is a narrow map over the scan.
 ``hilbert`` is the range-partitioning key that keeps spatially adjacent
@@ -24,34 +25,52 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..grid import WORLD_TOP, cell_edge, RES_TILE
-from ..synth import anchor_of_phash_windowed
-from ..grid import anchor_of_phash as _anchor_full
+from ..grid import TILE_SIZE, WORLD_TOP, _ANCHOR_MULT, cell_edge, RES_TILE
+
+_M31 = (1 << 31) - 1
+_M62 = (1 << 62) - 1
 
 
-def _anchor_udf(tiles_axis: int):
-    @F.pandas_udf(
-        T.StructType(
-            [
-                T.StructField("x0", T.DoubleType()),
-                T.StructField("y_top", T.DoubleType()),
-            ]
-        )
+def _anchor_cols(phash: Column, tiles_axis: int):
+    """JVM-side ``phash -> (x0, y_top)`` anchor -- bit-exact mirror of
+    grid.anchor_of_phash / synth.anchor_of_phash_windowed.
+
+    numpy computes ``mixed = wrap64(p * C) & (2^62 - 1)``; ANSI-mode
+    Spark throws on long overflow instead of wrapping, so the multiply
+    is decomposed at bit 31.  For ANY int64 p (bits 62/63 contribute
+    multiples of 2^62 and vanish under the mask):
+
+        t = (((p >> 31) & m31) * C) & m31    -- (p_hi * C) mod 2^31
+        u = ((p & m31) * C) & m62            -- (p_lo * C) mod 2^62
+        mixed = (u + (t << 31)) & m62
+
+    Every intermediate stays below 2^63 - 1: the two products are at
+    most (2^31 - 1) * C < 2^62.4, and u + (t << 31) is at most
+    2^63 - 2^31 - 1, so no ANSI overflow is reachable.  tx/ty then
+    scale by the dyadic TILE_SIZE -- long->double cast and double
+    multiply are the same IEEE operations numpy performs, so the
+    result is bit-identical to the former pandas UDF (equivalence
+    property test in test_r06_optim.py sweeps random/extreme/negative
+    phashes).  Being a plain expression, the anchor now fuses into
+    whole-stage codegen -- the ArrowEvalPython hop this UDF used to
+    put on every image scan (and the asNondeterministic marking that
+    kept the optimizer from cloning it) are gone.
+    """
+    mask = (tiles_axis if tiles_axis < 4096 else 4096) - 1
+    c = F.lit(int(_ANCHOR_MULT))
+    p = phash.cast("long")
+    t = (F.shiftright(p, 31).bitwiseAND(F.lit(_M31)) * c).bitwiseAND(
+        F.lit(_M31)
     )
-    def anchor(phash: pd.Series) -> pd.DataFrame:
-        if tiles_axis >= 4096:
-            x0, y_top = _anchor_full(phash.to_numpy())
-        else:
-            x0, y_top = anchor_of_phash_windowed(phash.to_numpy(), tiles_axis)
-        return pd.DataFrame({"x0": x0, "y_top": y_top})
-
-    # the function IS deterministic; the marking stops the optimizer
-    # from splitting the struct-field extraction into one full UDF
-    # evaluation PER consumer expression (observed: a Generate whose
-    # input derives from x0/y_top re-ran the anchor below the generate
-    # while the output projection ran it again -- guide 4.4's
-    # duplicated-BatchEvalPython disease, 2x the Python boundary cost)
-    return anchor.asNondeterministic()
+    u = (p.bitwiseAND(F.lit(_M31)) * c).bitwiseAND(F.lit(_M62))
+    mixed = (u + F.shiftleft(t, 31)).bitwiseAND(F.lit(_M62))
+    tx = F.shiftright(mixed, 20).bitwiseAND(F.lit(mask))
+    ty = F.shiftright(mixed, 2).bitwiseAND(F.lit(mask))
+    x0 = tx.cast("double") * F.lit(float(TILE_SIZE))
+    y_top = F.lit(float(WORLD_TOP)) - ty.cast("double") * F.lit(
+        float(TILE_SIZE)
+    )
+    return x0, y_top
 
 
 def cell_col(x: Column, y: Column, res: int) -> Column:
@@ -93,11 +112,10 @@ def assign_cells(
     the center's cell at each resolution.  Assignment is a pure function
     of the row -> bit-identical at any parallelism (north rule).
     """
-    df = images.withColumn("_anchor", _anchor_udf(tiles_axis)(F.col("phash")))
+    x0c, ytc = _anchor_cols(F.col("phash"), tiles_axis)
     df = (
-        df.withColumn("x0", F.col("_anchor.x0"))
-        .withColumn("y_top", F.col("_anchor.y_top"))
-        .drop("_anchor")
+        images.withColumn("x0", x0c)
+        .withColumn("y_top", ytc)
         .withColumn("cx", F.col("x0") + F.col("w").cast("double") * 0.25)
         .withColumn("cy", F.col("y_top") - F.col("h").cast("double") * 0.25)
     )

@@ -397,3 +397,37 @@ def test_nearest_pruned_degenerate_geometry():
     got2 = np.empty(qx2.size)
     _nearest_pruned(pts, z, qx2.copy(), qy2.copy(), got2, tiles=7)
     assert np.array_equal(ref2, got2)
+
+
+def test_anchor_cols_matches_numpy(spark):
+    """The JVM anchor expression must reproduce the numpy wrapping
+    Knuth multiply bit-for-bit for any int64 phash -- random bits,
+    negatives, and the extremes -- at windowed and full tile axes."""
+    import pyspark.sql.functions as F
+
+    from raster_tools_spark.grid import anchor_of_phash
+    from raster_tools_spark.operators.tile import _anchor_cols
+    from raster_tools_spark.synth import anchor_of_phash_windowed
+
+    rng = np.random.RandomState(17)
+    ph = np.concatenate([
+        rng.randint(-(2 ** 63), 2 ** 63 - 1, size=4000, dtype=np.int64),
+        np.array([0, 1, -1, 2 ** 62, 2 ** 63 - 1, -(2 ** 63),
+                  (1 << 62) - 1, (1 << 31) - 1, -(1 << 31)],
+                 dtype=np.int64),
+    ])
+    df = spark.createDataFrame(
+        [(int(v),) for v in ph], schema="phash long")
+    for axis in (16, 256, 1024, 4096, 8192):
+        x0c, ytc = _anchor_cols(F.col("phash"), axis)
+        got = (
+            df.select("phash", x0c.alias("x0"), ytc.alias("y_top"))
+            .toPandas().sort_values("phash").reset_index(drop=True)
+        )
+        if axis >= 4096:
+            ex0, ey = anchor_of_phash(got["phash"].to_numpy())
+        else:
+            ex0, ey = anchor_of_phash_windowed(
+                got["phash"].to_numpy(), axis)
+        assert np.array_equal(got["x0"].to_numpy(), ex0), axis
+        assert np.array_equal(got["y_top"].to_numpy(), ey), axis

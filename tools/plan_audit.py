@@ -797,10 +797,11 @@ def main():
         "zonal_single_anchor_eval",
         zdf,
         [
-            ("anchor UDF evaluated once (was duplicated below the "
-             "cover Generate and again in the projection)",
+            ("no Python evaluation left before the partials stage: "
+             "the anchor is a JVM expression (was one ArrowEvalPython "
+             "after the duplicate-eval fix, two before it)",
              lambda p: len(re.findall(r"\(\d+\) ArrowEvalPython", p))
-             == 1),
+             == 0 and "BatchEvalPython" not in p),
         ],
     )
 
